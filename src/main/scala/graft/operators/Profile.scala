@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** The EDA/profiling surface of the reference
+  * (reference `exploratory-data-analysis.py:144-195`), as single-pass
+  * distributed aggregates — each profile is ONE wide hash-aggregate job,
+  * not a per-column scan.
+  */
+object Profile {
+
+  /** Per-column "missingness" count: rows matching the reference's 6-way
+    * disjunction — contains 'None' | contains 'NULL' | == '' | isNull |
+    * contains 'Unknown' | isnan (reference
+    * `exploratory-data-analysis.py:147-154`).
+    *
+    * The reference leans on implicit casts (isnan on strings); we cast
+    * explicitly via try_cast so the profile stays valid under ANSI mode
+    * (SURVEY.md §1.4). One row out, one column per input column —
+    * a single aggregate regardless of table width.
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map { c =>
+      val s = col(c).cast("string")
+      val pred = s.contains("None") || s.contains("NULL") || (s === "") ||
+        col(c).isNull || s.contains("Unknown") || isnan(s.try_cast("double"))
+      count(when(pred, lit(1))).as(c)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Missing-percentage table derived from [[nullProfile]] (reference
+    * `exploratory-data-analysis.py:157-165`): one row per column with
+    * (column, null_count, pct). Stays distributed until the final
+    * (#columns)-row result.
+    */
+  def missingPct(df: DataFrame): DataFrame = {
+    val total = df.count()
+    val profile = nullProfile(df)
+    val stacked = profile.select(
+      explode(map(df.columns.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("column_name", "null_count")))
+    stacked.withColumn(
+      "pct", round(col("null_count") * lit(100.0) / lit(total.toDouble), 4))
+  }
+
+  /** Exact summary statistics per numeric column: count / mean / stddev /
+    * min / max. The reference uses `df.summary()` (reference
+    * `exploratory-data-analysis.py:193`), which mixes in approximate
+    * percentiles; this exact variant is oracle-checkable. One wide
+    * aggregate, then a narrow unpivot.
+    */
+  def summaryStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.flatMap { c =>
+      Seq(lit(c),
+        struct(col(s"${c}__count").cast("long").as("n"),
+          round(col(s"${c}__mean"), 4).as("mean"),
+          round(col(s"${c}__stddev"), 4).as("stddev"),
+          col(s"${c}__min").as("min"), col(s"${c}__max").as("max")))
+    }
+    wide.select(explode(map(entries: _*)).as(Seq("column_name", "stats")))
+      .select(col("column_name"), col("stats.n").as("n"),
+        col("stats.mean").as("mean"), col("stats.stddev").as("stddev"),
+        col("stats.min").as("min"), col("stats.max").as("max"))
+  }
+
+  /** Partition a schema into numeric vs non-numeric column names
+    * (reference `exploratory-data-analysis.py:175-191`, done there via
+    * dtype string matching; here via the type system).
+    */
+  def dtypePartition(df: DataFrame): (Seq[String], Seq[String]) = {
+    val (num, cat) = df.schema.fields.partition(_.dataType.isInstanceOf[NumericType])
+    (num.map(_.name).toSeq, cat.map(_.name).toSeq)
+  }
+
+  /** Top-n categories by frequency (reference
+    * `exploratory-data-analysis.py:124`, pandas value_counts().head(20) —
+    * here a distributed groupBy + TakeOrderedAndProject).
+    */
+  def topCategories(df: DataFrame, column: String, n: Int = 20): DataFrame =
+    df.groupBy(col(column)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(column))
+      .limit(n)
+}

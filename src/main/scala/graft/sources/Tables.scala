@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Parquet table loaders for the harness star schema under
+  * /root/testdata/sfN (see TESTDATA.md) and the CSV option bundles the
+  * reference uses (reference `model-als.py:56-67`).
+  *
+  * Scans stay fully declarative: filters and projections applied by callers
+  * are pushed into the parquet reader by Catalyst (verify with
+  * `.explain` → PushedFilters / ReadSchema), which is what keeps a
+  * 100 TB scan from reading 100 TB.
+  */
+object Tables {
+
+  val starSchema: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNanoTimestamps(df)
+  }
+
+  /** The harness `events` table stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark has no native type for. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.core.GraftSession]])
+    * so the column arrives as epoch-nanos LongType; this rewrites it to a
+    * microsecond TimestampType (`ts div 1000` — integer division, exact;
+    * a double division would lose precision above 2^53). DuckDB's
+    * CAST(ts AS TIMESTAMP) truncates identically.
+    */
+  private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (acc, StructField("ts", org.apache.spark.sql.types.LongType, _, _)) =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (acc, _) => acc
+    }
+
+  /** CSV scan with the reference's exact option semantics
+    * (reference `model-als.py:56-67`): header, comma sep, quote=escape='"',
+    * whitespace trimming, `nullValue='Unknown'` (the load-bearing one:
+    * the literal string "Unknown" maps to SQL NULL in every column),
+    * UTF-8, and an explicit schema — inference is never used.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .options(Map(
+        "header" -> header.toString,
+        "sep" -> ",",
+        "quote" -> "\"",
+        "escape" -> "\"",
+        "ignoreLeadingWhiteSpace" -> "true",
+        "ignoreTrailingWhiteSpace" -> "true",
+        "nullValue" -> "Unknown",
+        "encoding" -> "UTF-8"))
+      .schema(schema)
+      .csv(path)
+
+  /** Single-file CSV sink with header, matching the reference's one-file
+    * output shape (reference `model-als.py:173-174`, written via pandas).
+    * Spark writes a directory; for the reference's exact-named single file
+    * we coalesce(1) and rename the part file. Only for small (top-k)
+    * results — never a 100 TB path.
+    */
+  def writeSingleCsv(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file in $tmp"))
+    val dest = new java.io.File(path)
+    if (dest.exists()) dest.delete()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profile
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("nullProfile counts the 6-way missingness battery (eda:147-154)") {
+    val df = Seq(
+      ("ok", "1.5"), ("None of it", "NaN"), ("has NULL inside", ""),
+      (null, "2.0"), ("Unknown value", null))
+      .toDF("s", "v")
+    val row = Profile.nullProfile(df).collect().head
+    assert(row.getLong(0) === 4) // None, NULL, null, Unknown
+    assert(row.getLong(1) === 3) // NaN, empty string, null
+  }
+
+  test("summaryStats: exact count/mean/stddev/min/max per column") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Profile.summaryStats(df, Seq("x")).collect().head
+    assert(r.getAs[Long]("n") === 4)
+    assert(r.getAs[Double]("mean") === 2.5)
+    assert(math.abs(r.getAs[Double]("stddev") - 1.2910) < 1e-4)
+    assert(r.getAs[Double]("min") === 1.0 && r.getAs[Double]("max") === 4.0)
+  }
+
+  test("dtypePartition splits numeric vs categorical (eda:175-191)") {
+    val df = Seq((1, "a", 2.0)).toDF("i", "s", "d")
+    val (num, cat) = Profile.dtypePartition(df)
+    assert(num === Seq("i", "d") && cat === Seq("s"))
+  }
+
+  test("topCategories = value_counts().head(n) (eda:124)") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("t")
+    val out = Profile.topCategories(df, "t", 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("missingPct yields per-column percentage") {
+    val df = Seq(("a", null), ("b", "x"), (null, null))
+      .toDF("c1", "c2")
+    val m = Profile.missingPct(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(m("c1") - 33.3333) < 0.001)
+    assert(math.abs(m("c2") - 66.6667) < 0.001)
+  }
+}
