@@ -39,9 +39,13 @@ object SparkEntry {
       k = 5, tieBreak = col("p_partkey"))
 
   /** Queries with no DuckDB-expressible oracle (driver falls back to a
-    * rows-only check). Keep this list minimal and justified.
+    * rows-only check). Justified: q29-q31/q34/q36 are built on xxhash64
+    * (no DuckDB equivalent), q34 is additionally approximate by design,
+    * q35 is ALS model output.
     */
-  def rowsOnly: Set[String] = Set()
+  def rowsOnly: Set[String] =
+    Set("q29_fingerprint", "q30_minhash_neardup", "q31_simhash_neardup",
+      "q34_lsh_neighbors", "q35_als_recommend", "q36_multimodal")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -138,8 +142,228 @@ object SparkEntry {
           col("running_qty"))
         .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
           col("l_linenumber"))
+    }),
+
+    // ---- categories absent from the reference (SURVEY.md §2.11) ----
+    "q13_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q14_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q15_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |       count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q16_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q17_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+
+    "q18_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "q19_monthly_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("month"))),
+
+    "q20_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+        .orderBy(col("o_orderkey"))),
+
+    "q21_tumbling_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
+
+    "q22_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("d_users"))
+        .orderBy(col("k_bucket"))),
+
+    "q23_vector_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("norm"))
+        .orderBy(col("vec_id"))),
+
+    "q24_explode_vectors" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"),
+          explode(col("embedding")).as("val"))
+        .select(col("vec_id"), round(col("val").cast("double"), 4).as("v"))
+        .orderBy(col("vec_id"), col("v"))),
+
+    // ---- training-data-pipeline extensions (north star) ----
+    "q25_dedup_exact" -> ((s, dir) =>
+      ext.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    "q26_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tok", ext.TextOps.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(round(avg(col("n_tok")), 4).as("avg_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          sum(col("n_tok")).as("sum_tokens"))
+        .orderBy(col("lang"))),
+
+    "q27_quality_score" -> ((s, dir) =>
+      ext.TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+          col("distinct_ratio"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q28_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("lang_pred", ext.TextOps.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    "q29_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(",", ext.TextOps.fingerprint(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q30_minhash_neardup" -> ((s, dir) =>
+      ext.Dedup.minhashNearDups(withNearDups(s, dir), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q31_simhash_neardup" -> ((s, dir) =>
+      ext.Dedup.simhashNearDups(withNearDups(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q32_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"), ext.TextOps.shingles(col("text"), 3).as("sh"))
+      val l = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+      val r = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"))
+      l.join(r, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+        .filter(col("jaccard") > 0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    "q33_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ext.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q34_lsh_neighbors" -> ((s, dir) =>
+      ext.Similarity.lshNearNeighbors(t(s, dir, "embeddings"),
+          threshold = 0.3, planes = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q35_als_recommend" -> ((s, dir) => {
+      val ratings = t(s, dir, "events").select(
+        col("user_id").cast("int").as("user_id"),
+        (col("event_id") % 50).cast("int").as("item_id"),
+        (col("value") / lit(20.0)).as("rating"))
+      val cfg = ml.Als.Config(rank = 8, maxIter = 5, userCol = "user_id",
+        itemCol = "item_id", seed = 42L)
+      val (model, _) = ml.Als.trainEval(ratings, cfg)
+      val users = ratings.select(col("user_id")).distinct()
+        .filter(col("user_id") < 3)
+      ml.Als.recommend(model, users, 5, cfg)
+        .select(col("user_id"), col("item_id"),
+          round(col("predicted_rating"), 2).as("predicted_rating"))
+        .orderBy(col("user_id"), col("predicted_rating").desc, col("item_id"))
+    }),
+
+    "q36_multimodal" -> ((s, dir) =>
+      ext.Multimodal.pipeline(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q37_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("session_window.start")).as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "q38_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      ext.Similarity.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("centroid_id"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** documents ∪ truncated copies (id+100000, last token dropped): a
+    * constructed near-dup set so the MinHash/SimHash operators have known
+    * positives to find (the synthetic corpus is all-unique).
+    */
+  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mutated = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+          greatest(size(split(col("text"), "\\s+")) - 1, lit(1)))).as("text"))
+    docs.union(mutated)
+  }
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering). */
   def oracleSql: Map[String, String] = Map(
@@ -235,6 +459,205 @@ object SparkEntry {
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q16_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q17_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    "q18_distinct_counts" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q20_date_parts" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+        |         AS window_start,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    "q22_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |         AS k_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS d_users
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "q23_vector_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q24_explode_vectors" ->
+      """SELECT vec_id, round(CAST(u.val AS DOUBLE), 4) AS v
+        |FROM embeddings, UNNEST(embedding) AS u(val)
+        |WHERE vec_id < 10
+        |ORDER BY vec_id, v""".stripMargin,
+
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q26_token_stats" ->
+      """SELECT lang,
+        |  round(avg(len(regexp_split_to_array(lower(text), '\s+'))), 4)
+        |    AS avg_tokens,
+        |  CAST(max(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+        |    AS max_tokens,
+        |  CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // rounds carry the same +1e-9 half-boundary nudge as TextOps.r4
+    "q27_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for')))
+        |      / greatest(len(toks), 1) + 1e-9, 4) AS stopword_ratio,
+        |    round(list_unique(toks) / greatest(len(toks), 1) + 1e-9, 4)
+        |      AS distinct_ratio,
+        |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |      / greatest(length(text), 1) + 1e-9, 4) AS punct_ratio
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents))
+        |SELECT doc_id, n_tokens, stopword_ratio, distinct_ratio,
+        |  round(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+        |    + 0.3 * distinct_ratio
+        |    + 0.2 * least(stopword_ratio * 2, 1.0)
+        |    + CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END + 1e-9, 4)
+        |    AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q28_lang_id" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','un','una','es','por'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','que','en','un','une','est','pour'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','就','不','人'))) AS h_zh
+        |  FROM (SELECT lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(h_en,h_es,h_fr,h_de,h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'fr'
+        |       WHEN h_es = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'es'
+        |       WHEN h_en = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |  FROM h)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "q32_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))
+        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // embeddings cast FLOAT[]→DOUBLE[] so DuckDB's cosine runs in the same
+    // double precision as Similarity.cosine (float32 rounds 0.24 to
+    // 0.2399999…, which survives round(,3) as a value diff)
+    "q33_knn_brute" ->
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |               CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id) AS BIGINT) AS rank,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])), 3) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q37_session_window" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
+        |           FROM events),
+        |y AS (SELECT user_id, uts, value,
+        |        CASE WHEN lag(uts) OVER w IS NULL
+        |               OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+        |z AS (SELECT user_id, uts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM y)
+        |SELECT epoch_us(min(uts)) AS session_start, user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q38_ivf_assign" ->
+      """SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.vec_id AS centroid_id,
+        |    CAST(row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+        |               c.vec_id) AS BIGINT) AS rn
+        |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * a shuffle plan that survives 100 TB:
+  *
+  *  - exact:      hash-groupBy on a content digest (one shuffle on the
+  *                digest — uniform keys, no skew)
+  *  - MinHash+LSH: shingle → minhash signature (map-side) → band →
+  *                bucket-join (shuffle on band hash only; candidate pairs
+  *                verified in-bucket, never all-pairs)
+  *  - SimHash:    64-bit signature (map-side) → bucket on signature
+  *  - n-gram Jaccard: exact verification on candidate pairs
+  *  - embedding near-dup: sign-LSH buckets → in-bucket cosine
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per content digest. Deterministic
+    * (unlike dropDuplicates) and one shuffle on md5(text).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deterministic MinHash signature: for hash function i,
+    * min over shingles of xxhash64(shingle, salt_i). Pure column algebra —
+    * the signature is computed map-side per row; no explode, no shuffle.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
+    val sh = TextOps.shingles(text, shingleN)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash LSH banding: (band_id, hash of the band's signature slice)
+    * pairs. Rows sharing any band bucket are near-dup candidates.
+    * One explode (rows × bands) + one shuffle on the bucket key.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleN)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs from shared LSH buckets, verified with
+    * exact shingle-Jaccard ≥ `threshold`. The self-join is on
+    * (band, bucket) — only same-bucket rows meet, so the pair count is
+    * bucket-local, not quadratic in the corpus.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, numHashes: Int = 16,
+                      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, numHashes, bands, shingleN)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val docs = df.select(col(idCol),
+      TextOps.shingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash signature: per token, xxhash64; each signature bit is
+    * the sign of the sum over tokens of (2·bit−1). Column algebra only —
+    * the per-row cost is tokens × 64 bit tests, all codegen'd.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup candidates: exact signature match per 16-bit block
+    * (Hamming-distance blocking: two signatures within Hamming distance 3
+    * must agree on at least one of 4 blocks).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val blocks = withSig.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("block", "block_val")))
+    val l = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The Spark-side machinery (schema, batching, partition-parallel decode)
+  * is real; the actual codec calls are STUBBED with deterministic fakes —
+  * the image/audio libraries are not in this container. Swap
+  * [[decodeImageStub]] / [[extractFeaturesStub]] for real codec calls
+  * (JNI or `mapPartitions` over a native decoder) without touching any
+  * plan shape.
+  */
+object Multimodal {
+
+  /** Wrap a text column as a fake media blob (UTF-8 bytes). Stands in for
+    * reading real image/audio bytes from parquet/object storage.
+    */
+  def asBlob(c: Column): Column = encode(c, "UTF-8")
+
+  /** Typed metadata extracted per blob — all built-in binary functions,
+    * fully codegen'd: byte length, content digest, and fake
+    * width/height/channels derived deterministically from the digest
+    * (stands in for an image-header parse).
+    */
+  def blobMetadata(blob: Column): Column = {
+    val h = xxhash64(blob)
+    struct(
+      octet_length(blob).cast("long").as("n_bytes"),
+      sha2(blob, 256).as("digest"),
+      (pmod(h, lit(1920L)) + 1L).as("width"),
+      (pmod(shiftright(h, 16), lit(1080L)) + 1L).as("height"),
+      (pmod(shiftright(h, 32), lit(3L)) + 1L).as("channels"))
+  }
+
+  /** STUB decode: a real implementation calls the codec here (per
+    * partition, batched). The fake emits a deterministic 8-dim feature
+    * vector from the blob bytes so downstream plumbing (schema, joins,
+    * similarity) is exercised end-to-end.
+    */
+  def decodeImageStub(blob: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (pmod(xxhash64(blob, i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+
+  /** STUB feature extraction over a decoded "image": mean/min/max of the
+    * fake pixels. Real impl: model inference via mapPartitions (batch the
+    * rows, call the runtime once per batch — never per row).
+    */
+  def extractFeaturesStub(decoded: Column): Column = struct(
+    round(aggregate(decoded, lit(0.0), (a, x) => a + x) / size(decoded), 4)
+      .as("mean"),
+    round(array_min(decoded), 4).as("p_min"),
+    round(array_max(decoded), 4).as("p_max"))
+
+  /** Frame sampling for video-ish blobs: every `stride`-th byte window.
+    * Demonstrates the slice-without-decode pattern (cheap row splitter —
+    * the heavy decode runs only on sampled frames).
+    */
+  def sampleFrames(blob: Column, frameBytes: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest((octet_length(blob) / (frameBytes * stride)) - 1, lit(0))),
+      i => blob.substr((i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
+
+  /** End-to-end multimodal pipeline over a text-as-blob table: blob →
+    * metadata → stub-decode → stub-features. One projection, no shuffle.
+    */
+  def pipeline(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), asBlob(col(textCol)).as("blob"))
+      .withColumn("meta", blobMetadata(col("blob")))
+      .withColumn("decoded", decodeImageStub(col("blob")))
+      .withColumn("features", extractFeaturesStub(col("decoded")))
+      .select(col(idCol), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"),
+        col("features.mean").as("feat_mean"),
+        col("features.p_min").as("feat_min"),
+        col("features.p_max").as("feat_max"))
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a distributed scan of the corpus; exact, one pass, no
+  * shuffle on the corpus side until the per-query top-k.
+  *
+  * Scale path: sign-LSH (random-hyperplane) bucketing — signature computed
+  * map-side, candidates meet via a bucket equi-join, so the pair count is
+  * bucket-local. Recall < 1 by construction; widen with more probes/bands.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, element order left-to-right
+    * (deterministic, matches DuckDB's list functions).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * `queries` must be small (it is broadcast); `corpus` is unbounded.
+    * Plan: BroadcastNestedLoopJoin (queries × corpus) → per-row cosine →
+    * per-query top-k window. The corpus is scanned ONCE regardless of
+    * query count.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    Relational.topKPerGroup(scored, k, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform sign. Generated inside the plan — no driver-side
+    * randomness, reproducible across runs/clusters.
+    */
+  private def rademacher(plane: Int, d: Column): Column =
+    when(xxhash64(lit(plane), d).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-LSH signature: `planes` bits, bit i = sign of dot(vec, r_i) with
+    * r_i a Rademacher vector. Map-side only.
+    */
+  def signLshSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * rademacher(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate near-neighbor pairs: same sign-LSH bucket → exact cosine
+    * ≥ threshold. The join key is the bucket, so candidate generation is
+    * linear in bucket occupancy — the 100 TB-safe shape.
+    */
+  def lshNearNeighbors(df: DataFrame, threshold: Double, planes: Int = 12,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol),
+      signLshSignature(col(vecCol), planes).as("bucket"))
+    val l = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (broadcast), so queries only scan matching partitions.
+    * Centroid choice is caller's (e.g. a sample + k-means, or hashing);
+    * here any small (centroid_id, vector) DataFrame works.
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                cIdCol: String = "centroid_id", cVecCol: String = "centroid")
+  : DataFrame = {
+    val joined = df.join(broadcast(centroids))
+      .withColumn("cos", cosine(col(vecCol), col(cVecCol)))
+    Relational.topKPerGroup(joined, 1, Seq(idCol),
+        Seq(col("cos").desc, col(cIdCol)))
+      .select(col(idCol), col(cIdCol), round(col("cos"), 4).as("centroid_cos"))
+  }
+}

