@@ -261,15 +261,20 @@ object SparkEntry {
 
     "q28_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("lang_pred", ext.TextOps.langId(col("text")))
+        .select(col("lang"), ext.TextOps.tokens(col("text")).as("_toks"))
+        .select(col("lang"),
+          ext.TextOps.langIdFromTokens(col("_toks")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
+        .select(col("doc_id"), ext.TextOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          concat_ws(",", ext.TextOps.fingerprint(col("text"))).as("fp"))
+          ext.TextOps.shinglesFromTokens(col("_toks"), 3).as("_sh"))
+        .select(col("doc_id"),
+          concat_ws(",", ext.TextOps.fingerprintFromShingles(col("_sh"))).as("fp"))
         .orderBy(col("doc_id"))),
 
     "q30_minhash_neardup" -> ((s, dir) =>
@@ -282,23 +287,15 @@ object SparkEntry {
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q32_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        col("source"), ext.TextOps.shingles(col("text"), 3).as("sh"))
-      val l = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-        col("sh").as("sh_a"))
-      val r = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-        col("sh").as("sh_b"))
-      l.join(r, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-        .filter(col("jaccard") > 0)
+    // inverted-index join: only shingle-sharing pairs materialize (the
+    // oracle's |intersect| > 0 filter is structural here)
+    "q32_ngram_jaccard" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, partitionCols = Seq("lang", "source"))
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     "q33_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -24,16 +24,27 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Deterministic MinHash signature: for hash function i,
-    * min over shingles of xxhash64(shingle, salt_i). Pure column algebra —
-    * the signature is computed map-side per row; no explode, no shuffle.
+  /** Stage id + distinct shingle array, materializing the token array
+    * first (each stage is a separate Project so lambdas downstream bind
+    * to cheap attributes — see TextOps.shinglesFromTokens perf contract).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = TextOps.shingles(text, shingleN)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-  }
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        TextOps.shinglesFromTokens(col("_toks"), shingleN).as("sh"))
+
+  /** Deterministic MinHash signature from a materialized shingle column.
+    * Each shingle string is hashed ONCE (xxhash64), then the k hash
+    * functions remix that 64-bit value with the function index — k long
+    * hashes instead of k string hashes, same LSH family guarantees.
+    * Pure column algebra: computed map-side per row; no explode/shuffle.
+    */
+  def minhashSignatureFromShingles(df: DataFrame, numHashes: Int): DataFrame =
+    df.withColumn("_hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", array((0 until numHashes).map { i =>
+        array_min(transform(col("_hs"), h => xxhash64(h, lit(i))))
+      }: _*))
 
   /** MinHash LSH banding: (band_id, hash of the band's signature slice)
     * pairs. Rows sharing any band bucket are near-dup candidates.
@@ -43,8 +54,7 @@ object Dedup {
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleN)
-    df.select(col(idCol), sig.as("sig"))
+    minhashSignatureFromShingles(shingled(df, idCol, textCol, shingleN), numHashes)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
@@ -66,8 +76,7 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val docs = df.select(col(idCol),
-      TextOps.shingles(col(textCol), shingleN).as("sh"))
+    val docs = shingled(df, idCol, textCol, shingleN)
     candidates
       .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -78,12 +87,11 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash signature: per token, xxhash64; each signature bit is
-    * the sign of the sum over tokens of (2·bit−1). Column algebra only —
-    * the per-row cost is tokens × 64 bit tests, all codegen'd.
+  /** 64-bit SimHash from a materialized token-hash array attribute: each
+    * signature bit is the sign of the sum over tokens of (2·bit−1).
+    * Column algebra only; per-row cost is tokens × 64 bit tests.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -98,7 +106,10 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val withSig = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), transform(col("_toks"), t => xxhash64(t)).as("_hs"))
+      .select(col(idCol), simhashFromHashes(col("_hs")).as("sig"))
     val blocks = withSig.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
@@ -113,5 +124,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** Exact pairwise shingle-Jaccard via an inverted index: explode each
+    * doc's distinct shingles into postings, equi-join postings on the
+    * shingle (within `partitionCols`), count common shingles per pair,
+    * derive |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs that SHARE at least
+    * one shingle ever materialize, so cost is Σ posting-list², not
+    * corpus² — the shape that survives 100 TB (cap hot posting lists
+    * upstream if the shingle distribution is skewed).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3,
+                        partitionCols: Seq[String] = Nil): DataFrame = {
+    val part = partitionCols.map(col)
+    val d = df
+      .select(part :+ col(idCol) :+ TextOps.tokens(col(textCol)).as("_toks"): _*)
+      .select(part :+ col(idCol) :+
+        TextOps.shinglesFromTokens(col("_toks"), shingleN).as("sh"): _*)
+      .select(part :+ col(idCol) :+ col("sh") :+
+        size(col("sh")).as("n_sh"): _*)
+    val postings = d.select(
+      part :+ col(idCol) :+ col("n_sh") :+ explode(col("sh")).as("shingle"): _*)
+    val a = postings.select(part :+ col("shingle") :+
+      col(idCol).as("id_a") :+ col("n_sh").as("n_a"): _*)
+    val bCols = partitionCols.map(c => col(c).as(s"${c}_b")) :+
+      col("shingle").as("shingle_b") :+
+      col(idCol).as("id_b") :+ col("n_sh").as("n_b")
+    val b = postings.select(bCols: _*)
+    val joinCond = (partitionCols.map(c => col(c) === col(s"${c}_b")) :+
+      (col("shingle") === col("shingle_b")) :+
+      (col("id_a") < col("id_b"))).reduce(_ && _)
+    a.join(b, joinCond)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

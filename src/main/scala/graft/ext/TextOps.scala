@@ -40,17 +40,20 @@ object TextOps {
     size(filter(toks, t => array_contains(set, t))).cast("long")
   }
 
-  /** Language-ID: argmax of per-language stopword hit counts, 'und' when
-    * nothing matches. Deterministic tie-break = language order above.
+  /** Language-ID from a materialized token array (argmax of per-language
+    * stopword hits, 'und' when nothing matches; deterministic tie-break =
+    * language order above). Stage `toks` as an attribute — the 5 language
+    * scorers each re-evaluate the input expression otherwise.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdFromTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Round to 4 dp after a +1e-9 nudge: ratio arithmetic frequently lands
     * exactly on a half-boundary (x.xxxx5), where IEEE rounding direction
@@ -91,20 +94,35 @@ object TextOps {
           lit(0.2) * least(col("stopword_ratio") * 2, lit(1.0)) +
           when(col("punct_ratio") < 0.2, lit(0.1)).otherwise(lit(0.0))))
 
-  /** Token n-gram shingles ("a b c" 2-grams → ["a b","b c"]); the unit of
-    * MinHash/Jaccard dedup.
+  /** Shingles from an ALREADY-MATERIALIZED token array column.
+    *
+    * Perf contract: `toks` must be a plain attribute (stage it with
+    * `.withColumn`/`.select` first), never the `tokens(text)` expression
+    * itself — Spark evaluates lambda-captured outer expressions once PER
+    * ELEMENT, so an inline `split()` here turns O(L) shingling into
+    * O(L²) re-tokenization.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(transform(idx, i =>
       concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Token n-gram shingles ("a b c" 2-grams → ["a b","b c"]); the unit of
+    * MinHash/Jaccard dedup. Convenience form — for hot paths stage the
+    * token array first and use [[shinglesFromTokens]].
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
   /** Rolling-hash document fingerprint: xxhash64 each n-gram shingle,
     * keep the k smallest (a deterministic min-k sketch — equal documents
     * get equal fingerprints, near-equal documents share most elements).
+    * `sh` must be a materialized shingle attribute (perf contract above).
     */
+  def fingerprintFromShingles(sh: Column, k: Int = 8): Column =
+    slice(array_sort(transform(sh, s => xxhash64(s))), 1, k)
+
   def fingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
-    slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
+    fingerprintFromShingles(shingles(text, n), k)
 }
