@@ -59,11 +59,14 @@ object Multimodal {
     * Demonstrates the slice-without-decode pattern (cheap row splitter —
     * the heavy decode runs only on sampled frames).
     */
-  def sampleFrames(blob: Column, frameBytes: Int, stride: Int): Column =
+  def sampleFrames(blob: Column, frameBytes: Int, stride: Int): Column = {
+    // integer frame count: Column./ is floating division, which sequence()
+    // rejects — floor+cast keeps the index arithmetic integral
+    val nFrames = floor(octet_length(blob) / lit(frameBytes * stride)).cast("long")
     transform(
-      sequence(lit(0),
-        greatest((octet_length(blob) / (frameBytes * stride)) - 1, lit(0))),
+      sequence(lit(0L), greatest(nFrames - 1L, lit(0L))),
       i => blob.substr((i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
+  }
 
   /** End-to-end multimodal pipeline over a text-as-blob table: blob →
     * metadata → stub-decode → stub-features. One projection, no shuffle.

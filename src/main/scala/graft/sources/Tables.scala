@@ -31,7 +31,7 @@ object Tables {
     * a double division would lose precision above 2^53). DuckDB's
     * CAST(ts AS TIMESTAMP) truncates identically.
     */
-  private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
+  def normalizeNanoTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (acc, StructField("ts", org.apache.spark.sql.types.LongType, _, _)) =>
         acc.withColumn("ts",

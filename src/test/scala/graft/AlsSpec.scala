@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Als
+
+/** ALS wrapper: the reference's pipeline (model-als.py:111-139) with an
+  * explicit seed — same seed must reproduce the same recommendations,
+  * which the unseeded reference cannot (SURVEY.md §5.1).
+  */
+class AlsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8 users × 10 items, block preference structure: users 0-3 like even
+  // items, users 4-7 like odd items.
+  private def ratings = (for {
+    u <- 0 until 8; i <- 0 until 10
+    if (u + i) % 3 != 0 // drop some cells so there is a test split
+  } yield (u, i, if ((u < 4) == (i % 2 == 0)) 5.0 else 1.0))
+    .toDF("user_id", "item_id", "rating")
+
+  private val cfg = Als.Config(rank = 4, maxIter = 5, seed = 7L)
+
+  test("trainEval learns the block structure with finite RMSE") {
+    val (_, rmse) = Als.trainEval(ratings, cfg)
+    assert(!rmse.isNaN && rmse < 2.5, s"rmse=$rmse")
+  }
+
+  test("recommend returns k items per user, already unpacked and typed") {
+    val (model, _) = Als.trainEval(ratings, cfg)
+    val recs = Als.recommend(model, ratings.select($"user_id").distinct(), 3, cfg)
+    val counts = recs.groupBy($"user_id").count().as[(Int, Long)].collect()
+    assert(counts.length === 8 && counts.forall(_._2 === 3L))
+    assert(recs.columns.toSeq ===
+      Seq("user_id", "item_id", "predicted_rating"))
+  }
+
+  test("same seed reproduces identical recommendations") {
+    def run() = {
+      val (model, _) = Als.trainEval(ratings, cfg)
+      Als.recommend(model, ratings.select($"user_id").distinct(), 3, cfg)
+        .orderBy($"user_id", $"item_id")
+        .select($"user_id", $"item_id").as[(Int, Int)].collect().toSeq
+    }
+    assert(run() === run())
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("exact dedup keeps smallest id per content hash with copy count") {
+    val df = Seq((3, "same"), (1, "same"), (2, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy($"keep_id")
+      .select($"keep_id", $"n_copies").as[(Int, Long)].collect()
+    assert(out.toSeq === Seq((1, 2L), (2, 1L)))
+  }
+
+  test("minhash signature: identical docs identical, length = numHashes") {
+    val df = Seq((1, base), (2, base), (3, "something else entirely here now"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatureFromShingles(
+        df.withColumn("_toks", graft.ext.TextOps.tokens($"text"))
+          .select($"doc_id",
+            graft.ext.TextOps.shinglesFromTokens($"_toks", 3).as("sh")), 16)
+      .select($"doc_id", $"sig").as[(Int, Seq[Long])].collect().toMap
+    assert(sigs(1).size === 16)
+    assert(sigs(1) === sigs(2))
+    assert(sigs(1) !== sigs(3))
+  }
+
+  test("minhashNearDups finds the near-duplicate pair, not unrelated docs") {
+    val df = Seq(
+      (1, base),
+      (2, base + " OMEGA"), // one appended token: high Jaccard
+      (3, "totally unrelated words about completely different topics " +
+        "nothing shared with the greek letter document at all truly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
+    assert(pairs.contains((1, 2)))
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("simhashNearDups: near-identical docs within small hamming distance") {
+    val df = Seq(
+      (1, base),
+      (2, base + " OMEGA"),
+      (3, "totally unrelated words about completely different topics " +
+        "nothing shared with the greek letter document at all truly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
+    assert(pairs.contains((1, 2)))
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard via the inverted index") {
+    // 3-shingles: {a b c, b c d, c d e} vs {a b c, b c d, c d x}
+    //   → inter 2, union 4, jaccard 0.5
+    val df = Seq((1, "a b c d e"), (2, "a b c d x"), (3, "z z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Int, Int, Double)].collect()
+    assert(out.toSeq === Seq((1, 2, 0.5)))
+  }
+
+  test("ngramJaccardPairs honors partition columns (no cross-group pairs)") {
+    val df = Seq((1, "en", "a b c d"), (2, "en", "a b c d"), (3, "fr", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, Seq("lang"))
+      .select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
+    assert(out === Set((1, 2)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("blobMetadata: byte length exact, fake dims within header ranges") {
+    val df = Seq((1, "hello")).toDF("id", "text")
+      .select(Multimodal.blobMetadata(Multimodal.asBlob($"text")).as("m"))
+      .select($"m.n_bytes", $"m.width", $"m.height", $"m.channels")
+    val r = df.head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) >= 1 && r.getLong(1) <= 1920)
+    assert(r.getLong(2) >= 1 && r.getLong(2) <= 1080)
+    assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+  }
+
+  test("decodeImageStub is deterministic with the declared dimensionality") {
+    val df = Seq(("img-a", "img-a", "img-b")).toDF("a", "a2", "b")
+    val r = df.select(
+      Multimodal.decodeImageStub(Multimodal.asBlob($"a")).as("va"),
+      Multimodal.decodeImageStub(Multimodal.asBlob($"a2")).as("va2"),
+      Multimodal.decodeImageStub(Multimodal.asBlob($"b")).as("vb"))
+      .as[(Seq[Double], Seq[Double], Seq[Double])].head()
+    assert(r._1.size === 8)
+    assert(r._1 === r._2)
+    assert(r._1 !== r._3)
+    assert(r._1.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("sampleFrames slices every stride-th fixed-size window") {
+    val blob = "0123456789abcdef" // 16 bytes
+    val frames = Seq(blob).toDF("text")
+      .select(Multimodal.sampleFrames(Multimodal.asBlob($"text"), 4, 2).as("f"))
+      .select($"f".cast("array<string>")).as[Seq[String]].head()
+    assert(frames === Seq("0123", "89ab")) // windows at offsets 0 and 8
+  }
+
+  test("pipeline emits one feature row per document, no shuffle") {
+    val df = Seq((1, "doc one"), (2, "doc two")).toDF("doc_id", "text")
+    val out = Multimodal.pipeline(df, "text", "doc_id")
+    assert(out.count() === 2)
+    assert(out.columns.toSeq === Seq("doc_id", "n_bytes", "width", "height",
+      "channels", "feat_mean", "feat_min", "feat_max"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

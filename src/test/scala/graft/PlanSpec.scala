@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Recommend
+import graft.sources.Tables
+
+/** Physical-plan assertions: the properties that keep these queries alive
+  * at 100 TB — filter/column pushdown into the parquet scan, broadcast of
+  * dimension tables, partial (map-side) aggregation, top-k fusion.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets PushedFilters and pruned ReadSchema") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_partkey"), col("l_quantity"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"filter not pushed:\n$formatted")
+    assert(formatted.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$formatted")
+  }
+
+  test("flagship query: dim broadcast + partial aggregation + top-k fusion") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("partial_avg") || p.contains("HashAggregate"),
+      s"no partial agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k fusion:\n$p")
+  }
+
+  test("star join (q05) broadcasts every dimension, shuffles facts once") {
+    val p = plan(SparkEntry.queries("q05_revenue_by_nation")(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast dims, got $broadcasts:\n$p")
+  }
+
+  test("aggregate-then-join keeps join input at |items| not |ratings|") {
+    val ratings = Tables.load(spark, sf, "lineitem")
+    val items = Tables.load(spark, sf, "part")
+    val df = Recommend.topRatedByCategory(
+      ratings, items, "l_partkey", "l_quantity", "p_partkey",
+      categoryFilter = col("p_type") === "PROMO",
+      select = Seq(col("p_partkey"), col("p_name")),
+      k = 5, tieBreak = col("p_partkey"))
+    val p = plan(df)
+    // the aggregate must sit BELOW the join in the plan tree
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"aggregate should feed the join (agg below join in plan):\n$p")
+  }
+}

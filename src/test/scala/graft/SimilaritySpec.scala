@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(rows: (Int, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("dot / l2Norm / cosine match hand-computed values") {
+    val df = vecs(1 -> Seq(1f, 2f, 3f))
+      .crossJoin(vecs(2 -> Seq(4f, 5f, 6f)).select($"embedding".as("b")))
+    val r = df.select(
+      Similarity.dot($"embedding", $"b").as("dot"),
+      Similarity.l2Norm($"embedding").as("norm"),
+      Similarity.cosine($"embedding", $"b").as("cos")).head()
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-9)
+    assert(math.abs(r.getDouble(2) -
+      32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-9)
+  }
+
+  test("bruteForceKnn ranks by cosine and broadcasts the query side") {
+    val corpus = vecs(
+      1 -> Seq(1f, 0f), 2 -> Seq(0.9f, 0.1f), 3 -> Seq(0f, 1f), 4 -> Seq(-1f, 0f))
+    val knn = Similarity.bruteForceKnn(corpus, corpus.filter($"vec_id" === 1), 3)
+    val got = knn.orderBy($"rank")
+      .select($"neighbor_id", $"rank").as[(Int, Long)].collect().toSeq
+    assert(got === Seq((2, 1L), (3, 2L), (4, 3L)))
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast of queries:\n$plan")
+  }
+
+  test("lshNearNeighbors finds identical vectors (cos 1) in one bucket") {
+    val df = vecs(1 -> Seq(1f, 2f, 3f), 2 -> Seq(1f, 2f, 3f), 3 -> Seq(-3f, 1f, -2f))
+    val out = Similarity.lshNearNeighbors(df, threshold = 0.9, planes = 4)
+      .select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
+    assert(out.contains((1, 2)))
+    assert(!out.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("ivfAssign assigns each vector to its own centroid when present") {
+    val df = vecs(1 -> Seq(1f, 0f), 2 -> Seq(0f, 1f), 3 -> Seq(0.9f, 0.05f))
+    val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val got = Similarity.ivfAssign(df, centroids)
+      .select($"vec_id", $"centroid_id").as[(Int, Int)].collect().toMap
+    assert(got === Map(1 -> 10, 2 -> 20, 3 -> 10))
+  }
+}

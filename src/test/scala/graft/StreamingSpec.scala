@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Batch/stream parity: the same transform function applied to the events
+  * table as a batch DataFrame and as a file-source stream must produce the
+  * same result set (complete output mode, so no windows are withheld by
+  * the watermark on a finite input).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  /** FileStreamSource requires a directory; the fixture is a single
+    * parquet file, so stage a copy under target/.
+    */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Paths.get("target", "stream-events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def streamedEvents: DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    Tables.normalizeNanoTimestamps(
+      EventStreams.readEventStream(spark, streamDir, batchSchema))
+  }
+
+  private def batchEvents: DataFrame = Tables.load(spark, sf, "events")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("windowedCounts: streaming result equals batch result") {
+    val batch = EventStreams.windowedCounts(batchEvents)
+    val stream = EventStreams.runToMemorySink(spark,
+      EventStreams.windowedCounts(streamedEvents), "win_parity", "complete")
+    assert(sortedRows(stream) === sortedRows(batch))
+    assert(stream.count() > 0)
+  }
+
+  test("sessionCounts: streaming result equals batch result") {
+    val batch = EventStreams.sessionCounts(batchEvents)
+    val stream = EventStreams.runToMemorySink(spark,
+      EventStreams.sessionCounts(streamedEvents), "sess_parity", "complete")
+    assert(sortedRows(stream) === sortedRows(batch))
+    assert(stream.count() > 0)
+  }
+}

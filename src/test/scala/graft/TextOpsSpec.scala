@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens, subwordCount splits further") {
+    val df = Seq("Hello world", "one  two\tthree", "x9y").toDF("text")
+      .select(TextOps.tokenCount($"text").as("n"),
+        TextOps.subwordCount($"text").as("s"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(0) === ((2L, 2L)))
+    assert(rows(1)._1 === 3L)
+    assert(rows(2) === ((1L, 3L))) // x | 9 | y at letter/digit boundaries
+  }
+
+  test("langId identifies each stopword language and falls back to 'und'") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is that", "en"),
+      ("el perro y la casa que es por un", "es"),
+      ("le chien et la maison est pour une", "fr"),
+      ("der hund und die katze ist ein von", "de"),
+      ("qqq www zzz", "und"))
+    val out = samples.toDF("text", "expected")
+      .select($"expected", TextOps.langId($"text").as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
+  }
+
+  test("shingles builds distinct token n-grams") {
+    val got = Seq("a b c d e").toDF("text")
+      .select(TextOps.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shinglesFromTokens on short docs yields one truncated shingle") {
+    val got = Seq("a b").toDF("text")
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select(TextOps.shinglesFromTokens($"toks", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got === Seq("a b"))
+  }
+
+  test("fingerprint: equal texts agree; near-dups share most of the sketch") {
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog again and again"),
+      (2, "the quick brown fox jumps over the lazy dog again and again"),
+      (3, "the quick brown fox jumps over the lazy dog again and MORE"),
+      (4, "completely different content with no overlap whatsoever here"))
+      .toDF("id", "text")
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("sh", TextOps.shinglesFromTokens($"toks", 3))
+      .select($"id", TextOps.fingerprintFromShingles($"sh").as("fp"))
+    val fp = df.as[(Int, Seq[Long])].collect().toMap
+    assert(fp(1) === fp(2))
+    assert(fp(1).intersect(fp(3)).size >= fp(1).size / 2)
+    assert(fp(1).intersect(fp(4)).isEmpty)
+  }
+
+  test("qualityScore stays in [0,1] and ranks clean text above junk") {
+    val df = Seq(
+      (1, "the cat sat on the mat and the dog ran for it"),
+      (2, "!!! ??? ... ;;; ::: !!!"))
+      .toDF("doc_id", "text")
+    val q = TextOps.qualityScore(df, "text")
+      .select($"doc_id", $"quality").as[(Int, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1) > q(2))
+  }
+}
