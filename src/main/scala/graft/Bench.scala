@@ -14,14 +14,19 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up outside the timed region
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // steady-state timing: two full passes, per-query minimum — the first
+    // pass doubles as JIT/codegen warm-up, and min-of-2 suppresses GC and
+    // compilation noise that otherwise dominates sub-second queries
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val first = pass()
+    System.gc()
+    val second = pass()
+    val results = first.zip(second).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -262,19 +262,21 @@ object SparkEntry {
     "q28_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), ext.TextOps.tokens(col("text")).as("_toks"))
+        .select(col("lang"), ext.TextOps.langScores(col("_toks")).as("_best"))
         .select(col("lang"),
-          ext.TextOps.langIdFromTokens(col("_toks")).as("lang_pred"))
+          ext.TextOps.langIdFromScores(col("_best")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // min-k sketch over the native codegen'd shingle-hash expression;
+    // values are bit-identical to xxhash64-of-string-shingles
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), ext.TextOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          ext.TextOps.shinglesFromTokens(col("_toks"), 3).as("_sh"))
+          graft.functions.ShingleHashes(col("text"), 3).as("_sh"))
         .select(col("doc_id"),
-          concat_ws(",", ext.TextOps.fingerprintFromShingles(col("_sh"))).as("fp"))
+          concat_ws(",", slice(array_sort(col("_sh")), 1, 8)).as("fp"))
         .orderBy(col("doc_id"))),
 
     "q30_minhash_neardup" -> ((s, dir) =>

@@ -24,27 +24,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Stage id + distinct shingle array, materializing the token array
-    * first (each stage is a separate Project so lambdas downstream bind
-    * to cheap attributes — see TextOps.shinglesFromTokens perf contract).
+  /** Stage id + distinct shingle-hash array via the native
+    * [[graft.functions.ShingleHashes]] expression: one codegen'd pass per
+    * document (tokenize → shingle → distinct → xxhash64), no intermediate
+    * string arrays.
     */
-  private def shingled(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int): DataFrame =
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        TextOps.shinglesFromTokens(col("_toks"), shingleN).as("sh"))
+  private def shingleHashed(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ShingleHashes(col(textCol), shingleN).as("sh"))
 
-  /** Deterministic MinHash signature from a materialized shingle column.
-    * Each shingle string is hashed ONCE (xxhash64), then the k hash
-    * functions remix that 64-bit value with the function index — k long
-    * hashes instead of k string hashes, same LSH family guarantees.
+  /** Deterministic MinHash signature from a materialized shingle-hash
+    * column (`sh: array<long>`). Each of the k hash functions remixes the
+    * 64-bit shingle hash with the function index — k long hashes per
+    * shingle instead of k string hashes, same LSH family guarantees.
     * Pure column algebra: computed map-side per row; no explode/shuffle.
     */
-  def minhashSignatureFromShingles(df: DataFrame, numHashes: Int): DataFrame =
-    df.withColumn("_hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", array((0 until numHashes).map { i =>
-        array_min(transform(col("_hs"), h => xxhash64(h, lit(i))))
-      }: _*))
+  def minhashSignatureFromHashes(df: DataFrame, numHashes: Int): DataFrame =
+    df.withColumn("sig", array((0 until numHashes).map { i =>
+      array_min(transform(col("sh"), h => xxhash64(h, lit(i))))
+    }: _*))
 
   /** MinHash LSH banding: (band_id, hash of the band's signature slice)
     * pairs. Rows sharing any band bucket are near-dup candidates.
@@ -54,7 +53,7 @@ object Dedup {
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    minhashSignatureFromShingles(shingled(df, idCol, textCol, shingleN), numHashes)
+    minhashSignatureFromHashes(shingleHashed(df, idCol, textCol, shingleN), numHashes)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",
@@ -76,7 +75,9 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val docs = shingled(df, idCol, textCol, shingleN)
+    // verification Jaccard runs on the hash arrays — set sizes are
+    // identical to string-shingle sets modulo 64-bit collisions
+    val docs = shingleHashed(df, idCol, textCol, shingleN)
     candidates
       .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -139,23 +140,24 @@ object Dedup {
                         partitionCols: Seq[String] = Nil): DataFrame = {
     val part = partitionCols.map(col)
     val d = df
-      .select(part :+ col(idCol) :+ TextOps.tokens(col(textCol)).as("_toks"): _*)
       .select(part :+ col(idCol) :+
-        TextOps.shinglesFromTokens(col("_toks"), shingleN).as("sh"): _*)
+        graft.functions.ShingleHashes(col(textCol), shingleN).as("sh"): _*)
       .select(part :+ col(idCol) :+ col("sh") :+
         size(col("sh")).as("n_sh"): _*)
-    val postings = d.select(
-      part :+ col(idCol) :+ col("n_sh") :+ explode(col("sh")).as("shingle"): _*)
-    val a = postings.select(part :+ col("shingle") :+
-      col(idCol).as("id_a") :+ col("n_sh").as("n_a"): _*)
-    val bCols = partitionCols.map(c => col(c).as(s"${c}_b")) :+
-      col("shingle").as("shingle_b") :+
-      col(idCol).as("id_b") :+ col("n_sh").as("n_b")
-    val b = postings.select(bCols: _*)
-    val joinCond = (partitionCols.map(c => col(c) === col(s"${c}_b")) :+
-      (col("shingle") === col("shingle_b")) :+
-      (col("id_a") < col("id_b"))).reduce(_ && _)
-    a.join(b, joinCond)
+    // posting key = one 64-bit remix of (partition cols, shingle hash):
+    // the shuffle moves longs instead of string tuples. A cross-key
+    // collision needs two xxhash64 values to agree (~n²/2⁶⁵ for n
+    // distinct postings) — negligible against shingling sampling noise.
+    val postings = d
+      .select(part :+ col(idCol) :+ col("n_sh") :+
+        explode(col("sh")).as("_shingle"): _*)
+      .select(col(idCol), col("n_sh"),
+        xxhash64(part :+ col("_shingle"): _*).as("pkey"))
+    val a = postings.select(col("pkey"),
+      col(idCol).as("id_a"), col("n_sh").as("n_a"))
+    val b = postings.select(col("pkey").as("pkey_b"),
+      col(idCol).as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, col("pkey") === col("pkey_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

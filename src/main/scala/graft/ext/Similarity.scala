@@ -75,13 +75,21 @@ object Similarity {
   def lshNearNeighbors(df: DataFrame, threshold: Double, planes: Int = 12,
                        idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
-    val sig = df.select(col(idCol), col(vecCol),
-      signLshSignature(col(vecCol), planes).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // compute each vector's norm ONCE before the pair join and carry it
+    // through as a scalar (the join node blocks project-collapse, so it
+    // cannot be re-inlined); per-pair work is then one dot + one divide
+    // instead of dot + two norm recomputations per candidate pair
+    val sig = df
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("_norm"),
+        signLshSignature(col(vecCol), planes).as("bucket"))
+    val l = sig.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("_norm").as("norm_a"))
+    val r = sig.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("_norm").as("norm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cos", round(
+        dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -40,18 +40,27 @@ object TextOps {
     size(filter(toks, t => array_contains(set, t))).cast("long")
   }
 
-  /** Language-ID from a materialized token array (argmax of per-language
-    * stopword hits, 'und' when nothing matches; deterministic tie-break =
-    * language order above). Stage `toks` as an attribute — the 5 language
-    * scorers each re-evaluate the input expression otherwise.
+  /** Best (hits, lang) struct across the stopword languages — the argmax
+    * of per-language stopword hits with deterministic tie-break (struct
+    * comparison: hits first, then language name). Stage the RESULT as an
+    * attribute before branching on it: a `when(best.hits…, best.lang)`
+    * over this unstaged expression evaluates the whole 5-language battery
+    * twice.
     */
-  def langIdFromTokens(toks: Column): Column = {
-    val scored = stopwords.toSeq.map { case (lang, words) =>
+  def langScores(toks: Column): Column =
+    greatest(stopwords.toSeq.map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
+    }: _*)
+
+  /** 'und' fallback over a materialized [[langScores]] struct. */
+  def langIdFromScores(best: Column): Column =
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+
+  /** Language-ID from a materialized token array. Convenience composition
+    * — hot paths should stage [[langScores]] in its own projection first.
+    */
+  def langIdFromTokens(toks: Column): Column =
+    langIdFromScores(langScores(toks))
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Public extension hook installing graft's native expressions into the
+  * SQL function registry: `builder.withExtensions(new GraftExtensions)`
+  * (GraftSession does this) or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.shingleHashes)
+}
+
+object GraftExtensions {
+
+  val shingleHashes
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: shingle_hashes(text, n)")
+      val n = args(1) match {
+        case Literal(v: Int, _) => v
+        case other =>
+          throw new IllegalArgumentException(
+            s"shingle_hashes: n must be an INT literal, got $other")
+      }
+      ShingleHashes(args.head, n)
+    })
+}

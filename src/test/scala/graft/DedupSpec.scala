@@ -21,10 +21,9 @@ class DedupSpec extends SparkTestBase {
   test("minhash signature: identical docs identical, length = numHashes") {
     val df = Seq((1, base), (2, base), (3, "something else entirely here now"))
       .toDF("doc_id", "text")
-    val sigs = Dedup.minhashSignatureFromShingles(
-        df.withColumn("_toks", graft.ext.TextOps.tokens($"text"))
-          .select($"doc_id",
-            graft.ext.TextOps.shinglesFromTokens($"_toks", 3).as("sh")), 16)
+    val sigs = Dedup.minhashSignatureFromHashes(
+        df.select($"doc_id",
+          graft.functions.ShingleHashes($"text", 3).as("sh")), 16)
       .select($"doc_id", $"sig").as[(Int, Seq[Long])].collect().toMap
     assert(sigs(1).size === 16)
     assert(sigs(1) === sigs(2))

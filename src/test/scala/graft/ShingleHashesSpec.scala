@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+import graft.functions.ShingleHashes
+
+class ShingleHashesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b", // fewer tokens than the shingle size
+    "  leading space", // split() keeps a leading empty token
+    "repeat repeat repeat repeat repeat", // duplicate shingles collapse
+    "UPPER Case TeXT mixes").toDF("text")
+
+  test("bit-identical to the column-algebra shingle+xxhash64 pipeline") {
+    val native = docs
+      .select(ShingleHashes($"text", 3).as("h")).as[Seq[Long]].collect()
+    val algebra = docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("sh", TextOps.shinglesFromTokens($"toks", 3))
+      .select(transform($"sh", s => xxhash64(s)).as("h"))
+      .as[Seq[Long]].collect()
+    assert(native.toSeq === algebra.toSeq)
+  }
+
+  test("null text yields null, not a crash") {
+    val out = Seq[(Integer, String)]((1, null)).toDF("id", "text")
+      .select(ShingleHashes($"text", 3).as("h")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("registered as SQL function shingle_hashes via GraftExtensions") {
+    docs.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes(text, 3) AS h FROM sh_docs").as[Seq[Long]].collect()
+    val viaColumn = docs.select(ShingleHashes($"text", 3).as("h"))
+      .as[Seq[Long]].collect()
+    assert(viaSql.toSeq === viaColumn.toSeq)
+  }
+
+  test("participates in whole-stage codegen") {
+    // a local relation would be folded by ConvertToLocalRelation; use a
+    // file scan so the projection actually compiles
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(ShingleHashes($"text", 3).as("h"))
+    // the "*(n)" prefix is the WholeStageCodegen stage marker
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [shingle_hashes"), s"no codegen span:\n$p")
+    assert(df.count() > 0)
+  }
+}
