@@ -108,9 +108,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val withSig = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), transform(col("_toks"), t => xxhash64(t)).as("_hs"))
-      .select(col(idCol), simhashFromHashes(col("_hs")).as("sig"))
+      .select(col(idCol), graft.functions.SimHash64(col(textCol)).as("sig"))
     val blocks = withSig.select(col(idCol), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))

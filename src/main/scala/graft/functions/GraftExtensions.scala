@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashes)
+    ext.injectFunction(GraftExtensions.simhash64)
+  }
 }
 
 object GraftExtensions {
@@ -29,5 +31,14 @@ object GraftExtensions {
             s"shingle_hashes: n must be an INT literal, got $other")
       }
       ShingleHashes(args.head, n)
+    })
+
+  val simhash64
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: simhash64(text)")
+      SimHash64(args.head)
     })
 }

@@ -40,6 +40,26 @@ class ShingleHashesSpec extends SparkTestBase {
     assert(viaSql.toSeq === viaColumn.toSeq)
   }
 
+  test("SimHash64 equals the 64-aggregate column-algebra simhash") {
+    val native = docs
+      .select(graft.functions.SimHash64($"text").as("s")).as[Long].collect()
+    val algebra = docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("hs", transform($"toks", t => xxhash64(t)))
+      .select(graft.ext.Dedup.simhashFromHashes($"hs").as("s"))
+      .as[Long].collect()
+    assert(native.toSeq === algebra.toSeq)
+  }
+
+  test("SimHash64 registered as a SQL function") {
+    docs.createOrReplaceTempView("sh_docs2")
+    val viaSql = spark.sql("SELECT simhash64(text) AS s FROM sh_docs2")
+      .as[Long].collect()
+    val viaColumn = docs.select(graft.functions.SimHash64($"text").as("s"))
+      .as[Long].collect()
+    assert(viaSql.toSeq === viaColumn.toSeq)
+  }
+
   test("participates in whole-stage codegen") {
     // a local relation would be folded by ConvertToLocalRelation; use a
     // file scan so the projection actually compiles
