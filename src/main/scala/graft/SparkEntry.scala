@@ -348,6 +348,54 @@ object SparkEntry {
       ext.Similarity.ivfAssign(emb, centroids)
         .select(col("vec_id"), col("centroid_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // latest prior view per purchase — union+window as-of join (one
+    // shuffle on user_id, no candidate-pair explosion)
+    "q39_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")) // as-of needs unique (key, ts)
+        .agg(max(col("event_id")).as("view_event_id"))
+      operators.Relational.asofJoin(purchases, views, Seq("user_id"),
+          "ts", "ts",
+          Seq(("view_event_id", "view_event_id"), ("ts", "view_ts")))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // clicks within 10 min after each purchase — banded range join
+    "q40_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val counts = operators.Relational.rangeJoinBucketed(
+          purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          gapMicros = 10L * 60 * 1000000)
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+      purchases
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .join(counts, Seq("user_id", "event_id"), "left")
+        .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // custom Aggregator (exact per-group top-k, k-bounded partial buffers)
+    "q41_topk_agg" -> ((s, dir) => {
+      val topk = graft.functions.TopKAggregator.topK(5)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", topk(col("l_quantity"))).as("top_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -657,6 +705,36 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
         |               c.vec_id) AS BIGINT) AS rn
         |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q39_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts,
+        |             max(event_id) AS view_event_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, epoch_us(p.uts) AS ts_us,
+        |       v.view_event_id, epoch_us(v.vts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.uts >= v.vts
+        |ORDER BY p.user_id, ts_us, p.event_id""".stripMargin,
+
+    "q40_range_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, epoch_us(p.uts) AS ts_us,
+        |       CAST(count(c.cts) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts >= p.uts
+        |     AND c.cts < p.uts + INTERVAL 10 MINUTE
+        |GROUP BY 1, 2, 3 ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q41_topk_agg" ->
+      """SELECT l_returnflag,
+        |       array_to_string((list(l_quantity ORDER BY l_quantity DESC))[1:5],
+        |                       ',') AS top_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

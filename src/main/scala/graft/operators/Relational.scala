@@ -62,4 +62,74 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w).cast("long"))
       .filter(col(rankCol) <= k)
   }
+
+  /** As-of join: for every left row, the latest right row with
+    * `rightTs <= leftTs` in the same key group (DuckDB/kdb ASOF JOIN
+    * semantics, inclusive).
+    *
+    * Implementation is the union+window trick: tag both sides, union,
+    * and carry the last non-null right value forward within each key
+    * ordered by time. ONE shuffle on the key, zero candidate-pair
+    * explosion — the shape that survives an unbounded right side, unlike
+    * the naive range join + row_number.
+    *
+    * If the right side can hold duplicate (key, ts) rows, dedup it first
+    * (e.g. dedupFirst) — as-of is ambiguous on ties by definition.
+    *
+    * @param rightVals (rightColumn, outputName) pairs to pull from the
+    *                  matched right row; names must not collide with left
+    *                  columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightVals: Seq[(String, String)]): DataFrame = {
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftOnly.map(col) ++
+        rightVals.map { case (rc, out) =>
+          lit(null).cast(right.schema(rc).dataType).as(out)
+        }: _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map { case (rc, out) => col(rc).as(out) }: _*)
+    // right rows sort before left rows at equal ts → inclusive <=
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(l.union(r)) { case (df, (_, out)) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Banded range join: inner-join (left, right) pairs in the same key
+    * group with `rightTs` in [leftTs, leftTs + gap). Both sides are
+    * bucketed to gap-sized time bands; each left row meets only rights
+    * in its own and the next band (a candidate superset filtered
+    * exactly), so cost is Σ per-band occupancy products — never the
+    * keys × keys cross product of a naive theta join.
+    *
+    * Left and right must not share column names apart from `keys`
+    * (rename before calling).
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        gapMicros: Long): DataFrame = {
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__lb", expr(s"__lus div $gapMicros"))
+      .withColumn("__bucket", explode(array(col("__lb"), col("__lb") + 1)))
+      .drop("__lb")
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bucket", expr(s"__rus div $gapMicros"))
+    l.join(r, keys :+ "__bucket")
+      .filter(col("__rus") >= col("__lus") &&
+        col("__rus") < col("__lus") + gapMicros)
+      .drop("__bucket", "__lus", "__rus")
+  }
 }

@@ -47,4 +47,60 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
       Seq(("g1", 3.0), ("g1", 2.0), ("g2", 5.0)))
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin takes the latest right row at or before each left ts") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 09:00:00"), 10.0),
+      (1, ts("2024-01-01 09:30:00"), 11.0),
+      (2, ts("2024-01-01 09:00:00"), 99.0))
+      .toDF("k", "qts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 09:15:00"), "t1"), // between the two quotes → 10.0
+      (1, ts("2024-01-01 09:30:00"), "t2"), // equal ts is inclusive → 11.0
+      (1, ts("2024-01-01 08:00:00"), "t3"), // before any quote → null
+      (3, ts("2024-01-01 12:00:00"), "t4")) // key with no quotes → null
+      .toDF("k", "tts", "trade")
+    val out = Relational.asofJoin(trades, quotes, Seq("k"), "tts", "qts",
+        Seq(("price", "quote_price")))
+      .select($"trade", $"quote_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out === Map("t1" -> Some(10.0), "t2" -> Some(11.0),
+      "t3" -> None, "t4" -> None))
+  }
+
+  test("rangeJoinBucketed pairs rows within [ts, ts+gap) across buckets") {
+    val left = Seq((1, ts("2024-01-01 10:00:00"), "L1")).toDF("k", "lts", "l")
+    val right = Seq(
+      (1, ts("2024-01-01 10:00:00"), "same-instant"), // >= inclusive
+      (1, ts("2024-01-01 10:09:59"), "in-window"),
+      (1, ts("2024-01-01 10:10:00"), "at-gap-excluded"),
+      (1, ts("2024-01-01 09:59:59"), "before-excluded"),
+      (2, ts("2024-01-01 10:05:00"), "other-key"))
+      .toDF("k", "rts", "r")
+    val got = Relational.rangeJoinBucketed(left, right, Seq("k"),
+        "lts", "rts", gapMicros = 10L * 60 * 1000000)
+      .select($"r").as[String].collect().toSet
+    assert(got === Set("same-instant", "in-window"))
+  }
+
+  test("topK aggregator: exact top-k with k-bounded buffers") {
+    val topk = graft.functions.TopKAggregator.topK(3)
+    val df = Seq(("a", 1.0), ("a", 5.0), ("a", 3.0), ("a", 4.0), ("b", 2.0))
+      .toDF("g", "v")
+    val out = df.groupBy($"g").agg(topk($"v").as("top"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") === Seq(5.0, 4.0, 3.0))
+    assert(out("b") === Seq(2.0))
+  }
+
+  test("topK aggregator reduce keeps sorted bound under any insert order") {
+    val agg = graft.functions.TopKAggregator(3)
+    val b = Seq(9.0, 7.0, 5.0)
+    assert(agg.reduce(b, 8.0) === Seq(9.0, 8.0, 7.0))
+    assert(agg.reduce(b, 1.0) === b)          // below the cut
+    assert(agg.reduce(Seq(9.0), 9.5) === Seq(9.5, 9.0))
+    assert(agg.merge(Seq(9.0, 7.0), Seq(8.0, 6.0)) === Seq(9.0, 8.0, 7.0))
+  }
 }
