@@ -396,7 +396,26 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(concat_ws(",", topk(col("l_quantity"))).as("top_qty"))
         .orderBy(col("l_returnflag"))
-    })
+    }),
+
+    "q42_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy(col("o_orderpriority"))),
+
+    // result must be identical to the unsalted join — the salt only
+    // changes row placement (spec + oracle both pin that)
+    "q43_salted_join" -> ((s, dir) =>
+      operators.Relational.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority")))
   )
 
   /** documents ∪ truncated copies (id+100000, last token dropped): a
@@ -735,6 +754,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_quantity ORDER BY l_quantity DESC))[1:5],
         |                       ',') AS top_qty
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q42_pivot" ->
+      """SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_salted_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

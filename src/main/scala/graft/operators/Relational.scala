@@ -132,4 +132,27 @@ object Relational {
         col("__rus") < col("__lus") + gapMicros)
       .drop("__bucket", "__lus", "__rus")
   }
+
+  /** Salted equi-join for skewed keys: every big-side row gets a salt in
+    * [0, buckets); the small side is replicated once per salt value; the
+    * join key becomes (key, salt), so one hot key's rows spread over
+    * `buckets` reducers instead of melting a single one.
+    *
+    * This is the manual fallback when AQE's skew-join split (enabled in
+    * GraftSession) can't apply — e.g. a skewed broadcast-ineligible dim
+    * or a key so hot a single post-split partition still spills. Salt
+    * assignment only affects row placement, never the join result.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt_b",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt_s",
+      explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          col("__salt_b") === col("__salt_s"))
+      .drop("__salt_b", "__salt_s")
+  }
 }

@@ -95,6 +95,16 @@ class RelationalSpec extends SparkTestBase {
     assert(out("b") === Seq(2.0))
   }
 
+  test("saltedJoin result equals the plain equi-join") {
+    val big = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w")).toDF("k", "v")
+    val small = Seq((1, "dim1"), (2, "dim2"), (3, "dim3")).toDF("sk", "d")
+    val plain = big.join(small, $"k" === $"sk")
+      .select($"k", $"v", $"d").collect().map(_.toString).sorted.toSeq
+    val salted = Relational.saltedJoin(big, small, "k", "sk", buckets = 4)
+      .select($"k", $"v", $"d").collect().map(_.toString).sorted.toSeq
+    assert(salted === plain)
+  }
+
   test("topK aggregator reduce keeps sorted bound under any insert order") {
     val agg = graft.functions.TopKAggregator(3)
     val b = Seq(9.0, 7.0, 5.0)
