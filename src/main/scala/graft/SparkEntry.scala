@@ -45,7 +45,8 @@ object SparkEntry {
     */
   def rowsOnly: Set[String] =
     Set("q29_fingerprint", "q30_minhash_neardup", "q31_simhash_neardup",
-      "q34_lsh_neighbors", "q35_als_recommend", "q36_multimodal")
+      "q34_lsh_neighbors", "q35_als_recommend", "q36_multimodal",
+      "q44_multimodal_batched")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -396,6 +397,16 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(concat_ws(",", topk(col("l_quantity"))).as("top_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // mapPartitions batched inference (stub codec, real plumbing):
+    // rows-only — per-partition imperative stage has no SQL oracle
+    "q44_multimodal_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), ext.Multimodal.asBlob(col("text")).as("blob"))
+      ext.Multimodal.batchedFeatures(docs, "doc_id", "blob", batchSize = 128)
+        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy(col("doc_id"))
     }),
 
     "q42_pivot" -> ((s, dir) =>

@@ -68,6 +68,51 @@ object Multimodal {
       i => blob.substr((i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
   }
 
+  /** Deterministic stand-in for a batched model/codec runtime. A real
+    * implementation holds the expensive handle (ONNX session, decoder
+    * context) per partition and is invoked once per BATCH — that
+    * amortization is what [[batchedFeatures]] exercises.
+    */
+  object StubModel {
+    def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        Array.tabulate(dims)(d =>
+          ((Math.floorMod(h + d, 2000L) - 1000L).toFloat) / 1000f)
+      }
+  }
+
+  /** Partition-parallel batched feature extraction — the Scala analogue
+    * of a Pandas-UDF `mapInPandas` decode stage: each partition's rows
+    * are grouped into `batchSize`-row batches and the (stubbed) model is
+    * called once per batch, never per row. The optional accumulator
+    * counts model invocations so tests (and ops dashboards) can verify
+    * the batching actually amortizes.
+    *
+    * mapPartitions is the right tool here and only here: the work is
+    * imperative (external runtime call), per-partition, and
+    * schema-stable; everything before and after stays declarative.
+    */
+  def batchedFeatures(df: DataFrame, idCol: String, blobCol: String,
+                      batchSize: Int = 64, dims: Int = 8,
+                      batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batchCounter.foreach(_.add(1))
+          val feats = StubModel.infer(batch.map(_._2), dims)
+          batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** End-to-end multimodal pipeline over a text-as-blob table: blob →
     * metadata → stub-decode → stub-features. One projection, no shuffle.
     */

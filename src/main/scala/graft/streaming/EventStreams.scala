@@ -38,6 +38,16 @@ object EventStreams {
       .select(col("session_window.start").cast("string").as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id, state bounded by the watermark:
+    * duplicates arriving within `retention` of the original are dropped;
+    * state for older keys is evicted (unbounded dropDuplicates state
+    * would otherwise grow forever — the non-negotiable at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame, retention: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", retention)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Open a file-backed stream over an events parquet directory with the
     * batch table's schema. `maxFilesPerTrigger=1` gives deterministic
     * incremental batches in tests.

@@ -38,6 +38,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames === Seq("0123", "89ab")) // windows at offsets 0 and 8
   }
 
+  test("batchedFeatures calls the model once per batch, not per row") {
+    val acc = spark.sparkContext.longAccumulator("batches")
+    val df = (1 to 10).map(i => (i.toLong, s"blob $i")).toDF("doc_id", "text")
+      .select($"doc_id", Multimodal.asBlob($"text").as("blob"))
+      .repartition(1)
+    val out = Multimodal.batchedFeatures(df, "doc_id", "blob",
+      batchSize = 4, batchCounter = Some(acc))
+    assert(out.count() === 10)
+    assert(acc.value === 3) // ceil(10 / 4) batches on one partition
+    val feats = out.orderBy($"doc_id").as[(Long, Seq[Float])].collect()
+    assert(feats.forall(_._2.size === 8))
+    // deterministic: same blob, same features
+    val again = Multimodal.batchedFeatures(df, "doc_id", "blob", batchSize = 4)
+      .orderBy($"doc_id").as[(Long, Seq[Float])].collect()
+    assert(feats.toSeq === again.toSeq)
+  }
+
   test("pipeline emits one feature row per document, no shuffle") {
     val df = Seq((1, "doc one"), (2, "doc two")).toDF("doc_id", "text")
     val out = Multimodal.pipeline(df, "text", "doc_id")

@@ -51,4 +51,21 @@ class StreamingSpec extends SparkTestBase {
     assert(sortedRows(stream) === sortedRows(batch))
     assert(stream.count() > 0)
   }
+
+  test("dedupEvents drops re-delivered events within the watermark") {
+    // stage the SAME file twice: the second micro-batch re-delivers
+    // every event_id; watermarked dedup must emit each exactly once
+    val dir = java.nio.file.Paths.get("target", "stream-events-dup")
+    java.nio.file.Files.createDirectories(dir)
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf, "events.parquet"), dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val batchSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = Tables.normalizeNanoTimestamps(
+      EventStreams.readEventStream(spark, dir.toString, batchSchema))
+    val out = EventStreams.runToMemorySink(spark,
+      EventStreams.dedupEvents(stream), "dedup_stream", "append")
+    assert(out.count() === batchEvents.count())
+  }
 }
