@@ -409,6 +409,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact interpolated percentiles (the reference's summary() shows
+    // approx 25/50/75% — the oracle-checkable variant is exact)
+    "q45_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+        .orderBy(col("l_returnflag"))),
+
     "q42_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -765,6 +776,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       array_to_string((list(l_quantity ORDER BY l_quantity DESC))[1:5],
         |                       ',') AS top_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q42_pivot" ->
