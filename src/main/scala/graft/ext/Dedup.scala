@@ -53,7 +53,11 @@ object Dedup {
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    minhashSignatureFromHashes(shingleHashed(df, idCol, textCol, shingleN), numHashes)
+    // fused native expression (spec pins equality with the staged
+    // minhashSignatureFromHashes ∘ ShingleHashes composition)
+    df.select(col(idCol),
+        graft.functions.MinHashSignature(col(textCol), shingleN, numHashes)
+          .as("sig"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(concat_ws(",",

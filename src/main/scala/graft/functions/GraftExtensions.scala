@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashes)
     ext.injectFunction(GraftExtensions.simhash64)
+    ext.injectFunction(GraftExtensions.minhashSignature)
   }
 }
 
@@ -40,5 +41,20 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "usage: simhash64(text)")
       SimHash64(args.head)
+    })
+
+  val minhashSignature
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "usage: minhash_signature(text, n, k)")
+      (args(1), args(2)) match {
+        case (Literal(n: Int, _), Literal(k: Int, _)) =>
+          MinHashSignature(args.head, n, k)
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash_signature: n and k must be INT literals, got $other")
+      }
     })
 }

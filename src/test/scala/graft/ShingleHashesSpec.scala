@@ -40,6 +40,16 @@ class ShingleHashesSpec extends SparkTestBase {
     assert(viaSql.toSeq === viaColumn.toSeq)
   }
 
+  test("MinHashSignature equals the staged ShingleHashes composition") {
+    val fused = docs
+      .select(graft.functions.MinHashSignature($"text", 3, 16).as("sig"))
+      .as[Seq[Long]].collect()
+    val staged = graft.ext.Dedup.minhashSignatureFromHashes(
+        docs.select(ShingleHashes($"text", 3).as("sh")), 16)
+      .select($"sig").as[Seq[Long]].collect()
+    assert(fused.toSeq === staged.toSeq)
+  }
+
   test("SimHash64 equals the 64-aggregate column-algebra simhash") {
     val native = docs
       .select(graft.functions.SimHash64($"text").as("s")).as[Long].collect()
