@@ -46,7 +46,7 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q29_fingerprint", "q30_minhash_neardup", "q31_simhash_neardup",
       "q34_lsh_neighbors", "q35_als_recommend", "q36_multimodal",
-      "q44_multimodal_batched")
+      "q44_multimodal_batched", "q46_subword_stats")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -314,10 +314,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q35_als_recommend" -> ((s, dir) => {
+      // cached: feeds the split, training iterations, and the user list
       val ratings = t(s, dir, "events").select(
         col("user_id").cast("int").as("user_id"),
         (col("event_id") % 50).cast("int").as("item_id"),
-        (col("value") / lit(20.0)).as("rating"))
+        (col("value") / lit(20.0)).as("rating")).cache()
       val cfg = ml.Als.Config(rank = 8, maxIter = 5, userCol = "user_id",
         itemCol = "item_id", seed = 42L)
       val (model, _) = ml.Als.trainEval(ratings, cfg)
@@ -419,6 +420,28 @@ object SparkEntry {
           round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
           round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
         .orderBy(col("l_returnflag"))),
+
+    // BPE-ish subword counting (rows-only: the boundary-split regex uses
+    // lookarounds, which DuckDB's RE2 cannot express)
+    "q46_subword_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ext.TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          ext.TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    // IVF probe search: exact top-k within probed cells → deterministic,
+    // so oracle-checked unlike sampling ANN
+    "q47_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      ext.Similarity.ivfSearch(emb, centroids, emb.filter(col("vec_id") < 5),
+          nprobe = 2, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("pair_cos"), 3).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     "q42_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -784,6 +807,41 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // every cosine runs on DOUBLE[] so ordering matches Spark's
+    // double-precision ranks (float32 near-ties could flip ranks)
+    "q47_ivf_search" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id,
+        |                     CAST(embedding AS DOUBLE[]) AS centroid
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |               c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |probe AS (SELECT vec_id AS query_id, centroid_id FROM (
+        |  SELECT q.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |               c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, a.neighbor_id
+        |         FROM probe p JOIN asg a USING (centroid_id)
+        |         WHERE a.neighbor_id <> p.query_id)
+        |SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |               CAST(ne.embedding AS DOUBLE[])) DESC,
+        |               c.neighbor_id) AS BIGINT) AS rank,
+        |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+        |          CAST(ne.embedding AS DOUBLE[])), 3) AS cos
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q42_pivot" ->
       """SELECT o_orderpriority,

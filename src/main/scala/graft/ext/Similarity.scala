@@ -109,4 +109,38 @@ object Similarity {
         Seq(col("cos").desc, col(cIdCol)))
       .select(col(idCol), col(cIdCol), round(col("cos"), 4).as("centroid_cos"))
   }
+
+  /** IVF probe search: rank, for each query, the corpus vectors living
+    * in the query's `nprobe` closest centroid cells. The corpus is
+    * scanned once to build (vector, cell) assignments; each query joins
+    * only its probed cells — at scale, the scan per query drops from
+    * |corpus| to nprobe/|centroids| of it, the IVF trade: recall is
+    * bounded by whether the true neighbor's cell is probed.
+    *
+    * Deterministic given (corpus, centroids, queries): the result is the
+    * exact cosine top-k within the probed cells, so it IS oracle-
+    * checkable, unlike sampling-based ANN.
+    */
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                nprobe: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val corpusCells = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")),
+        "neighbor_id")
+    val probed = Relational.topKPerGroup(
+        queries.join(broadcast(centroids))
+          .withColumn("cos", cosine(col(vecCol), col("centroid"))),
+        nprobe, Seq(idCol), Seq(col("cos").desc, col("centroid_id")))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("centroid_id"))
+    val candidates = probed.join(corpusCells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pair_cos", cosine(col("q_vec"), col("n_vec")))
+    Relational.topKPerGroup(candidates, k, Seq("query_id"),
+        Seq(col("pair_cos").desc, col("neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("pair_cos"))
+  }
 }

@@ -41,6 +41,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(!out.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("ivfSearch ranks only vectors from the probed cells") {
+    val corpus = vecs(
+      1 -> Seq(1f, 0f), 2 -> Seq(0.95f, 0.05f), 3 -> Seq(0.9f, 0.1f),
+      4 -> Seq(0f, 1f), 5 -> Seq(0.05f, 0.95f))
+    val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val got = Similarity.ivfSearch(corpus, centroids,
+        corpus.filter($"vec_id" === 1), nprobe = 1, k = 10)
+      .select($"neighbor_id").as[Int].collect().toSet
+    // with one probe, only the (1,0)-cell vectors are candidates
+    assert(got === Set(2, 3))
+  }
+
   test("ivfAssign assigns each vector to its own centroid when present") {
     val df = vecs(1 -> Seq(1f, 0f), 2 -> Seq(0f, 1f), 3 -> Seq(0.9f, 0.05f))
     val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
