@@ -443,6 +443,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // HLL++ sketch, oracle-checked via tolerance gating: emit the EXACT
+    // count only when the sketch lands within 5% of it (else -1, which
+    // the oracle's exact counts would fail) — so the hash compare
+    // doubles as an accuracy assertion on the approximate path
+    "q48_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_d"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_d"))
+        .select(col("l_returnflag"),
+          when(abs(col("approx_d") - col("exact_d")) <=
+            col("exact_d") * 0.05, col("exact_d")).otherwise(lit(-1L))
+            .as("d_parts"))
+        .orderBy(col("l_returnflag"))),
+
     "q42_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -842,6 +857,11 @@ object SparkEntry {
         |  JOIN embeddings qe ON qe.vec_id = c.query_id
         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q48_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q42_pivot" ->
       """SELECT o_orderpriority,

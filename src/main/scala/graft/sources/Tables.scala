@@ -61,6 +61,21 @@ object Tables {
       .schema(schema)
       .csv(path)
 
+  /** Persist a DataFrame as a bucketed+sorted managed table: rows are
+    * hash-partitioned into `buckets` files per partition ON WRITE, so a
+    * later equi-join or aggregation on the bucket keys needs NO exchange
+    * at read time — the co-location tool for fact-fact joins that would
+    * otherwise shuffle 100 TB every run. See the BucketingSpec plan
+    * assertion (shuffle-free sort-merge join).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Single-file CSV sink with header, matching the reference's one-file
     * output shape (reference `model-als.py:173-174`, written via pandas).
     * Spark writes a directory; for the reference's exact-named single file

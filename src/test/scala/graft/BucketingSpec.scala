@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bucketing = pre-shuffled storage: both join sides written bucketed on
+  * the join key join WITHOUT any Exchange. This is the co-location
+  * strategy for repeated fact-fact joins at scale — pay the shuffle once
+  * at write time, never at read time.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  private def dropManaged(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = java.nio.file.Paths.get("spark-warehouse", t)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("bucketed equi-join plans with zero exchanges") {
+    dropManaged("b_lineitem", "b_orders")
+    Tables.writeBucketed(
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "b_lineitem", buckets = 4, keys = Seq("l_orderkey"))
+    Tables.writeBucketed(
+      Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "b_orders", buckets = 4, keys = Seq("o_orderkey"))
+
+    // disable auto-broadcast: at fixture scale the planner would rather
+    // broadcast the small side than use the buckets — at fact-fact scale
+    // (the case bucketing exists for) broadcast is not an option
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      // and it is still correct
+      val expected = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set(key, prior)
+  }
+}
