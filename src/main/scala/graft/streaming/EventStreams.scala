@@ -48,6 +48,33 @@ object EventStreams {
       .withWatermark("ts", retention)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: (purchase, click) pairs for the same user
+    * with the click in [purchase_ts, purchase_ts + gap). Both sides are
+    * watermarked and the join condition carries the event-time bound, so
+    * each side's buffered state is evicted once the other side's
+    * watermark passes — bounded state, the stream-stream analogue of
+    * Relational.rangeJoinBucketed (same pair semantics; the parity spec
+    * compares them).
+    *
+    * Works on batch DataFrames too (watermarks are skipped — batch
+    * needs none).
+    */
+  def purchaseClickPairs(events: DataFrame, gap: String = "10 minutes")
+  : DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, "1 hour") else df
+    val purchases = wm(events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts")), "ts")
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts")), "click_ts")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("ts") &&
+        col("click_ts") < col("ts") + expr(s"INTERVAL $gap"))
+      .select(col("user_id"), col("event_id"), col("click_id"))
+  }
+
   /** Open a file-backed stream over an events parquet directory with the
     * batch table's schema. `maxFilesPerTrigger=1` gives deterministic
     * incremental batches in tests.

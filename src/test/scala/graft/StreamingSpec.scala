@@ -52,6 +52,26 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.count() > 0)
   }
 
+  test("stream-stream range join equals batch and the bucketed range join") {
+    val batchPairs = EventStreams.purchaseClickPairs(batchEvents)
+    val streamPairs = EventStreams.runToMemorySink(spark,
+      EventStreams.purchaseClickPairs(streamedEvents), "ss_join", "append")
+    assert(sortedRows(streamPairs) === sortedRows(batchPairs))
+    assert(streamPairs.count() > 0)
+
+    // same pair semantics as the batch banded range join
+    val ev = batchEvents
+    val viaBuckets = graft.operators.Relational.rangeJoinBucketed(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        Seq("user_id"), "ts", "click_ts", 10L * 60 * 1000000)
+      .select(col("user_id"), col("event_id"), col("click_id"))
+    assert(sortedRows(viaBuckets) === sortedRows(batchPairs))
+  }
+
   test("dedupEvents drops re-delivered events within the watermark") {
     // stage the SAME file twice: the second micro-batch re-delivers
     // every event_id; watermarked dedup must emit each exactly once
