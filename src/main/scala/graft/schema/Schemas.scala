@@ -40,3 +40,17 @@ object Schemas {
     f("user_id", IntegerType), f("anime_id", IntegerType),
     f("rating", DoubleType)))
 }
+
+/** Typed row models for the harness tables — use `Dataset[T]` where
+  * compile-time field safety pays (pipelines that thread many columns),
+  * `DataFrame` where the schema is dynamic. Field names/types mirror the
+  * parquet fixtures exactly so `.as[T]` is a no-op projection.
+  */
+object Types {
+  case class Rating(user_id: Int, anime_id: Int, rating: Double)
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class Document(doc_id: Long, text: String, lang: String,
+                      source: String, n_chars: Long)
+  case class Embedding(vec_id: Long, embedding: Seq[Float], label: Int)
+}

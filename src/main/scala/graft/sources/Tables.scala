@@ -23,6 +23,28 @@ object Tables {
     normalizeNanoTimestamps(df)
   }
 
+  /** Typed loaders (see [[graft.schema.Types]]): same scans, compile-time
+    * field access. Encoders are resolved here once, not at every call
+    * site.
+    */
+  def events(spark: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[graft.schema.Types.Event] = {
+    import spark.implicits._
+    load(spark, dir, "events").as[graft.schema.Types.Event]
+  }
+
+  def documents(spark: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[graft.schema.Types.Document] = {
+    import spark.implicits._
+    load(spark, dir, "documents").as[graft.schema.Types.Document]
+  }
+
+  def embeddings(spark: SparkSession, dir: String)
+  : org.apache.spark.sql.Dataset[graft.schema.Types.Embedding] = {
+    import spark.implicits._
+    load(spark, dir, "embeddings").as[graft.schema.Types.Embedding]
+  }
+
   /** The harness `events` table stores `ts` as parquet TIMESTAMP(NANOS),
     * which Spark has no native type for. Sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.core.GraftSession]])

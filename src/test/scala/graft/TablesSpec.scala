@@ -6,6 +6,19 @@ import graft.sources.Tables
 
 class TablesSpec extends SparkTestBase {
 
+  test("typed loaders: Dataset[T] over each fixture with exact field match") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.head().event_type.nonEmpty && ev.count() > 0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(docs.head().text.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(emb.head().embedding.nonEmpty)
+    // typed filter + map stay on the same columns, no Row casts
+    val perLang = docs.filter(_.lang == "en").map(_.n_chars)(
+      org.apache.spark.sql.Encoders.scalaLong).count()
+    assert(perLang > 0)
+  }
+
   test("csv scan maps literal 'Unknown' to NULL and honors quote=escape (model-als.py:56-67)") {
     val dir = Files.createTempDirectory("graftcsv").toFile
     val f = new java.io.File(dir, "r.csv")
