@@ -18,9 +18,13 @@ import graft.operators.Relational
 object Similarity {
 
   /** dot(a, b) in double precision, element order left-to-right
-    * (deterministic, matches DuckDB's list functions).
+    * (deterministic, matches DuckDB's list functions). Backed by the
+    * native codegen VectorDot expression; [[dotAlgebra]] keeps the
+    * column-algebra formulation the equality spec compares against.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
+
+  def dotAlgebra(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleHashes)
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashSignature)
+    ext.injectFunction(GraftExtensions.vectorDot)
   }
 }
 
@@ -56,5 +57,14 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"minhash_signature: n and k must be INT literals, got $other")
       }
+    })
+
+  val vectorDot
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: vector_dot(a, b)")
+      VectorDot(args.head, args(1))
     })
 }

@@ -70,6 +70,19 @@ class ShingleHashesSpec extends SparkTestBase {
     assert(viaSql.toSeq === viaColumn.toSeq)
   }
 
+  test("VectorDot is bit-identical to the zip_with+aggregate algebra") {
+    val vecs = Seq(
+      (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.75f, -1.375f)),
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f, 0.1f))).toDF("a", "b")
+    val native = vecs
+      .select(graft.ext.Similarity.dot($"a", $"b").as("d")).as[Double].collect()
+    val algebra = vecs
+      .select(graft.ext.Similarity.dotAlgebra($"a", $"b").as("d"))
+      .as[Double].collect()
+    assert(native.toSeq === algebra.toSeq) // exact, not approximate
+  }
+
   test("participates in whole-stage codegen") {
     // a local relation would be folded by ConvertToLocalRelation; use a
     // file scan so the projection actually compiles
