@@ -320,7 +320,7 @@ object SparkEntry {
         (col("event_id") % 50).cast("int").as("item_id"),
         (col("value") / lit(20.0)).as("rating")).cache()
       val cfg = ml.Als.Config(rank = 8, maxIter = 5, userCol = "user_id",
-        itemCol = "item_id", seed = 42L)
+        itemCol = "item_id", seed = 42L, numBlocks = 4)
       val (model, _) = ml.Als.trainEval(ratings, cfg)
       val users = ratings.select(col("user_id")).distinct()
         .filter(col("user_id") < 3)

@@ -33,6 +33,7 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     MinHashSignature.compute(input.asInstanceOf[UTF8String], n, k)

@@ -39,6 +39,9 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+  // deterministic pure function: let ConstantFolding evaluate literal
+  // inputs at plan time
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     ShingleHashes.compute(input.asInstanceOf[UTF8String], n)

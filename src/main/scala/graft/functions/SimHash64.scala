@@ -28,6 +28,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.compute(input.asInstanceOf[UTF8String])

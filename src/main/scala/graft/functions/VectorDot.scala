@@ -33,6 +33,7 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+  override def foldable: Boolean = left.foldable && right.foldable
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -17,17 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Als {
 
+  /** @param numBlocks user/item block count; ALS defaults to the session
+    *                   parallelism, which over-partitions small inputs
+    *                   (32 near-empty blocks × 2 shuffle rounds × maxIter)
+    *                   — set explicitly when |ratings| is modest.
+    */
   case class Config(rank: Int = 10, maxIter: Int = 10, regParam: Double = 0.1,
                     userCol: String = "user_id", itemCol: String = "item_id",
-                    ratingCol: String = "rating", seed: Long = 42L)
+                    ratingCol: String = "rating", seed: Long = 42L,
+                    numBlocks: Int = -1)
 
   /** Estimator configured as the reference does
     * (`model-als.py:111-120`: nonnegative, coldStartStrategy=drop).
     */
-  def estimator(c: Config): ALS = new ALS()
-    .setRank(c.rank).setMaxIter(c.maxIter).setRegParam(c.regParam)
-    .setUserCol(c.userCol).setItemCol(c.itemCol).setRatingCol(c.ratingCol)
-    .setColdStartStrategy("drop").setNonnegative(true).setSeed(c.seed)
+  def estimator(c: Config): ALS = {
+    val als = new ALS()
+      .setRank(c.rank).setMaxIter(c.maxIter).setRegParam(c.regParam)
+      .setUserCol(c.userCol).setItemCol(c.itemCol).setRatingCol(c.ratingCol)
+      .setColdStartStrategy("drop").setNonnegative(true).setSeed(c.seed)
+    if (c.numBlocks > 0)
+      als.setNumUserBlocks(c.numBlocks).setNumItemBlocks(c.numBlocks)
+    als
+  }
 
   /** 80/20 split + fit + RMSE, the reference's train/eval flow
     * (`model-als.py:122-129`).
