@@ -458,6 +458,17 @@ object SparkEntry {
             .as("d_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // melt: wide measures → (measure, value) rows
+    "q49_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_quantity"), col("l_discount")),
+          variableColumnName = "measure", valueColumnName = "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("val")), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("measure"))),
+
     "q42_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -862,6 +873,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_parts
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q49_unpivot" ->
+      """SELECT l_returnflag, measure, round(sum(val), 2) AS total,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT l_returnflag, l_quantity, l_discount FROM lineitem)
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount))
+        |GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin,
 
     "q42_pivot" ->
       """SELECT o_orderpriority,
