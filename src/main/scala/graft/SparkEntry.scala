@@ -469,6 +469,32 @@ object SparkEntry {
         .agg(round(sum(col("val")), 2).as("total"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("measure"))),
 
+    // distributed correlation/covariance (the reference computes these
+    // driver-side via pandas: eda:96-142 D6); +1e-9 nudge as in q27
+    "q50_correlation" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 4)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")) + lit(1e-9), 4)
+            .as("covar_qty_disc"))
+        .orderBy(col("l_returnflag"))),
+
+    // approx_percentile sketch, tolerance-gated like q48: emit the exact
+    // median only when the sketch is within 1% of it
+    "q51_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_p50"))
+        .select(col("l_returnflag"),
+          round(when(abs(col("approx_p50") - col("exact_p50")) <=
+            col("exact_p50") * 0.01, col("exact_p50")).otherwise(lit(-1.0)), 4)
+            .as("p50"))
+        .orderBy(col("l_returnflag"))),
+
     "q42_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -880,6 +906,19 @@ object SparkEntry {
         |FROM (SELECT l_returnflag, l_quantity, l_discount FROM lineitem)
         |UNPIVOT (val FOR measure IN (l_quantity, l_discount))
         |GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q50_correlation" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice) + 1e-9, 4)
+        |         AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount) + 1e-9, 4)
+        |         AS covar_qty_disc
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q51_approx_quantile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q42_pivot" ->
       """SELECT o_orderpriority,

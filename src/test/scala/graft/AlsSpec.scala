@@ -34,6 +34,15 @@ class AlsSpec extends SparkTestBase {
       Seq("user_id", "item_id", "predicted_rating"))
   }
 
+  test("evaluator RMSE equals the sqrt(avg(sq err)) aggregate (M5)") {
+    val (model, rmse) = Als.trainEval(ratings, cfg)
+    val Array(_, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val manual = model.transform(test)
+      .select(sqrt(avg(pow(col("rating") - col("prediction"), 2))))
+      .head().getDouble(0)
+    assert(math.abs(rmse - manual) < 1e-9)
+  }
+
   test("same seed reproduces identical recommendations") {
     def run() = {
       val (model, _) = Als.trainEval(ratings, cfg)
