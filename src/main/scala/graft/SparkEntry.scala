@@ -371,6 +371,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // same as-of semantics as q39, but through the custom operator stack
+    // (AsOfJoinPlan + AsOfJoinStrategy + AsOfJoinExec): single-pass
+    // co-partitioned merge instead of union+window
+    "q52_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumnRenamed("ts", "vts")
+      plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "vts",
+          Seq(("view_event_id", "view_event_id"), ("vts", "view_ts")))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // clicks within 10 min after each purchase — banded range join
     "q40_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -824,6 +844,18 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q39_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts,
+        |             max(event_id) AS view_event_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, epoch_us(p.uts) AS ts_us,
+        |       v.view_event_id, epoch_us(v.vts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.uts >= v.vts
+        |ORDER BY p.user_id, ts_us, p.event_id""".stripMargin,
+
+    "q52_asof_native" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts,
