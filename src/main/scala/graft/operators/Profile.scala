@@ -22,7 +22,7 @@ object Profile {
     * a single aggregate regardless of table width.
     */
   def nullProfile(df: DataFrame): DataFrame = {
-    val aggs = df.columns.map { c =>
+    val aggs = df.columns.toSeq.map { c =>
       val s = col(c).cast("string")
       val pred = s.contains("None") || s.contains("NULL") || (s === "") ||
         col(c).isNull || s.contains("Unknown") || isnan(s.try_cast("double"))
@@ -40,7 +40,7 @@ object Profile {
     val total = df.count()
     val profile = nullProfile(df)
     val stacked = profile.select(
-      explode(map(df.columns.flatMap(c => Seq(lit(c), col(c))): _*))
+      explode(map(df.columns.toSeq.flatMap(c => Seq(lit(c), col(c))): _*))
         .as(Seq("column_name", "null_count")))
     stacked.withColumn(
       "pct", round(col("null_count") * lit(100.0) / lit(total.toDouble), 4))

@@ -83,6 +83,13 @@ class ShingleHashesSpec extends SparkTestBase {
     assert(native.toSeq === algebra.toSeq) // exact, not approximate
   }
 
+  test("vector_dot registered as a SQL function") {
+    val got = spark.sql(
+      "SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .as[Double].head()
+    assert(got === 11.0)
+  }
+
   test("participates in whole-stage codegen") {
     // a local relation would be folded by ConvertToLocalRelation; use a
     // file scan so the projection actually compiles
