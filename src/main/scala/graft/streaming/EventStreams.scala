@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface over the events table: the same windowed
@@ -37,6 +37,68 @@ object EventStreams {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("session_window.start").cast("string").as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Typed result of one user session. Timestamps in epoch micros. */
+  case class Session(user_id: Long, session_start: Long, n_events: Long,
+                     sum_value: Double)
+
+  /** Open sessions carried between micro-batches. */
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for session semantics `session_window` can't express
+    * (e.g. per-user dynamic gaps, session caps, custom merge logic).
+    * This implementation reproduces the fixed-gap semantics exactly so
+    * the spec can pin it against the built-in session_window aggregate.
+    *
+    * State per user is ONE open session (bounded); with event-time
+    * timeout + watermark the state store evicts idle users. Batch mode
+    * runs the same function with each group's full row set.
+    */
+  def sessionizeWithState(events: DataFrame, gapMicros: Long)
+  : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming // don't capture the frame itself
+
+    def emit(uid: Long, s: SessionState): Session =
+      Session(uid, s.start, s.n, math.rint(s.sum * 100) / 100)
+
+    def fn(uid: Long, rows: Iterator[(Long, Long, Double)],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.map { case (_, ts, v) => (ts, v) }.toSeq.sortBy(_._1)
+      var open = state.getOption
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { case (ts, v) =>
+        open match {
+          case Some(s) if ts - s.lastTs < gapMicros =>
+            open = Some(s.copy(lastTs = ts, n = s.n + 1, sum = s.sum + v))
+          case Some(s) =>
+            out += emit(uid, s)
+            open = Some(SessionState(ts, ts, 1, v))
+          case None =>
+            open = Some(SessionState(ts, ts, 1, v))
+        }
+      }
+      open match {
+        case Some(s) if state.hasTimedOut || !streaming =>
+          out += emit(uid, s); state.remove()
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.lastTs + gapMicros) / 1000)
+        case None => state.remove()
+      }
+      out.result().iterator
+    }
+
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Streaming exact dedup on event_id, state bounded by the watermark:
     * duplicates arriving within `retention` of the original are dropped;

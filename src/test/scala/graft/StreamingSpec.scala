@@ -72,6 +72,22 @@ class StreamingSpec extends SparkTestBase {
     assert(sortedRows(viaBuckets) === sortedRows(batchPairs))
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window exactly") {
+    val viaState = EventStreams.sessionizeWithState(
+        batchEvents, gapMicros = 30L * 60 * 1000000)
+      .toDF("user_id", "session_start", "n_events", "sum_value")
+    val viaBuiltin = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+    assert(sortedRows(viaState.select("user_id", "session_start", "n_events",
+      "sum_value")) === sortedRows(viaBuiltin))
+    assert(viaState.count() > 0)
+  }
+
   test("dedupEvents drops re-delivered events within the watermark") {
     // stage the SAME file twice: the second micro-batch re-delivers
     // every event_id; watermarked dedup must emit each exactly once
