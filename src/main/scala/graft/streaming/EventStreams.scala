@@ -55,7 +55,8 @@ object EventStreams {
     * timeout + watermark the state store evicts idle users. Batch mode
     * runs the same function with each group's full row set.
     */
-  def sessionizeWithState(events: DataFrame, gapMicros: Long)
+  def sessionizeWithState(events: DataFrame, gapMicros: Long,
+                          watermark: String = "1 hour")
   : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -64,9 +65,15 @@ object EventStreams {
     def emit(uid: Long, s: SessionState): Session =
       Session(uid, s.start, s.n, math.rint(s.sum * 100) / 100)
 
-    def fn(uid: Long, rows: Iterator[(Long, Long, Double)],
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+    def fn(uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
            state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = rows.map { case (_, ts, v) => (ts, v) }.toSeq.sortBy(_._1)
+      val sorted = rows.map { case (_, ts, v) => (micros(ts), v) }
+        .toSeq.sortBy(_._1)
       var open = state.getOption
       val out = Seq.newBuilder[Session]
       sorted.foreach { case (ts, v) =>
@@ -91,10 +98,15 @@ object EventStreams {
       out.result().iterator
     }
 
-    events
-      .select(col("user_id").cast("long"),
-        unix_micros(col("ts")), col("value").cast("double"))
-      .as[(Long, Long, Double)]
+    // the watermark-annotated ts column must reach the stateful operator
+    // UNTRANSFORMED (any function of it strips the delay metadata the
+    // event-time-timeout check looks for); convert to micros inside fn
+    val base =
+      if (streaming) events.withWatermark("ts", watermark) else events
+    base
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

@@ -88,6 +88,24 @@ class StreamingSpec extends SparkTestBase {
     assert(viaState.count() > 0)
   }
 
+  test("stateful sessionizer also runs as a real stream with timeouts") {
+    val sessions = EventStreams.sessionizeWithState(
+      streamedEvents, gapMicros = 30L * 60 * 1000000)
+    val out = EventStreams.runToMemorySink(spark, sessions.toDF(),
+      "state_sessions", "append")
+    // one-file stream: only watermark-closed sessions are emitted; they
+    // must all agree with the batch sessionization
+    val batch = EventStreams.sessionizeWithState(
+        batchEvents, gapMicros = 30L * 60 * 1000000)
+      .collect().map(_.toString).toSet
+    val streamed = out.collect().map(r =>
+      EventStreams.Session(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)).toString).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch set: ${streamed.diff(batch).take(3)}")
+  }
+
   test("dedupEvents drops re-delivered events within the watermark") {
     // stage the SAME file twice: the second micro-batch re-delivers
     // every event_id; watermarked dedup must emit each exactly once
