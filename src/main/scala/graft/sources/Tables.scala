@@ -98,6 +98,19 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * the partition columns. Reads that filter on those columns prune
+    * whole directories before any IO (PartitionFilters in the scan) —
+    * with date/tenant partitioning this is what turns a 100 TB table
+    * into a 100 GB read. Pair with bucketing (writeBucketed) when the
+    * table is also a frequent join side.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Single-file CSV sink with header, matching the reference's one-file
     * output shape (reference `model-als.py:173-174`, written via pandas).
     * Spark writes a directory; for the reference's exact-named single file

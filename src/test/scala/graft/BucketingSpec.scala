@@ -20,6 +20,28 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write + filtered read prunes partitions before IO") {
+    val out = "target/part-events"
+    Tables.writePartitioned(
+      Tables.load(spark, sf, "events")
+        .withColumn("event_date",
+          org.apache.spark.sql.functions.to_date(col("ts"))),
+      out, Seq("event_type"))
+    // layout: one directory per event_type value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=")), dirs.toString)
+
+    val read = spark.read.parquet(out).filter(col("event_type") === "click")
+    val formatted = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning:\n$formatted")
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(read.count() === expected)
+  }
+
   test("bucketed equi-join plans with zero exchanges") {
     dropManaged("b_lineitem", "b_orders")
     Tables.writeBucketed(
