@@ -527,7 +527,7 @@ object SparkEntry {
     "q43_salted_join" -> ((s, dir) =>
       operators.Relational.saltedJoin(
           t(s, dir, "lineitem"), t(s, dir, "orders"),
-          "l_orderkey", "o_orderkey", buckets = 8)
+          "l_orderkey", "o_orderkey", buckets = 4)
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
