@@ -41,7 +41,8 @@ object SparkEntry {
   /** Queries with no DuckDB-expressible oracle (driver falls back to a
     * rows-only check). Justified: q29-q31/q34/q36 are built on xxhash64
     * (no DuckDB equivalent), q34 is additionally approximate by design,
-    * q35 is ALS model output.
+    * q35 is ALS model output, q44 is a mapPartitions batch-inference
+    * stage, q46's subword regex needs lookarounds DuckDB's RE2 lacks.
     */
   def rowsOnly: Set[String] =
     Set("q29_fingerprint", "q30_minhash_neardup", "q31_simhash_neardup",

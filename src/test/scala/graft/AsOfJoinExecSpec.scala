@@ -68,7 +68,13 @@ class AsOfJoinExecSpec extends SparkTestBase {
           Seq(("v", "rv")))
         .select($"tag", $"rv").as[(String, Option[Double])]
         .collect().sortBy(_._1).toSeq
+      // third, implementation-independent oracle: driver-side brute force
+      val brute = rowsL.map { case (k, lts, tag) =>
+        val m = rowsR.filter(rr => rr._1 == k && !rr._2.after(lts))
+        (tag, if (m.isEmpty) None else Some(m.maxBy(_._2.getTime)._3))
+      }.sortBy(_._1)
       assert(native === window, s"seed $i")
+      assert(native === brute, s"seed $i vs brute force")
     }
   }
 }
