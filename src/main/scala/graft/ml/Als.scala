@@ -22,10 +22,17 @@ object Als {
     *                   (32 near-empty blocks × 2 shuffle rounds × maxIter)
     *                   — set explicitly when |ratings| is modest.
     */
+  /** @param implicitPrefs treat ratings as implicit-feedback confidence
+    *                       weights (view counts, dwell time) instead of
+    *                       explicit scores — the common case for the
+    *                       event-log data a training pipeline actually has.
+    *                       `alpha` scales confidence (MLlib semantics).
+    */
   case class Config(rank: Int = 10, maxIter: Int = 10, regParam: Double = 0.1,
                     userCol: String = "user_id", itemCol: String = "item_id",
                     ratingCol: String = "rating", seed: Long = 42L,
-                    numBlocks: Int = -1)
+                    numBlocks: Int = -1,
+                    implicitPrefs: Boolean = false, alpha: Double = 1.0)
 
   /** Estimator configured as the reference does
     * (`model-als.py:111-120`: nonnegative, coldStartStrategy=drop).
@@ -35,6 +42,7 @@ object Als {
       .setRank(c.rank).setMaxIter(c.maxIter).setRegParam(c.regParam)
       .setUserCol(c.userCol).setItemCol(c.itemCol).setRatingCol(c.ratingCol)
       .setColdStartStrategy("drop").setNonnegative(true).setSeed(c.seed)
+      .setImplicitPrefs(c.implicitPrefs).setAlpha(c.alpha)
     if (c.numBlocks > 0)
       als.setNumUserBlocks(c.numBlocks).setNumItemBlocks(c.numBlocks)
     als

@@ -43,6 +43,21 @@ class AlsSpec extends SparkTestBase {
     assert(math.abs(rmse - manual) < 1e-9)
   }
 
+  test("implicit-feedback mode ranks the preferred block higher") {
+    // confidence weights instead of scores: high-interaction cells only
+    val interactions = (for {
+      u <- 0 until 8; i <- 0 until 10
+      if (u < 4) == (i % 2 == 0) // users only touch their block's items
+    } yield (u, i, 3.0)).toDF("user_id", "item_id", "rating")
+    val icfg = cfg.copy(implicitPrefs = true, alpha = 10.0)
+    val (model, _) = Als.trainEval(interactions, icfg)
+    val recs = Als.recommend(model,
+      interactions.select($"user_id").distinct().filter($"user_id" === 0), 4, icfg)
+      .select($"item_id").as[Int].collect().toSet
+    // user 0 interacts with even items only; top recs should be even
+    assert(recs.nonEmpty && recs.forall(_ % 2 == 0), recs.toString)
+  }
+
   test("same seed reproduces identical recommendations") {
     def run() = {
       val (model, _) = Als.trainEval(ratings, cfg)
