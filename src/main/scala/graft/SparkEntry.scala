@@ -392,6 +392,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     }),
 
+    // as-of with bounded lookback: only views within the last 30 minutes
+    // match (kdb-style tolerance on the native operator)
+    "q53_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+        .withColumnRenamed("ts", "vts")
+      plans.AsOf.join(purchases, views, Seq("user_id"), "ts", "vts",
+          Seq(("view_event_id", "view_event_id")),
+          toleranceMicros = 30L * 60 * 1000000)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("view_event_id"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // clicks within 10 min after each purchase — banded range join
     "q40_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -867,6 +885,22 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.uts >= v.vts
         |ORDER BY p.user_id, ts_us, p.event_id""".stripMargin,
+
+    "q53_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts,
+        |             max(event_id) AS view_event_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT p.user_id, p.event_id, p.uts, v.view_event_id,
+        |        row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |          ORDER BY v.vts DESC) AS rn
+        |      FROM p LEFT JOIN v
+        |        ON p.user_id = v.user_id AND v.vts <= p.uts
+        |           AND v.vts > p.uts - INTERVAL 30 MINUTE)
+        |SELECT user_id, event_id, epoch_us(uts) AS ts_us, view_event_id
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q40_range_join" ->
       """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts

@@ -26,7 +26,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightValExprs: Seq[Expression],
-                        valAttrs: Seq[Attribute]) extends BinaryNode {
+                        valAttrs: Seq[Attribute],
+                        toleranceMicros: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ valAttrs
 
@@ -44,7 +45,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightValExprs: Seq[Expression],
-                        valAttrs: Seq[Attribute]) extends BinaryExecNode {
+                        valAttrs: Seq[Attribute],
+                        toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ valAttrs
 
@@ -73,6 +75,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val nVals = rightValExprs.length
+    val tol = toleranceMicros
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -92,6 +95,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rBufVals: InternalRow = _
         private var haveBuf = false
         private var lastKey: InternalRow = _
+        private var lastTs: InternalRow = _
         private var lastVals: InternalRow = _
 
         override def hasNext: Boolean = lIter.hasNext
@@ -114,12 +118,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val kc = keyOrd.compare(rBufKey, lk)
               if (kc < 0) haveBuf = false // key ordered out forever
               else if (kc == 0 && tsOrd.compare(rBufTs, lt) <= 0) {
-                lastKey = rBufKey; lastVals = rBufVals; haveBuf = false
+                lastKey = rBufKey; lastTs = rBufTs; lastVals = rBufVals
+                haveBuf = false
               } else scan = false
             }
           }
+          // tolerance: timestamps are epoch micros in their single-col
+          // projections (TimestampType physical representation)
+          val inWindow = tol < 0L || (lastTs != null &&
+            lt.getLong(0) - lastTs.getLong(0) <= tol)
           val vals =
-            if (lastVals != null && keyOrd.compare(lastKey, lk) == 0) lastVals
+            if (lastVals != null && keyOrd.compare(lastKey, lk) == 0 &&
+              inWindow) lastVals
             else nullVals
           joined(l, vals)
         }
@@ -134,8 +144,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, va) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, va) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, va, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, va,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -145,9 +156,14 @@ class AsOfJoinStrategy extends SparkStrategy {
   * so the planner knows the strategy.
   */
 object AsOf {
+  /** @param toleranceMicros when >= 0, a match must additionally satisfy
+    *                         leftTs - rightTs <= tolerance (kdb-style
+    *                         bounded lookback). Timestamp columns only.
+    */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightVals: Seq[(String, String)]): DataFrame = {
+           rightVals: Seq[(String, String)],
+           toleranceMicros: Long = -1L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     // Wrap both children in fresh-alias Projects: when left and right
@@ -171,7 +187,8 @@ object AsOf {
       rightVals.map { case (c, _) => attr(rAttrs, c) },
       rightVals.map { case (c, out) =>
         AttributeReference(out, attr(rAttrs, c).dataType, nullable = true)()
-      })
+      },
+      toleranceMicros)
     Bridge.ofRows(left.sparkSession, node)
   }
 }

@@ -46,6 +46,22 @@ class AsOfJoinExecSpec extends SparkTestBase {
       "t3" -> None, "t4" -> None))
   }
 
+  test("tolerance bounds the lookback window") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 08:00:00"), 9.0),  // 75 min before t1: too old
+      (1, ts("2024-01-01 09:00:00"), 10.0)) // 15 min before t1: in window
+      .toDF("k", "qts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 09:15:00"), "t1"),
+      (1, ts("2024-01-01 10:30:00"), "t2")) // 90 min after latest: null
+      .toDF("k", "tts", "trade")
+    val out = AsOf.join(trades, quotes, Seq("k"), "tts", "qts",
+        Seq(("price", "quote_price")), toleranceMicros = 30L * 60 * 1000000)
+      .select($"trade", $"quote_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out === Map("t1" -> Some(10.0), "t2" -> None))
+  }
+
   test("agrees with the union+window asofJoin on generated data") {
     val gen = Gen.listOfN(60, for {
       k <- Gen.choose(0, 4)
