@@ -146,6 +146,26 @@ object SparkEntry {
           col("l_linenumber"))
     }),
 
+    // lag/lead + sliding-frame moving average (analytic windows beyond
+    // rank/running-sum, SURVEY.md §2.11)
+    "q54_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val frame = w.rowsBetween(-1, 1)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          round(avg(col("l_quantity")).over(frame) + lit(1e-9), 4)
+            .as("moving_avg"))
+        .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
     // ---- categories absent from the reference (SURVEY.md §2.11) ----
     "q13_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -661,6 +681,20 @@ object SparkEntry {
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+
+    "q54_lag_lead" ->
+      """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       lag(l_quantity, 1) OVER w AS prev_qty,
+        |       lead(l_quantity, 1) OVER w AS next_qty,
+        |       round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) + 1e-9, 4)
+        |         AS moving_avg
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
 
     "q13_rollup" ->
