@@ -229,6 +229,15 @@ object SparkEntry {
           date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
         .orderBy(col("o_orderkey"))),
 
+    "q55_date_math" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          last_day(col("o_orderdate")).cast("date").as("month_end"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"))
+        .orderBy(col("o_orderkey"))),
+
     "q21_tumbling_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"))
@@ -749,6 +758,15 @@ object SparkEntry {
         |       CAST(month(o_orderdate) AS BIGINT) AS m,
         |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         |       CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q55_date_math" ->
+      """SELECT o_orderkey,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |         AS plus_3m
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q21_tumbling_window" ->
