@@ -238,6 +238,17 @@ object SparkEntry {
           add_months(col("o_orderdate").cast("date"), 3).as("plus_3m"))
         .orderBy(col("o_orderkey"))),
 
+    "q56_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          lpad(col("p_brand"), 12, "_").as("padded"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"))
+        .orderBy(col("p_partkey"))),
+
     "q21_tumbling_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"))
@@ -759,6 +770,15 @@ object SparkEntry {
         |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         |       CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q56_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |       CAST(length(p_name) AS BIGINT) AS name_len,
+        |       substring(p_name, 1, 5) AS prefix,
+        |       lpad(p_brand, 12, '_') AS padded,
+        |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q55_date_math" ->
       """SELECT o_orderkey,
