@@ -273,6 +273,16 @@ object SparkEntry {
             (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("norm"))
         .orderBy(col("vec_id"))),
 
+    // array higher-order battery: filter / exists / aggregate lambdas
+    "q57_array_hof" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("embedding"), x => x > 0.5f).as("any_big"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + abs(x.cast("double"))) + lit(1e-9), 4).as("l1"))
+        .orderBy(col("vec_id"))),
+
     "q24_explode_vectors" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .filter(col("vec_id") < 10)
@@ -807,6 +817,15 @@ object SparkEntry {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       round(sqrt(list_sum(list_transform(embedding,
         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q57_array_hof" ->
+      """SELECT vec_id,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+        |         AS n_pos,
+        |       len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+        |       round(list_sum(list_transform(embedding,
+        |             x -> abs(CAST(x AS DOUBLE)))) + 1e-9, 4) AS l1
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q24_explode_vectors" ->
