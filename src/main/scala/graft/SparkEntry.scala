@@ -39,15 +39,13 @@ object SparkEntry {
       k = 5, tieBreak = col("p_partkey"))
 
   /** Queries with no DuckDB-expressible oracle (driver falls back to a
-    * rows-only check). Justified: q29-q31/q34/q36 are built on xxhash64
-    * (no DuckDB equivalent), q34 is additionally approximate by design,
-    * q35 is ALS model output, q44 is a mapPartitions batch-inference
-    * stage, q46's subword regex needs lookarounds DuckDB's RE2 lacks.
+    * rows-only check). Justified: q30/q31 are built on xxhash64 (no
+    * DuckDB equivalent; their LSH recall is spec-asserted instead), q34
+    * is additionally approximate by design, q35 is ALS model output.
     */
   def rowsOnly: Set[String] =
-    Set("q29_fingerprint", "q30_minhash_neardup", "q31_simhash_neardup",
-      "q34_lsh_neighbors", "q35_als_recommend", "q36_multimodal",
-      "q44_multimodal_batched", "q46_subword_stats")
+    Set("q30_minhash_neardup", "q31_simhash_neardup",
+      "q34_lsh_neighbors", "q35_als_recommend")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -321,14 +319,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
-    // min-k sketch over the native codegen'd shingle-hash expression;
-    // values are bit-identical to xxhash64-of-string-shingles
+    // min-k sketch over md5-hex shingle digests (oracle-checkable; the
+    // xxhash64 fingerprintFromShingles variant stays for hot pipelines).
+    // _toks is referenced twice inside shinglesFromTokens, so
+    // CollapseProject cannot inline the tokenizer into the lambda (the
+    // O(L²) re-tokenization trap).
     "q29_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
+        .select(col("doc_id"), ext.TextOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          graft.functions.ShingleHashes(col("text"), 3).as("_sh"))
+          ext.TextOps.shinglesFromTokens(col("_toks"), 3).as("_sh"))
         .select(col("doc_id"),
-          concat_ws(",", slice(array_sort(col("_sh")), 1, 8)).as("fp"))
+          concat_ws(",", ext.TextOps.md5FingerprintFromShingles(col("_sh"), 8))
+            .as("fp"))
         .orderBy(col("doc_id"))),
 
     "q30_minhash_neardup" -> ((s, dir) =>
@@ -489,13 +492,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
-    // mapPartitions batched inference (stub codec, real plumbing):
-    // rows-only — per-partition imperative stage has no SQL oracle
+    // mapPartitions batched inference (stub codec, real plumbing): the
+    // md5-derived stub features make even this imperative stage
+    // oracle-checkable (f0 cast to double — DuckDB round returns double)
     "q44_multimodal_batched" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), ext.Multimodal.asBlob(col("text")).as("blob"))
       ext.Multimodal.batchedFeatures(docs, "doc_id", "blob", batchSize = 128)
-        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("doc_id"))
     }),
 
@@ -510,8 +515,8 @@ object SparkEntry {
           round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
         .orderBy(col("l_returnflag"))),
 
-    // BPE-ish subword counting (rows-only: the boundary-split regex uses
-    // lookarounds, which DuckDB's RE2 cannot express)
+    // BPE-ish subword counting (mark-then-split boundary regex — both
+    // Java regex and DuckDB RE2 express it, so the count is oracle-checked)
     "q46_subword_stats" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1090,6 +1095,60 @@ object SparkEntry {
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same 3-gram construction as the q32 oracle; md5 over each shingle
+    "q29_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents))
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:8], ',')
+        |    AS fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // replicates Multimodal's md5-derived header/pixel fakes: every term
+    // is ascii-of-hex-char integer arithmetic, identical in both engines
+    "q36_multimodal" -> {
+      def code(i: Int) = s"ascii(substr(d, ${(i - 1) % 32 + 1}, 1))"
+      def px(i: Int) =
+        s"((${code(4 * i + 1)}*131 + ${code(4 * i + 2)}*17 + ${code(4 * i + 3)}) % 2000 - 1000) / 1000.0"
+      val pxs = (0 until 8).map(px)
+      // left-assoc sum from 0.0 mirrors Spark's aggregate() fold order,
+      // so the IEEE result is bit-identical before the 4-dp round
+      val sum = pxs.mkString("(0.0 + ", " + ", ")")
+      s"""WITH m AS (SELECT doc_id, md5(text) AS d,
+         |             octet_length(encode(text)) AS nb FROM documents)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+         |  CAST((${code(1)}*131 + ${code(2)}) % 1920 + 1 AS BIGINT) AS width,
+         |  CAST((${code(3)}*131 + ${code(4)}) % 1080 + 1 AS BIGINT) AS height,
+         |  CAST(${code(5)} % 3 + 1 AS BIGINT) AS channels,
+         |  round($sum / 8 + 1e-9, 4) AS feat_mean,
+         |  round(least(${pxs.mkString(", ")}), 4) AS feat_min,
+         |  round(greatest(${pxs.mkString(", ")}), 4) AS feat_max
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // dim-0 of the batched StubModel features (same formula as q36 px(0))
+    "q44_multimodal_batched" -> {
+      def code(i: Int) = s"ascii(substr(md5(text), ${(i - 1) % 32 + 1}, 1))"
+      s"""SELECT doc_id,
+         |  round(((${code(1)}*131 + ${code(2)}*17 + ${code(3)}) % 2000 - 1000)
+         |        / 1000.0, 4) AS f0
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q46_subword_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(
+        |      regexp_replace(regexp_replace(lower(text),
+        |        '(\p{L})(\d)', '\1 \2', 'g'), '(\d)(\p{L})', '\1 \2', 'g'),
+        |      '[\s[:punct:]]+'), t -> t != '')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -21,37 +21,54 @@ object Multimodal {
     */
   def asBlob(c: Column): Column = encode(c, "UTF-8")
 
+  /** ASCII code of the hex char at 1-based position `i` (mod 32) of an
+    * md5-hex digest — the unit of every deterministic fake below.
+    * ascii+substr+md5 exist in every SQL engine, which is what makes the
+    * stub outputs cross-checkable against an external oracle.
+    */
+  private def hexCode(digest: Column, i: Int): Column =
+    ascii(substring(digest, (i - 1) % 32 + 1, 1))
+
   /** Typed metadata extracted per blob — all built-in binary functions,
     * fully codegen'd: byte length, content digest, and fake
     * width/height/channels derived deterministically from the digest
     * (stands in for an image-header parse).
     */
   def blobMetadata(blob: Column): Column = {
-    val h = xxhash64(blob)
+    val d = md5(blob)
     struct(
       octet_length(blob).cast("long").as("n_bytes"),
-      sha2(blob, 256).as("digest"),
-      (pmod(h, lit(1920L)) + 1L).as("width"),
-      (pmod(shiftright(h, 16), lit(1080L)) + 1L).as("height"),
-      (pmod(shiftright(h, 32), lit(3L)) + 1L).as("channels"))
+      d.as("digest"),
+      (pmod(hexCode(d, 1) * 131 + hexCode(d, 2), lit(1920)) + 1)
+        .cast("long").as("width"),
+      (pmod(hexCode(d, 3) * 131 + hexCode(d, 4), lit(1080)) + 1)
+        .cast("long").as("height"),
+      (pmod(hexCode(d, 5), lit(3)) + 1).cast("long").as("channels"))
   }
 
   /** STUB decode: a real implementation calls the codec here (per
-    * partition, batched). The fake emits a deterministic 8-dim feature
-    * vector from the blob bytes so downstream plumbing (schema, joins,
-    * similarity) is exercised end-to-end.
+    * partition, batched). The fake emits a deterministic `dims`-dim
+    * pixel vector from the blob's md5 digest so downstream plumbing
+    * (schema, joins, similarity) is exercised end-to-end. Must stay in
+    * lockstep with [[StubModel.infer]] (spec-pinned).
     */
-  def decodeImageStub(blob: Column, dims: Int = 8): Column =
-    transform(sequence(lit(0), lit(dims - 1)), i =>
-      (pmod(xxhash64(blob, i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+  def decodeImageStub(blob: Column, dims: Int = 8): Column = {
+    val d = md5(blob)
+    array((0 until dims).map { i =>
+      (pmod(hexCode(d, 4 * i + 1) * 131 + hexCode(d, 4 * i + 2) * 17 +
+        hexCode(d, 4 * i + 3), lit(2000)).cast("double") - 1000.0) / 1000.0
+    }: _*)
+  }
 
   /** STUB feature extraction over a decoded "image": mean/min/max of the
     * fake pixels. Real impl: model inference via mapPartitions (batch the
     * rows, call the runtime once per batch — never per row).
     */
   def extractFeaturesStub(decoded: Column): Column = struct(
-    round(aggregate(decoded, lit(0.0), (a, x) => a + x) / size(decoded), 4)
-      .as("mean"),
+    // +1e-9: the mean is K/8000 for integer K, which can land exactly on
+    // a 4-dp half-boundary where engines round in different directions
+    round(aggregate(decoded, lit(0.0), (a, x) => a + x) / size(decoded)
+      + lit(1e-9), 4).as("mean"),
     round(array_min(decoded), 4).as("p_min"),
     round(array_max(decoded), 4).as("p_max"))
 
@@ -74,13 +91,24 @@ object Multimodal {
     * amortization is what [[batchedFeatures]] exercises.
     */
   object StubModel {
+    private def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+
+    /** Bit-for-bit the same fake as [[decodeImageStub]] (spec-pinned):
+      * pixel d mixes three hex chars of the md5 digest. Keeping the
+      * batched path and the column path in lockstep means either can
+      * verify the other.
+      */
     def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =
       batch.map { bytes =>
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            bytes.length, 42L)
-        Array.tabulate(dims)(d =>
-          ((Math.floorMod(h + d, 2000L) - 1000L).toFloat) / 1000f)
+        val hex = md5Hex(bytes)
+        Array.tabulate(dims) { d =>
+          val c1 = hex.charAt((4 * d) % 32).toInt
+          val c2 = hex.charAt((4 * d + 1) % 32).toInt
+          val c3 = hex.charAt((4 * d + 2) % 32).toInt
+          (Math.floorMod(c1 * 131 + c2 * 17 + c3, 2000) - 1000).toFloat / 1000f
+        }
       }
   }
 

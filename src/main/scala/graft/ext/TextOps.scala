@@ -19,10 +19,20 @@ object TextOps {
   /** BPE-ish subword count estimate: words + extra splits at
     * letter/digit/punct boundaries — a cheap deterministic proxy for a
     * real tokenizer's token count.
+    *
+    * Implemented as mark-then-split (insert a space at every
+    * letter↔digit boundary, then split on whitespace/punct and drop
+    * empties) instead of lookaround alternation: the marker form is
+    * expressible in RE2-based engines too, so the result is
+    * cross-checkable against a standard SQL oracle.
     */
-  def subwordCount(text: Column): Column =
-    size(split(lower(text), "[\\s\\p{Punct}]+|(?<=\\p{L})(?=\\d)|(?<=\\d)(?=\\p{L})"))
+  def subwordCount(text: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(lower(text), "(\\p{L})(\\d)", "$1 $2"),
+      "(\\d)(\\p{L})", "$1 $2")
+    size(filter(split(marked, "[\\s\\p{Punct}]+"), t => t =!= ""))
       .cast("long")
+  }
 
   /** Stopword sets for the n-gram/stopword language-ID heuristic.
     * Tiny on purpose: they broadcast as literals inside the plan.
@@ -134,4 +144,14 @@ object TextOps {
 
   def fingerprint(text: Column, n: Int = 3, k: Int = 8): Column =
     fingerprintFromShingles(shingles(text, n), k)
+
+  /** Oracle-friendly fingerprint variant: min-k of md5-hex shingle
+    * digests (lexicographic min over lowercase hex strings). Same
+    * min-k-sketch semantics as [[fingerprintFromShingles]]; md5 is
+    * standard across SQL engines, so the sketch is cross-checkable.
+    * Slightly more expensive than the xxhash64 form (hex-string md5 vs
+    * 64-bit hash) — prefer [[fingerprintFromShingles]] in hot pipelines.
+    */
+  def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
+    slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
 }

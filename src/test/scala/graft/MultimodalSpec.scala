@@ -55,6 +55,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.toSeq === again.toSeq)
   }
 
+  test("batched StubModel features match the column-path decode stub") {
+    val df = (1 to 20).map(i => (i.toLong, s"document number $i with text"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Multimodal.asBlob($"text").as("blob"))
+    val colPath = df
+      .select($"doc_id", Multimodal.decodeImageStub($"blob").as("px"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val batched = Multimodal.batchedFeatures(df, "doc_id", "blob")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(batched.keySet === colPath.keySet)
+    batched.foreach { case (id, fs) =>
+      // float(k/1000) vs double(k/1000): equal to ~6e-8
+      fs.zip(colPath(id)).foreach { case (f, d) =>
+        assert(math.abs(f - d) < 1e-6, s"doc $id: $f vs $d")
+      }
+    }
+  }
+
   test("pipeline emits one feature row per document, no shuffle") {
     val df = Seq((1, "doc one"), (2, "doc two")).toDF("doc_id", "text")
     val out = Multimodal.pipeline(df, "text", "doc_id")
