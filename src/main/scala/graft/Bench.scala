@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line for the driver (BENCH_r{N}.json).
+  * prints one JSON line for the driver (BENCH_r{N}.json). The same line is
+  * also written to SPARK_GRAFT_BENCH_OUT (default `BENCH.json` in the
+  * working directory): stdout passes through sbt's `[info]` logger, which
+  * breaks line-oriented JSON parsing — the file is the parseable artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +37,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

@@ -40,8 +40,11 @@ object SparkEntry {
 
   /** Queries with no DuckDB-expressible oracle (driver falls back to a
     * rows-only check). Justified: q30/q31 are built on xxhash64 (no
-    * DuckDB equivalent; their LSH recall is spec-asserted instead), q34
-    * is additionally approximate by design, q35 is ALS model output.
+    * DuckDB equivalent; LshRecallSpec asserts their recall over the
+    * constructed `withNearDups` positives at the shipped parameters), q34
+    * is additionally approximate by design (its recall over perturbed
+    * embedding copies is measured in LshRecallSpec too), q35 is ALS model
+    * output.
     */
   def rowsOnly: Set[String] =
     Set("q30_minhash_neardup", "q31_simhash_neardup",
@@ -309,12 +312,13 @@ object SparkEntry {
           col("distinct_ratio"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    // native codegen expression (graft.functions.LangId): one generated
+    // static call per row instead of the interpreted 5-language HOF
+    // battery — LangIdSpec pins bit-equality with the TextOps algebra
     "q28_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("lang"), ext.TextOps.tokens(col("text")).as("_toks"))
-        .select(col("lang"), ext.TextOps.langScores(col("_toks")).as("_best"))
         .select(col("lang"),
-          ext.TextOps.langIdFromScores(col("_best")).as("lang_pred"))
+          graft.functions.LangId(col("text")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
@@ -612,8 +616,9 @@ object SparkEntry {
   /** documents ∪ truncated copies (id+100000, last token dropped): a
     * constructed near-dup set so the MinHash/SimHash operators have known
     * positives to find (the synthetic corpus is all-unique).
+    * `private[graft]` so LshRecallSpec measures recall on the same set.
     */
-  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val mutated = docs.filter(col("doc_id") < 50)
       .select((col("doc_id") + 100000).as("doc_id"),

@@ -134,12 +134,23 @@ object Dedup {
     * shingle (within `partitionCols`), count common shingles per pair,
     * derive |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs that SHARE at least
     * one shingle ever materialize, so cost is Σ posting-list², not
-    * corpus² — the shape that survives 100 TB (cap hot posting lists
-    * upstream if the shingle distribution is skewed).
+    * corpus².
+    *
+    * Hot-posting cap (`maxPostingDf`): a shingle appearing in f documents
+    * contributes f(f−1)/2 candidate pairs — ONE boilerplate stop-shingle
+    * ("all rights reserved") makes the self-join quadratic in its posting
+    * list at corpus scale. Keys over the cap are collected by a tiny
+    * aggregate (hot keys are FEW by definition), broadcast, and dropped
+    * from postings map-side before any pair forms. Dropping a hot shingle
+    * from both sides undercounts `inter` only for pairs whose overlap was
+    * that boilerplate — which is exactly the overlap a near-dup pipeline
+    * wants to ignore. Pairs sharing nothing but capped shingles do not
+    * materialize at all.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,
-                        partitionCols: Seq[String] = Nil): DataFrame = {
+                        partitionCols: Seq[String] = Nil,
+                        maxPostingDf: Int = 1000): DataFrame = {
     val part = partitionCols.map(col)
     val d = df
       .select(part :+ col(idCol) :+
@@ -150,11 +161,19 @@ object Dedup {
     // the shuffle moves longs instead of string tuples. A cross-key
     // collision needs two xxhash64 values to agree (~n²/2⁶⁵ for n
     // distinct postings) — negligible against shingling sampling noise.
-    val postings = d
+    val rawPostings = d
       .select(part :+ col(idCol) :+ col("n_sh") :+
         explode(col("sh")).as("_shingle"): _*)
       .select(col(idCol), col("n_sh"),
         xxhash64(part :+ col("_shingle"): _*).as("pkey"))
+    // shingles are distinct per doc, so count(*) per pkey == document
+    // frequency; the over-cap key set is small → broadcast anti-join
+    // removes hot postings without shuffling the posting table for it
+    val hotKeys = rawPostings.groupBy(col("pkey"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostingDf)
+      .select(col("pkey"))
+    val postings = rawPostings.join(broadcast(hotKeys), Seq("pkey"), "left_anti")
     val a = postings.select(col("pkey"),
       col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val b = postings.select(col("pkey").as("pkey_b"),

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.minhashSignature)
     ext.injectFunction(GraftExtensions.vectorDot)
+    ext.injectFunction(GraftExtensions.langId)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -67,5 +68,14 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 2, "usage: vector_dot(a, b)")
       VectorDot(args.head, args(1))
+    })
+
+  val langId
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lang_id"),
+    new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "usage: lang_id(text)")
+      LangId(args.head)
     })
 }

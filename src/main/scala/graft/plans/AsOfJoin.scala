@@ -181,6 +181,20 @@ object AsOf {
         s"column $n not in [${m.keys.mkString(", ")}]"))
     val (lPlan, lAttrs) = freshen(left.queryExecution.analyzed)
     val (rPlan, rAttrs) = freshen(right.queryExecution.analyzed)
+    // The tolerance fast path reads both ts columns as raw epoch-micro
+    // longs (AsOfJoinExec.doExecute) — that physical layout is only
+    // guaranteed for TimestampType, so reject anything else at plan time
+    // instead of silently misreading a DATE (days) or LONG column.
+    if (toleranceMicros >= 0L) {
+      import org.apache.spark.sql.types.TimestampType
+      Seq(leftTs -> attr(lAttrs, leftTs), rightTs -> attr(rAttrs, rightTs))
+        .foreach { case (name, a) =>
+          if (a.dataType != TimestampType)
+            throw new IllegalArgumentException(
+              s"as-of tolerance requires TIMESTAMP ts columns; " +
+                s"'$name' is ${a.dataType.sql}")
+        }
+    }
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lAttrs, _)), keys.map(attr(rAttrs, _)),
       attr(lAttrs, leftTs), attr(rAttrs, rightTs),

@@ -62,6 +62,22 @@ class AsOfJoinExecSpec extends SparkTestBase {
     assert(out === Map("t1" -> Some(10.0), "t2" -> None))
   }
 
+  test("tolerance on a non-timestamp ts column fails fast at plan time") {
+    // LONG ts: without the check the exec would silently compare raw longs
+    // against a microsecond tolerance
+    val quotes = Seq((1, 100L, 10.0)).toDF("k", "qts", "price")
+    val trades = Seq((1, 200L, "t1")).toDF("k", "tts", "trade")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes, Seq("k"), "tts", "qts",
+        Seq(("price", "quote_price")), toleranceMicros = 1000000L)
+    }
+    assert(err.getMessage.contains("TIMESTAMP"))
+    // no tolerance -> ordering-only semantics, any orderable ts type is fine
+    val ok = AsOf.join(trades, quotes, Seq("k"), "tts", "qts",
+      Seq(("price", "quote_price")))
+    assert(ok.count() === 1L)
+  }
+
   test("agrees with the union+window asofJoin on generated data") {
     val gen = Gen.listOfN(60, for {
       k <- Gen.choose(0, 4)

@@ -73,4 +73,28 @@ class DedupSpec extends SparkTestBase {
       .select($"id_a", $"id_b").as[(Int, Int)].collect().toSet
     assert(out === Set((1, 2)))
   }
+
+  test("hot-posting cap bounds the stop-shingle pair explosion") {
+    // adversarial corpus: 60 docs share ONE boilerplate shingle, each with
+    // otherwise-unique content — uncapped, that single posting list makes
+    // all C(60,2)=1770 pairs materialize; plus one genuine near-dup pair
+    // (1000/1001) that shares no boilerplate and must survive the cap
+    val boiler = (0 until 60).map(i =>
+      (i, s"all rights reserved unique$i%a unique$i%b unique$i%c unique$i%d"))
+    val nearDup = Seq(
+      (1000, "quick brown fox jumps over the lazy sleeping dog"),
+      (1001, "quick brown fox jumps over the lazy sleeping cat"))
+    val df = (boiler ++ nearDup).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 3,
+      maxPostingDf = Int.MaxValue)
+    assert(uncapped.count() >= 1770L, "adversary should explode uncapped")
+
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 3,
+        maxPostingDf = 10)
+      .select($"id_a", $"id_b", $"jaccard").as[(Int, Int, Double)].collect()
+    // only the genuine pair remains, its jaccard untouched by the cap:
+    // 9 tokens → 7 shingles each, 6 shared → 6 / (7+7−6) = 0.75
+    assert(capped.toSeq === Seq((1000, 1001, 0.75)))
+  }
 }
