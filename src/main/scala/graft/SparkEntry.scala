@@ -600,6 +600,37 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy(col("o_orderpriority"))),
 
+    // one-call df.summary() parity: count/mean/stddev/min/p25/p50/p75/max
+    // per column in ONE wide aggregate — exact interpolated percentiles
+    // (not summary()'s approximate ones) keep the frame oracle-checkable
+    "q58_summary_profile" -> ((s, dir) =>
+      operators.Profile.summaryAll(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column_name"))),
+
+    // A6 seeded stratified sampling. Tolerance-gated oracle (q48 pattern):
+    // emit the EXACT stratum size only when the seeded per-stratum
+    // Bernoulli sample lands within 10% of its target fraction (>6σ at
+    // this SF) — the hash compare then asserts sampler accuracy without
+    // requiring engine-identical RNG
+    "q59_stratified_sample" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fractions = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.3)
+      val sampled = li.stat.sampleBy("l_returnflag", fractions, 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_sampled"))
+      val frac = element_at(
+        map(fractions.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("l_returnflag"))
+      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("l_returnflag"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+        .select(col("l_returnflag"),
+          when(abs(col("n_sampled") - frac * col("n_total")) <=
+            frac * col("n_total") * 0.1, col("n_total")).otherwise(lit(-1L))
+            .as("stratum_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // result must be identical to the unsalted join — the salt only
     // changes row placement (spec + oracle both pin that)
     "q43_salted_join" -> ((s, dir) =>
@@ -1145,6 +1176,22 @@ object SparkEntry {
          |        / 1000.0, 4) AS f0
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q58_summary_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS n,
+           | round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS stddev,
+           | CAST(min($c) AS DOUBLE) AS min,
+           | round(quantile_cont($c, 0.25), 4) AS p25,
+           | round(quantile_cont($c, 0.5), 4) AS p50,
+           | round(quantile_cont($c, 0.75), 4) AS p75,
+           | CAST(max($c) AS DOUBLE) AS max
+           | FROM lineitem""".stripMargin.replace("\n", "")
+      }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    "q59_stratified_sample" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q46_subword_stats" ->
       """SELECT doc_id,

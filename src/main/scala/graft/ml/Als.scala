@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.evaluation.{RankingEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -58,6 +58,37 @@ object Als {
     val rmse = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol(c.ratingCol).setPredictionCol("prediction").evaluate(preds)
     (model, rmse)
+  }
+
+  /** Ranking-quality metrics the RMSE flow doesn't cover: MAP@k and
+    * NDCG@k of the model's top-k recommendations against held-out
+    * positives (test rows with rating ≥ `relevanceThreshold`). Per-user
+    * item lists are assembled distributed (groupBy + collect_list of the
+    * SMALL per-user top-k / held-out sets — bounded state, no driver
+    * round trip); the evaluator then reduces them to one number each.
+    */
+  def rankingEval(model: ALSModel, test: DataFrame, k: Int,
+                  c: Config = Config(), relevanceThreshold: Double = 0.0)
+  : (Double, Double) = {
+    val users = test.select(col(c.userCol)).distinct()
+    val pred = model.recommendForUserSubset(users, k)
+      .select(col(c.userCol),
+        transform(col("recommendations"),
+          r => r.getField(c.itemCol).cast("double")).as("pred"))
+    // relevant = held-out items the user actually rated >= threshold,
+    // best-rated first (NDCG's ideal ordering)
+    val truth = test.filter(col(c.ratingCol) >= relevanceThreshold)
+      .groupBy(col(c.userCol))
+      .agg(reverse(array_sort(collect_list(
+        struct(col(c.ratingCol).as("r"), col(c.itemCol).as("i"))))).as("s"))
+      .select(col(c.userCol),
+        transform(col("s"), s => s.getField("i").cast("double")).as("label"))
+    val joined = pred.join(truth, c.userCol).cache()
+    def metric(name: String): Double = new RankingEvaluator()
+      .setMetricName(name).setK(k)
+      .setPredictionCol("pred").setLabelCol("label")
+      .evaluate(joined)
+    (metric("meanAveragePrecisionAtK"), metric("ndcgAtK"))
   }
 
   /** Per-user top-k recommendations, unpacked distributed (explode +

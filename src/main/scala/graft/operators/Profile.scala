@@ -74,6 +74,44 @@ object Profile {
         col("stats.min").as("min"), col("stats.max").as("max"))
   }
 
+  /** `df.summary()` parity in ONE call and ONE job: count / mean / stddev
+    * / min / p25 / p50 / p75 / max per column, like the reference's
+    * `df.summary()` (reference `exploratory-data-analysis.py:193`) — but
+    * with EXACT interpolated percentiles instead of approximate ones, so
+    * the whole frame is oracle-checkable. Still a single wide aggregate:
+    * the three percentiles come from one `percentile(col, array(...))`
+    * sort per column, unpacked by position.
+    */
+  def summaryAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
+          .as(s"${c}__pct"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.flatMap { c =>
+      Seq(lit(c),
+        struct(col(s"${c}__count").cast("long").as("n"),
+          round(col(s"${c}__mean"), 4).as("mean"),
+          round(col(s"${c}__stddev"), 4).as("stddev"),
+          col(s"${c}__min").as("min"),
+          round(element_at(col(s"${c}__pct"), 1), 4).as("p25"),
+          round(element_at(col(s"${c}__pct"), 2), 4).as("p50"),
+          round(element_at(col(s"${c}__pct"), 3), 4).as("p75"),
+          col(s"${c}__max").as("max")))
+    }
+    wide.select(explode(map(entries: _*)).as(Seq("column_name", "stats")))
+      .select(col("column_name"), col("stats.n").as("n"),
+        col("stats.mean").as("mean"), col("stats.stddev").as("stddev"),
+        col("stats.min").as("min"), col("stats.p25").as("p25"),
+        col("stats.p50").as("p50"), col("stats.p75").as("p75"),
+        col("stats.max").as("max"))
+  }
+
   /** Partition a schema into numeric vs non-numeric column names
     * (reference `exploratory-data-analysis.py:175-191`, done there via
     * dtype string matching; here via the type system).

@@ -58,6 +58,34 @@ class AlsSpec extends SparkTestBase {
     assert(recs.nonEmpty && recs.forall(_ % 2 == 0), recs.toString)
   }
 
+  test("rankingEval: MAP@k and NDCG@k are valid and the model beats chance") {
+    val (model, _) = Als.trainEval(ratings, cfg)
+    val Array(_, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val (map, ndcg) = Als.rankingEval(model, test, 5, cfg)
+    assert(map >= 0.0 && map <= 1.0, s"MAP@5 out of range: $map")
+    assert(ndcg >= 0.0 && ndcg <= 1.0, s"NDCG@5 out of range: $ndcg")
+    // the block structure is learnable: top-5 of 10 items must hit some
+    // held-out positives for at least one user
+    assert(map > 0.0 && ndcg > 0.0, s"no ranking signal: map=$map ndcg=$ndcg")
+  }
+
+  test("rankingEval is 1.0 when predictions equal the relevant set") {
+    // sanity on the metric plumbing itself: a model whose top-k equals
+    // the user's full relevant set must score MAP = NDCG = 1
+    val train = ratings
+    val (model, _) = Als.trainEval(train, cfg)
+    val k = 10
+    val recs = Als.recommend(model, train.select($"user_id").distinct(), k, cfg)
+      .select($"user_id", $"item_id",
+        $"predicted_rating".as("rating"))
+    // use the model's own recommendations as the "test" set: predictions
+    // and relevance then coincide by construction
+    val (map, ndcg) = Als.rankingEval(model, recs, k, cfg,
+      relevanceThreshold = Double.MinValue)
+    assert(math.abs(map - 1.0) < 1e-9, s"map=$map")
+    assert(math.abs(ndcg - 1.0) < 1e-9, s"ndcg=$ndcg")
+  }
+
   test("same seed reproduces identical recommendations") {
     def run() = {
       val (model, _) = Als.trainEval(ratings, cfg)

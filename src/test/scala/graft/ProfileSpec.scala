@@ -25,6 +25,20 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Double]("min") === 1.0 && r.getAs[Double]("max") === 4.0)
   }
 
+  test("summaryAll: summary()-shaped frame with exact interpolated percentiles") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Profile.summaryAll(df, Seq("x")).collect().head
+    assert(r.getAs[String]("column_name") === "x")
+    assert(r.getAs[Long]("n") === 4)
+    assert(r.getAs[Double]("mean") === 2.5)
+    assert(math.abs(r.getAs[Double]("stddev") - 1.2910) < 1e-4)
+    // linear interpolation on sorted [1,2,3,4]: idx 0.25*(4-1)=0.75
+    assert(r.getAs[Double]("p25") === 1.75)
+    assert(r.getAs[Double]("p50") === 2.5)
+    assert(r.getAs[Double]("p75") === 3.25)
+    assert(r.getAs[Double]("min") === 1.0 && r.getAs[Double]("max") === 4.0)
+  }
+
   test("dtypePartition splits numeric vs categorical (eda:175-191)") {
     val df = Seq((1, "a", 2.0)).toDF("i", "s", "d")
     val (num, cat) = Profile.dtypePartition(df)
