@@ -167,13 +167,19 @@ object Dedup {
       .select(col(idCol), col("n_sh"),
         xxhash64(part :+ col("_shingle"): _*).as("pkey"))
     // shingles are distinct per doc, so count(*) per pkey == document
-    // frequency; the over-cap key set is small → broadcast anti-join
-    // removes hot postings without shuffling the posting table for it
-    val hotKeys = rawPostings.groupBy(col("pkey"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxPostingDf)
-      .select(col("pkey"))
-    val postings = rawPostings.join(broadcast(hotKeys), Seq("pkey"), "left_anti")
+    // frequency. Computed as a window over postings repartitioned on
+    // pkey: both join sides then hang off ONE identical exchange
+    // (ReuseExchange dedupes it), so the cap costs one posting shuffle
+    // — which the pair join needed anyway — instead of a second
+    // shingle-build pass per side.
+    val postings = {
+      import org.apache.spark.sql.expressions.Window
+      rawPostings
+        .repartition(col("pkey"))
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("pkey")))
+        .filter(col("_df") <= maxPostingDf)
+        .drop("_df")
+    }
     val a = postings.select(col("pkey"),
       col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val b = postings.select(col("pkey").as("pkey_b"),
