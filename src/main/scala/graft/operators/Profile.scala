@@ -82,14 +82,32 @@ object Profile {
     * the three percentiles come from one `percentile(col, array(...))`
     * sort per column, unpacked by position.
     */
-  def summaryAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def summaryAll(df: DataFrame, cols: Seq[String]): DataFrame =
+    summaryAllImpl(df, cols, exact = true)
+
+  /** 100 TB variant of [[summaryAll]]: `approx_percentile` (t-digest-style
+    * sketch, mergeable map-side, no per-column sort) replaces the exact
+    * interpolated percentiles — the same accuracy trade `df.summary()`
+    * itself makes. Everything else (count/mean/stddev/min/max) is exact
+    * either way.
+    */
+  def summaryAllApprox(df: DataFrame, cols: Seq[String],
+                       accuracy: Int = 10000): DataFrame =
+    summaryAllImpl(df, cols, exact = false, accuracy)
+
+  private def summaryAllImpl(df: DataFrame, cols: Seq[String],
+                             exact: Boolean, accuracy: Int = 10000): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val pct =
+        if (exact) percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
+        else approx_percentile(col(c),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
+          .cast("array<double>")
       Seq(count(col(c)).as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev_samp(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
-          .as(s"${c}__pct"),
+        pct.as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -39,6 +39,22 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Double]("min") === 1.0 && r.getAs[Double]("max") === 4.0)
   }
 
+  test("summaryAllApprox tracks the exact summary within sketch tolerance") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val exact = Profile.summaryAll(df, Seq("x")).collect().head
+    val approx = Profile.summaryAllApprox(df, Seq("x")).collect().head
+    // exact fields identical; percentiles within 1% of the exact values
+    assert(approx.getAs[Long]("n") === exact.getAs[Long]("n"))
+    assert(approx.getAs[Double]("mean") === exact.getAs[Double]("mean"))
+    assert(approx.getAs[Double]("min") === exact.getAs[Double]("min"))
+    assert(approx.getAs[Double]("max") === exact.getAs[Double]("max"))
+    for (p <- Seq("p25", "p50", "p75")) {
+      val e = exact.getAs[Double](p)
+      assert(math.abs(approx.getAs[Double](p) - e) <= 0.01 * e + 1.0,
+        s"$p: approx=${approx.getAs[Double](p)} exact=$e")
+    }
+  }
+
   test("dtypePartition splits numeric vs categorical (eda:175-191)") {
     val df = Seq((1, "a", 2.0)).toDF("i", "s", "d")
     val (num, cat) = Profile.dtypePartition(df)
