@@ -410,6 +410,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // one Lloyd's k-means iteration (the IVF centroid builder): assign
+    // via broadcast argmax-cosine, recompute element-wise means. Output
+    // is a scalar signature of each new centroid (dim-0 + L2 norm), so
+    // the full mean vector is oracle-checked without array compares
+    "q60_kmeans_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      ext.Similarity.kmeansStep(emb, centroids)
+        .select(col("centroid_id"), col("n_members"),
+          round(element_at(col("centroid"), 1) + lit(1e-9), 4).as("c0"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0),
+            (a, x) => a + x * x)) + lit(1e-9), 4).as("cnorm"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // latest prior view per purchase — union+window as-of join (one
     // shuffle on user_id, no candidate-pair explosion)
     "q39_asof_join" -> ((s, dir) => {
@@ -1093,6 +1109,35 @@ object SparkEntry {
         |  JOIN embeddings qe ON qe.vec_id = c.query_id
         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // assignment CTE is q38's proven argmax; per-dim means via a lateral
+    // index series over the member vectors
+    "q60_kmeans_step" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id,
+        |                     CAST(embedding AS DOUBLE[]) AS centroid
+        |              FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |               c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |mem AS (SELECT a.centroid_id, e.embedding
+        |        FROM asg a JOIN embeddings e USING (vec_id)),
+        |dims AS (SELECT centroid_id, i.pos,
+        |                avg(CAST(embedding[i.pos] AS DOUBLE)) AS m
+        |         FROM mem, LATERAL (SELECT unnest(generate_series(1,
+        |                len(embedding))) AS pos) i
+        |         GROUP BY 1, 2),
+        |sums AS (SELECT centroid_id, sqrt(sum(m*m)) AS cnorm,
+        |                max(CASE WHEN pos = 1 THEN m END) AS c0
+        |         FROM dims GROUP BY 1),
+        |cnt AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members
+        |        FROM asg GROUP BY 1)
+        |SELECT s.centroid_id, c.n_members, round(s.c0 + 1e-9, 4) AS c0,
+        |       round(s.cnorm + 1e-9, 4) AS cnorm
+        |FROM sums s JOIN cnt c USING (centroid_id)
+        |ORDER BY centroid_id""".stripMargin,
 
     "q48_approx_distinct" ->
       """SELECT l_returnflag,

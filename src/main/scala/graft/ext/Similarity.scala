@@ -114,6 +114,43 @@ object Similarity {
       .select(col(idCol), col(cIdCol), round(col("cos"), 4).as("centroid_cos"))
   }
 
+  /** One Lloyd's k-means iteration as a pure DataFrame transform — the
+    * centroid builder IVF needs (ivfAssign/ivfSearch take centroids from
+    * the caller). Assignment is the same broadcast argmax-cosine as
+    * [[ivfAssign]] (same tie-break, so the two stay consistent); the new
+    * centroid is the element-wise mean of the members, rebuilt in
+    * dimension order. Returns (centroid_id, n_members, centroid:
+    * array<double>).
+    *
+    * Iterate by feeding `centroid` back as the next round's centroids:
+    * only the k-row centroid frame crosses iterations (k×dim doubles), so
+    * the caller's loop is driver-cheap while every data-sized operation
+    * stays distributed. Empty clusters drop out (inner join semantics) —
+    * standard Lloyd behavior.
+    */
+  def kmeansStep(df: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 cIdCol: String = "centroid_id", cVecCol: String = "centroid")
+  : DataFrame = {
+    // keep the vector through the argmax window instead of re-joining it
+    val joined = df.join(broadcast(centroids))
+      .withColumn("_cos", cosine(col(vecCol), col(cVecCol)))
+    val asg = Relational.topKPerGroup(joined, 1, Seq(idCol),
+        Seq(col("_cos").desc, col(cIdCol)))
+      .select(col(cIdCol), col(vecCol))
+    val dims = asg
+      .select(col(cIdCol), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .groupBy(col(cIdCol), col("_pos"))
+      .agg(avg(col("_v").cast("double")).as("_m"),
+        count(lit(1)).as("_n"))
+    dims.groupBy(col(cIdCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as(cVecCol),
+        max(col("_n")).as("n_members"))
+      .select(col(cIdCol), col("n_members"), col(cVecCol))
+  }
+
   /** IVF probe search: rank, for each query, the corpus vectors living
     * in the query's `nprobe` closest centroid cells. The corpus is
     * scanned once to build (vector, cell) assignments; each query joins

@@ -54,6 +54,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Set(2, 3))
   }
 
+  test("kmeansStep recovers blob means and iterating converges") {
+    // two tight blobs around (1,0) and (0,1); start from two members, not
+    // the true means — one step must land near the blob means, and a
+    // second step must be a (near) fixed point
+    val blobs = vecs(
+      1 -> Seq(1f, 0.1f), 2 -> Seq(1f, -0.1f), 3 -> Seq(0.9f, 0f),
+      4 -> Seq(0.1f, 1f), 5 -> Seq(-0.1f, 1f), 6 -> Seq(0f, 0.9f))
+    def centFrame(rows: Seq[(Long, Seq[Double])]) = rows
+      .toDF("centroid_id", "centroid")
+    var cents = blobs.filter($"vec_id".isin(1, 4))
+      .select($"vec_id".cast("long").as("centroid_id"),
+        transform($"embedding", x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to 2) {
+      // the k-row collect is the caller's loop, not library code
+      val next = Similarity.kmeansStep(blobs, cents)
+        .select($"centroid_id", $"centroid")
+        .as[(Long, Seq[Double])].collect().toSeq
+      assert(next.size === 2)
+      cents = centFrame(next)
+    }
+    val got = cents.as[(Long, Seq[Double])].collect().toMap
+    val c1 = got(1)
+    val c4 = got(4)
+    // blob means: ((1+1+0.9)/3, 0) and ((0.1-0.1+0)/3, (1+1+0.9)/3)
+    assert(math.abs(c1(0) - 2.9 / 3) < 1e-6 && math.abs(c1(1)) < 1e-6, c1)
+    assert(math.abs(c4(0)) < 1e-6 && math.abs(c4(1) - 2.9 / 3) < 1e-6, c4)
+  }
+
+  test("kmeansStep member counts match ivfAssign on the same centroids") {
+    val df = vecs(1 -> Seq(1f, 0f), 2 -> Seq(0f, 1f), 3 -> Seq(0.9f, 0.05f))
+    val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val stepCounts = Similarity.kmeansStep(df, centroids)
+      .select($"centroid_id", $"n_members").as[(Int, Long)].collect().toMap
+    val asgCounts = Similarity.ivfAssign(df, centroids)
+      .groupBy($"centroid_id").count().as[(Int, Long)].collect().toMap
+    assert(stepCounts === asgCounts)
+  }
+
   test("ivfAssign assigns each vector to its own centroid when present") {
     val df = vecs(1 -> Seq(1f, 0f), 2 -> Seq(0f, 1f), 3 -> Seq(0.9f, 0.05f))
     val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
