@@ -159,6 +159,23 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  /** foreachBatch sink: run `write(batchDf, batchId)` for every
+    * micro-batch — the escape hatch for sinks with no native streaming
+    * writer (JDBC upserts, MERGE INTO, multi-table fan-out). The callback
+    * receives a plain batch DataFrame, so the full batch API (including
+    * writers that do not support streaming) is available; `batchId` is
+    * the idempotence key — a replayed batch after recovery carries the
+    * same id, so a transactional sink should commit (id, data) atomically
+    * and skip ids it has seen.
+    */
+  def runForeachBatch(df: DataFrame, outputMode: String = "update")
+                     (write: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.outputMode(outputMode)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        write(batch.toDF(), id)
+      }
+      .start()
+
   /** Run a streaming query to completion against a finite source (test
     * harness: memory sink + processAllAvailable), returning the sink table.
     */

@@ -72,6 +72,49 @@ class StreamingSpec extends SparkTestBase {
     assert(sortedRows(viaBuckets) === sortedRows(batchPairs))
   }
 
+  test("foreachBatch upsert sink converges to the batch aggregate") {
+    // stage the events as 4 TIME-ORDERED files: with maxFilesPerTrigger=1
+    // each becomes one micro-batch and the watermark only ever trails the
+    // incoming data, so no window is dropped as late — the realistic
+    // ordered-ingestion shape
+    val dir = "target/stream-events-ordered"
+    val ev = batchEvents
+    val n = ev.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val bucketed = ev.withColumn("_rn", row_number().over(w))
+      .withColumn("_b", ((col("_rn") - 1) * 4 / n).cast("int"))
+    (0 until 4).foreach { b =>
+      bucketed.filter(col("_b") === b).drop("_rn", "_b").coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = Tables.normalizeNanoTimestamps(
+      EventStreams.readEventStream(spark, dir, schema))
+
+    // driver-side upsert table keyed by (window, event_type): the classic
+    // foreachBatch pattern (stand-in for MERGE INTO / JDBC upsert)
+    val tbl = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (Long, Double)]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = EventStreams.runForeachBatch(
+        EventStreams.windowedCounts(stream), "update") { (batch, _) =>
+      if (!batch.isEmpty) nBatches.incrementAndGet()
+      batch.collect().foreach { r =>
+        tbl.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+      }
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    assert(nBatches.get() >= 3, s"expected multiple micro-batches, got ${nBatches.get()}")
+    val expected = EventStreams.windowedCounts(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    import scala.jdk.CollectionConverters._
+    assert(tbl.asScala.toMap === expected)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window exactly") {
     val viaState = EventStreams.sessionizeWithState(
         batchEvents, gapMicros = 30L * 60 * 1000000)
