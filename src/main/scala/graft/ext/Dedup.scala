@@ -80,14 +80,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verification Jaccard runs on the hash arrays — set sizes are
-    // identical to string-shingle sets modulo 64-bit collisions
+    // identical to string-shingle sets modulo 64-bit collisions. The
+    // native JaccardSim expression (one hash-probe loop per pair, no
+    // scratch arrays) replaces array_intersect+array_union; the spec
+    // pins value equality with that algebra
     val docs = shingleHashed(df, idCol, textCol, shingleN)
     candidates
       .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSim(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

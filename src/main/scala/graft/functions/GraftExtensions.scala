@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSignature)
     ext.injectFunction(GraftExtensions.vectorDot)
     ext.injectFunction(GraftExtensions.langId)
+    ext.injectFunction(GraftExtensions.jaccardSim)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
@@ -77,5 +78,14 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "usage: lang_id(text)")
       LangId(args.head)
+    })
+
+  val jaccardSim
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_sim"),
+    new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "usage: jaccard_sim(a, b)")
+      JaccardSim(args.head, args(1))
     })
 }
