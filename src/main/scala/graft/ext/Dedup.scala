@@ -110,6 +110,12 @@ object Dedup {
   /** SimHash near-dup candidates: exact signature match per 16-bit block
     * (Hamming-distance blocking: two signatures within Hamming distance 3
     * must agree on at least one of 4 blocks).
+    *
+    * A pair agreeing on SEVERAL blocks meets once per agreeing block;
+    * instead of a `distinct()` (a full shuffle of the pair stream), each
+    * pair is kept only where the join block is the FIRST agreeing block —
+    * computable per row from the signature XOR, so dedup is a map-side
+    * filter and the only shuffle left is the bucket join itself.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
@@ -123,12 +129,17 @@ object Dedup {
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val r = blocks.select(col("block"), col("block_val"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    def blockAgrees(b: Int): Column =
+      shiftright(xor, b * 16).bitwiseAND(0xFFFFL) === 0
+    val firstAgreeing = when(blockAgrees(0), 0).when(blockAgrees(1), 1)
+      .when(blockAgrees(2), 2).otherwise(3)
     l.join(r, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("block") === firstAgreeing)
+      .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-      .distinct()
   }
 
   /** Exact pairwise shingle-Jaccard via an inverted index: explode each
