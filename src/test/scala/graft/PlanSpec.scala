@@ -39,6 +39,22 @@ class PlanSpec extends SparkTestBase {
     assert(broadcasts >= 3, s"expected >=3 broadcast dims, got $broadcasts:\n$p")
   }
 
+  test("q32 hot-posting cap adds no extra table scan (window, not anti-join)") {
+    val p = plan(SparkEntry.queries("q32_ngram_jaccard")(spark, sf))
+    // one documents scan per join side — the rejected agg+anti-join cap
+    // formulation needed four; a regression here means the cap went back
+    // to re-deriving postings
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
+    assert(p.contains("Window"), s"df cap should be a window:\n$p")
+  }
+
+  test("q30 verification joins run the native jaccard_sim, not array built-ins") {
+    val p = plan(SparkEntry.queries("q30_minhash_neardup")(spark, sf))
+    assert(p.contains("jaccard_sim"), s"native JaccardSim not in plan:\n$p")
+    assert(!p.contains("array_intersect"), s"interpreted verify survived:\n$p")
+  }
+
   test("aggregate-then-join keeps join input at |items| not |ratings|") {
     val ratings = Tables.load(spark, sf, "lineitem")
     val items = Tables.load(spark, sf, "part")
