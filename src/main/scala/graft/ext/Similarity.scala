@@ -58,26 +58,38 @@ object Similarity {
   private def rademacher(plane: Int, d: Column): Column =
     when(xxhash64(lit(plane), d).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-LSH signature: `planes` bits, bit i = sign of dot(vec, r_i) with
-    * r_i a Rademacher vector. Map-side only.
+  /** Sign-LSH signature: `planes` bits, bit i = sign of dot(vec, r_i)
+    * with r_i a Rademacher vector. `planeOffset` selects a disjoint plane
+    * family (for banding). Map-side only.
     */
-  def signLshSignature(vec: Column, planes: Int): Column = {
+  def signLshSignature(vec: Column, planes: Int, planeOffset: Int = 0)
+  : Column = {
     val bits = (0 until planes).map { p =>
       val s = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * rademacher(p, i)),
+          (x, i) => x.cast("double") * rademacher(planeOffset + p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate near-neighbor pairs: same sign-LSH bucket → exact cosine
-    * ≥ threshold. The join key is the bucket, so candidate generation is
-    * linear in bucket occupancy — the 100 TB-safe shape.
+  /** Approximate near-neighbor pairs: same sign-LSH bucket in ANY band →
+    * exact cosine ≥ threshold. The join key is (band, bucket), so
+    * candidate generation is linear in bucket occupancy — the 100 TB-safe
+    * shape.
+    *
+    * `bands` is the recall knob: each band hashes with its own disjoint
+    * plane family, and a pair qualifies if any band agrees — recall goes
+    * from p (one band) to 1−(1−p)^bands for candidate-probability p,
+    * at the cost of `bands`× posting rows. Pairs agreeing in several
+    * bands are kept only at their FIRST agreeing band (computed per row
+    * from the carried signature arrays — a map-side filter, no
+    * `distinct()` shuffle of the pair stream).
     */
   def lshNearNeighbors(df: DataFrame, threshold: Double, planes: Int = 12,
-                       idCol: String = "vec_id", vecCol: String = "embedding")
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       bands: Int = 1)
   : DataFrame = {
     // compute each vector's norm ONCE before the pair join and carry it
     // through as a scalar (the join node blocks project-collapse, so it
@@ -85,13 +97,23 @@ object Similarity {
     // instead of dot + two norm recomputations per candidate pair
     val sig = df
       .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("_norm"),
-        signLshSignature(col(vecCol), planes).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("v_a"), col("_norm").as("norm_a"))
-    val r = sig.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"), col("_norm").as("norm_b"))
-    l.join(r, Seq("bucket"))
+        array((0 until bands).map(k =>
+          signLshSignature(col(vecCol), planes, k * planes)): _*).as("_sigs"))
+      .select(col(idCol), col(vecCol), col("_norm"), col("_sigs"),
+        posexplode(col("_sigs")).as(Seq("band", "bucket")))
+    val l = sig.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("_norm").as("norm_a"),
+      col("_sigs").as("sigs_a"))
+    val r = sig.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("_norm").as("norm_b"),
+      col("_sigs").as("sigs_b"))
+    val firstAgreeing = (bands - 1 to 0 by -1).foldLeft(lit(bands): Column) {
+      (acc, k) => when(element_at(col("sigs_a"), k + 1) ===
+        element_at(col("sigs_b"), k + 1), lit(k)).otherwise(acc)
+    }
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstAgreeing)
       .withColumn("cos", round(
         dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cos") >= threshold)

@@ -72,6 +72,30 @@ class LshRecallSpec extends SparkTestBase {
       s"Hamming<=3 blocking must be exhaustive; missed ${nTruth - hits}")
   }
 
+  test("banded sign-LSH raises recall over single-band at equal plane count") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // larger perturbation (~5%) so single-band recall has headroom to lose
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (xxhash64(i) % 100).cast("double") / 2000.0).cast("float"))
+          .as("embedding"))
+    val withCopies = emb.union(perturbed)
+    def recall(bands: Int): Long =
+      graft.ext.Similarity.lshNearNeighbors(withCopies,
+          threshold = 0.3, planes = 8, bands = bands)
+        .filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 50)
+        .count()
+    val single = recall(1)
+    val banded = recall(4)
+    info(s"8-plane recall: 1 band $single/50, 4 bands $banded/50")
+    assert(banded >= single, s"banding lowered recall: $banded < $single")
+    assert(banded >= 45L, s"4x8 banding should be near-exhaustive: $banded/50")
+  }
+
   test("q34 path: sign-LSH recall >= 0.8 over perturbed embedding copies") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
