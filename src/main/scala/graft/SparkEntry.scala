@@ -358,6 +358,19 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // end-to-end dedup: exact-Jaccard pairs → drop every doc with a
+    // lower-id partner ≥ threshold. The whole pipeline (inverted index,
+    // pair scoring, representative selection) is oracle-checked
+    "q61_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, partitionCols = Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.5)
+      ext.Dedup.dropNearDups(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q33_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ext.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
@@ -966,6 +979,27 @@ object SparkEntry {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // same 3-gram/partition construction as the q32 oracle; NOT IN drops
+    // the higher-id member of every qualifying pair
+    "q61_dedup_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents)),
+        |drop_ids AS (
+        |  SELECT DISTINCT b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin,
 
     // embeddings cast FLOAT[]→DOUBLE[] so DuckDB's cosine runs in the same
     // double precision as Similarity.cosine (float32 rounds 0.24 to

@@ -142,6 +142,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Apply a near-dup pair list to the corpus: drop every document that
+    * has a LOWER-id near-duplicate partner, keeping the canonical (min-id)
+    * representative of each duplicate group. Pairs are emitted with
+    * id_a < id_b by every generator here, so dropping the distinct id_b
+    * side removes exactly the non-representatives — one semi-join-shaped
+    * anti-join, no connected-components iteration. (Greedy per-pair
+    * selection, the standard training-pipeline choice: a long similarity
+    * CHAIN keeps its local minima rather than collapsing to one global
+    * representative.)
+    */
+  def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Exact pairwise shingle-Jaccard via an inverted index: explode each
     * doc's distinct shingles into postings, equi-join postings on the
     * shingle (within `partitionCols`), count common shingles per pair,

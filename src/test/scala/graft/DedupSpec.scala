@@ -74,6 +74,21 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set((1, 2)))
   }
 
+  test("dropNearDups keeps the min-id representative of each dup group") {
+    val df = Seq(
+      (1, base),
+      (2, base + " OMEGA"),
+      (7, base + " OMEGA PSI"),
+      (9, "totally unrelated words about completely different topics " +
+        "nothing shared with the greek letter document at all truly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.dropNearDups(df, pairs, "doc_id")
+      .select($"doc_id").as[Int].collect().toSet
+    assert(kept.contains(1) && kept.contains(9), kept.toString)
+    assert(!kept.contains(2), s"2 has lower-id near-dup 1: $kept")
+  }
+
   test("hot-posting cap bounds the stop-shingle pair explosion") {
     // adversarial corpus: 60 docs share ONE boilerplate shingle, each with
     // otherwise-unique content — uncapped, that single posting list makes
