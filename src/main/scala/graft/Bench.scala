@@ -4,9 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver (BENCH_r{N}.json). The same line is
-  * also written to SPARK_GRAFT_BENCH_OUT (default `BENCH.json` in the
-  * working directory): stdout passes through sbt's `[info]` logger, which
-  * breaks line-oriented JSON parsing — the file is the parseable artifact.
+  * written to SPARK_GRAFT_BENCH_OUT (default `BENCH.json` in the working
+  * directory) AND echoed on stderr: stdout passes through sbt's `[info]`
+  * logger, which breaks line-oriented JSON parsing — the file is the
+  * canonical artifact, stderr (unprefixed by sbt) the fallback channel.
+  *
+  * Timing note: each query is driven by `.count()`, which lets Catalyst
+  * prune columns and drop a final orderBy — fine for relative iteration
+  * (every round pays the same discount), but absolute parity with the
+  * Verify path would need a noop-write sink. Same trade in tools/TimeQ.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +45,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // three channels so the driver can't miss it: stdout (sbt prefixes it
+    // with [info] — parse-hostile), stderr (sbt passes it through
+    // UNPREFIXED — grep '^{' to extract), and the SPARK_GRAFT_BENCH_OUT
+    // file (default BENCH.json in the working directory)
     println(line)
+    System.err.println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()

@@ -44,11 +44,13 @@ object SparkEntry {
     * constructed `withNearDups` positives at the shipped parameters), q34
     * is additionally approximate by design (its recall over perturbed
     * embedding copies is measured in LshRecallSpec too), q35 is ALS model
-    * output.
+    * output, q63 composes the xxhash64 MinHash pair generator (DedupSpec
+    * pins its soundness against the exact-Jaccard path: every dropped id
+    * has a lower-id exact-Jaccard≥threshold partner).
     */
   def rowsOnly: Set[String] =
     Set("q30_minhash_neardup", "q31_simhash_neardup",
-      "q34_lsh_neighbors", "q35_als_recommend")
+      "q34_lsh_neighbors", "q35_als_recommend", "q63_dedup_corpus_lsh")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -371,6 +373,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the dedup pipeline a 100 TB user actually runs: MinHash-LSH
+    // candidates (exact hash-Jaccard-verified in-bucket) → min-id
+    // representative. Corpus is withNearDups so LSH has true positives
+    // to find; rows-only (xxhash64), soundness spec-pinned in DedupSpec
+    "q63_dedup_corpus_lsh" -> ((s, dir) => {
+      val docs = withNearDups(s, dir)
+      val pairs = ext.Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      ext.Dedup.dropNearDups(docs, pairs, "doc_id")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q33_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ext.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
@@ -636,6 +651,34 @@ object SparkEntry {
       operators.Profile.summaryAll(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("column_name"))),
+
+    // the profile you'd run at 100 TB, driver-checked: ONE wide aggregate
+    // computes exact AND approx_percentile; each percentile cell emits the
+    // exact value only when the sketch is within 1% (else -1, failing the
+    // exact oracle) — a green row certifies the sketch path's accuracy
+    "q62_summary_profile_sketch" -> ((s, dir) =>
+      operators.Profile.summaryAllGated(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column_name"))),
+
+    // the one seam batch-parity can't cover: the same windowedCounts
+    // transform run as a REAL stream (file source, micro-batch per file,
+    // incremental state) materialized via the foreachBatch parquet sink,
+    // then hash-checked against the batch oracle
+    "q64_stream_materialized" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q64").toString
+      // stage the batch table as a DIRECTORY of time-ranged files (the
+      // file-stream source ingests directories, one file per
+      // micro-batch) — the realistic ordered-ingestion shape
+      val src = s"$tmp/src"
+      t(s, dir, "events").repartitionByRange(4, col("ts"))
+        .write.parquet(src)
+      val stream = streaming.EventStreams.readEventStream(
+        s, src, s.read.parquet(src).schema)
+      streaming.EventStreams.materializeToParquet(s,
+          streaming.EventStreams.windowedCounts(stream), s"$tmp/out")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
 
     // A6 seeded stratified sampling. Tolerance-gated oracle (q48 pattern):
     // emit the EXACT stratum size only when the seeded per-stratum
@@ -981,7 +1024,10 @@ object SparkEntry {
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // same 3-gram/partition construction as the q32 oracle; NOT IN drops
-    // the higher-id member of every qualifying pair
+    // the higher-id member of every qualifying pair. The oracle is
+    // UNCAPPED: hash-match holds while no shingle's document frequency
+    // exceeds maxPostingDf=1000 (max df ~30 at test SF) — a capped
+    // shingle would bias the Spark side's jaccard down vs this SQL
     "q61_dedup_corpus" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
@@ -1267,6 +1313,31 @@ object SparkEntry {
            | CAST(max($c) AS DOUBLE) AS max
            | FROM lineitem""".stripMargin.replace("\n", "")
       }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    // identical to q58's exact-percentile oracle: the Spark side emits the
+    // exact value only when its sketch agrees within 1%, so hash-match
+    // certifies the approx path (tolerance gating, q48/q51 pattern)
+    "q62_summary_profile_sketch" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS n,
+           | round(avg($c), 4) AS mean, round(stddev_samp($c), 4) AS stddev,
+           | CAST(min($c) AS DOUBLE) AS min,
+           | round(quantile_cont($c, 0.25), 4) AS p25,
+           | round(quantile_cont($c, 0.5), 4) AS p50,
+           | round(quantile_cont($c, 0.75), 4) AS p75,
+           | CAST(max($c) AS DOUBLE) AS max
+           | FROM lineitem""".stripMargin.replace("\n", "")
+      }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+
+    // q21's hourly-window aggregate extended by event_type — the batch
+    // semantics the materialized STREAM result must reproduce exactly
+    "q64_stream_materialized" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR)
+        |         AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows

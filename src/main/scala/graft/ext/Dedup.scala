@@ -166,13 +166,20 @@ object Dedup {
     * Hot-posting cap (`maxPostingDf`): a shingle appearing in f documents
     * contributes f(f−1)/2 candidate pairs — ONE boilerplate stop-shingle
     * ("all rights reserved") makes the self-join quadratic in its posting
-    * list at corpus scale. Keys over the cap are collected by a tiny
-    * aggregate (hot keys are FEW by definition), broadcast, and dropped
-    * from postings map-side before any pair forms. Dropping a hot shingle
+    * list at corpus scale. The document frequency is computed as a window
+    * count over the postings repartitioned on the posting key — the SAME
+    * exchange the pair join hangs off (ReuseExchange/AQE dedupes it), so
+    * the cap rides a shuffle the join needed anyway; over-cap postings are
+    * filtered before any pair forms. (An aggregate + broadcast anti-join
+    * formulation was measured slower — it re-derives the expensive
+    * shingle projection per side; see PLANS.md.) Dropping a hot shingle
     * from both sides undercounts `inter` only for pairs whose overlap was
     * that boilerplate — which is exactly the overlap a near-dup pipeline
     * wants to ignore. Pairs sharing nothing but capped shingles do not
-    * materialize at all.
+    * materialize at all. Note `jaccard` keeps the PRE-cap set sizes in
+    * its denominator, so pairs that do share a capped shingle score lower
+    * than their true Jaccard — the exact-oracle hash-match (q61) holds
+    * while the corpus has no shingle over the cap.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,

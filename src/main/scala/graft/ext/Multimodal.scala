@@ -85,12 +85,93 @@ object Multimodal {
       i => blob.substr((i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
   }
 
+  /** The pluggable decode/inference contract [[batchedFeatures]] runs:
+    * one call per BATCH of blobs, `dims` floats out per blob. Implemented
+    * by the deterministic [[StubModel]] (the oracle-checkable fake) and
+    * the real [[PgmModel]] codec — swapping one for the other changes no
+    * plan shape, schema, or batching behavior, which is the point of
+    * keeping the interface this narrow.
+    */
+  trait BatchModel extends Serializable {
+    def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]]
+  }
+
+  /** One decoded 8-bit PGM (P5) image. */
+  case class PgmImage(width: Int, height: Int, maxVal: Int,
+                      pixels: Array[Int])
+
+  /** Pure-JVM decoder for the binary PGM (P5) format — an actual image
+    * codec, not a fake: `P5`, whitespace/#-comment-separated width,
+    * height, maxVal (≤ 255, the 8-bit variant), one whitespace byte,
+    * then width×height raw gray bytes. Small by design: the container
+    * has no imaging libraries, and PGM is the standard minimal
+    * interchange format real pipelines use for exactly that situation.
+    */
+  object Pgm {
+    def decode(bytes: Array[Byte]): PgmImage = {
+      var i = 0
+      def fail(msg: String) = throw new IllegalArgumentException(
+        s"not an 8-bit P5 PGM: $msg (offset $i)")
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // whitespace and '#'-to-end-of-line comments separate header tokens
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          if (isWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        if (i == start) fail("expected integer")
+        new String(bytes, start, i - start, "US-ASCII").toInt
+      }
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') fail("bad magic")
+      i = 2
+      val (w, h, maxVal) = (int(), int(), int())
+      if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+      if (maxVal <= 0 || maxVal > 255) fail(s"maxVal $maxVal out of 8-bit range")
+      i += 1 // exactly ONE whitespace byte separates header from raster
+      if (bytes.length - i < w * h) fail(s"raster truncated: ${bytes.length - i} < ${w * h}")
+      val px = new Array[Int](w * h)
+      var j = 0
+      while (j < w * h) { px(j) = bytes(i + j) & 0xff; j += 1 }
+      PgmImage(w, h, maxVal, px)
+    }
+  }
+
+  /** Real codec path behind the [[BatchModel]] interface: decode each
+    * blob as a P5 PGM and emit `dims` features — feature d is the mean
+    * of pixels at indices ≡ d (mod dims), normalized by maxVal. A
+    * uniform strided pooling: deterministic, covers every pixel, and
+    * exercises the same batched mapPartitions plumbing as the stub.
+    */
+  object PgmModel extends BatchModel {
+    def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val img = Pgm.decode(bytes)
+        val sums = new Array[Double](dims)
+        val counts = new Array[Int](dims)
+        var j = 0
+        while (j < img.pixels.length) {
+          sums(j % dims) += img.pixels(j); counts(j % dims) += 1; j += 1
+        }
+        Array.tabulate(dims) { d =>
+          if (counts(d) == 0) 0f
+          else (sums(d) / counts(d) / img.maxVal).toFloat
+        }
+      }
+  }
+
   /** Deterministic stand-in for a batched model/codec runtime. A real
     * implementation holds the expensive handle (ONNX session, decoder
     * context) per partition and is invoked once per BATCH — that
     * amortization is what [[batchedFeatures]] exercises.
     */
-  object StubModel {
+  object StubModel extends BatchModel {
     private def md5Hex(bytes: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(bytes)
         .map(b => f"${b & 0xff}%02x").mkString
@@ -125,7 +206,8 @@ object Multimodal {
     */
   def batchedFeatures(df: DataFrame, idCol: String, blobCol: String,
                       batchSize: Int = 64, dims: Int = 8,
-                      batchCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+                      batchCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+                      model: BatchModel = StubModel)
   : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -134,7 +216,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batchCounter.foreach(_.add(1))
-          val feats = StubModel.infer(batch.map(_._2), dims)
+          val feats = model.infer(batch.map(_._2), dims)
           batch.iterator.zip(feats.iterator).map { case ((id, _), f) => (id, f) }
         }
       }

@@ -36,8 +36,11 @@ object Similarity {
   /** Exact brute-force top-k neighbors for each query vector.
     * `queries` must be small (it is broadcast); `corpus` is unbounded.
     * Plan: BroadcastNestedLoopJoin (queries × corpus) → per-row cosine →
-    * per-query top-k window. The corpus is scanned ONCE regardless of
-    * query count.
+    * per-query top-k as a k-BOUNDED partial aggregate
+    * ([[Relational.topKPerGroupAgg]]): each map task keeps at most k
+    * candidates per query and ships only those, so the corpus is scanned
+    * ONCE and never funnels through |queries| reducers — the ranking
+    * stage scales with k×partitions, not with |corpus|×|queries|.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding")
@@ -46,8 +49,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    Relational.topKPerGroup(scored, k, Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id")))
+    Relational.topKPerGroupAgg(scored, k, Seq("query_id"),
+        col("cos"), col("neighbor_id"), "cos", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
@@ -95,25 +98,42 @@ object Similarity {
     // through as a scalar (the join node blocks project-collapse, so it
     // cannot be re-inlined); per-pair work is then one dot + one divide
     // instead of dot + two norm recomputations per candidate pair
-    val sig = df
-      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("_norm"),
-        array((0 until bands).map(k =>
-          signLshSignature(col(vecCol), planes, k * planes)): _*).as("_sigs"))
-      .select(col(idCol), col(vecCol), col("_norm"), col("_sigs"),
-        posexplode(col("_sigs")).as(Seq("band", "bucket")))
-    val l = sig.select(col("band"), col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("v_a"), col("_norm").as("norm_a"),
-      col("_sigs").as("sigs_a"))
-    val r = sig.select(col("band"), col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"), col("_norm").as("norm_b"),
-      col("_sigs").as("sigs_b"))
-    val firstAgreeing = (bands - 1 to 0 by -1).foldLeft(lit(bands): Column) {
-      (acc, k) => when(element_at(col("sigs_a"), k + 1) ===
-        element_at(col("sigs_b"), k + 1), lit(k)).otherwise(acc)
-    }
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstAgreeing)
+    val pairs =
+      if (bands == 1) {
+        // single band: the first-agreeing-band filter is vacuous, so
+        // neither the signature array nor the band column is built or
+        // carried through the join — each side ships only
+        // (bucket, id, vec, norm), the minimum the verify step needs
+        val sig = df.select(col(idCol), col(vecCol),
+          l2Norm(col(vecCol)).as("_norm"),
+          signLshSignature(col(vecCol), planes, 0).as("bucket"))
+        val l = sig.select(col("bucket"), col(idCol).as("id_a"),
+          col(vecCol).as("v_a"), col("_norm").as("norm_a"))
+        val r = sig.select(col("bucket"), col(idCol).as("id_b"),
+          col(vecCol).as("v_b"), col("_norm").as("norm_b"))
+        l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      } else {
+        val sig = df
+          .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("_norm"),
+            array((0 until bands).map(k =>
+              signLshSignature(col(vecCol), planes, k * planes)): _*).as("_sigs"))
+          .select(col(idCol), col(vecCol), col("_norm"), col("_sigs"),
+            posexplode(col("_sigs")).as(Seq("band", "bucket")))
+        val l = sig.select(col("band"), col("bucket"), col(idCol).as("id_a"),
+          col(vecCol).as("v_a"), col("_norm").as("norm_a"),
+          col("_sigs").as("sigs_a"))
+        val r = sig.select(col("band"), col("bucket"), col(idCol).as("id_b"),
+          col(vecCol).as("v_b"), col("_norm").as("norm_b"),
+          col("_sigs").as("sigs_b"))
+        val firstAgreeing = (bands - 1 to 0 by -1).foldLeft(lit(bands): Column) {
+          (acc, k) => when(element_at(col("sigs_a"), k + 1) ===
+            element_at(col("sigs_b"), k + 1), lit(k)).otherwise(acc)
+        }
+        l.join(r, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(col("band") === firstAgreeing)
+      }
+    pairs
       .withColumn("cos", round(
         dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cos") >= threshold)
@@ -173,6 +193,54 @@ object Similarity {
       .select(col(cIdCol), col("n_members"), col(cVecCol))
   }
 
+  /** Lloyd's k-means to a movement fixpoint: repeat [[kmeansStep]] until
+    * the largest centroid L2 movement drops below `eps`, or `maxIter`
+    * rounds — the full IVF centroid builder (kmeansStep alone is one
+    * iteration; ivfAssign/ivfSearch take the result as their `centroids`).
+    *
+    * Every data-sized operation stays distributed; the ONLY rows that
+    * ever reach the driver are the k new centroids per round (k×dim
+    * doubles — the bound documented at [[kmeansStep]]). That collect is
+    * load-bearing twice over: the fixpoint test needs the values, and
+    * re-seeding the next round from a LITERAL k-row frame keeps every
+    * iteration's logical plan the same size (feeding the step's output
+    * plan back into itself would compound the lineage per round).
+    * Clusters that empty out drop from the frame (standard Lloyd).
+    *
+    * Returns (centroid_id, centroid) for the final round.
+    */
+  def kmeans(df: DataFrame, init: DataFrame, maxIter: Int = 10,
+             eps: Double = 1e-4,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             cIdCol: String = "centroid_id", cVecCol: String = "centroid")
+  : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toLocal(frame: DataFrame): Map[Long, Array[Double]] = frame
+      .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def toFrame(m: Map[Long, Array[Double]]): DataFrame =
+      m.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) }
+        .toDF(cIdCol, cVecCol)
+    var cur = toLocal(init)
+    var moved = Double.MaxValue
+    var it = 0
+    while (it < maxIter && moved >= eps) {
+      val next = toLocal(
+        kmeansStep(df, toFrame(cur), idCol, vecCol, cIdCol, cVecCol))
+      // movement over surviving clusters (k×dim driver-side doubles)
+      moved = next.map { case (id, v) =>
+        cur.get(id).fold(Double.MaxValue) { p =>
+          math.sqrt(v.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }.foldLeft(0.0)(math.max)
+      cur = next
+      it += 1
+    }
+    toFrame(cur)
+  }
+
   /** IVF probe search: rank, for each query, the corpus vectors living
     * in the query's `nprobe` closest centroid cells. The corpus is
     * scanned once to build (vector, cell) assignments; each query joins
@@ -201,8 +269,10 @@ object Similarity {
     val candidates = probed.join(corpusCells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("pair_cos", cosine(col("q_vec"), col("n_vec")))
-    Relational.topKPerGroup(candidates, k, Seq("query_id"),
-        Seq(col("pair_cos").desc, col("neighbor_id")))
+    // final ranking shares bruteForceKnn's k-bounded partial-agg shape:
+    // probed candidates never funnel into |queries| window reducers
+    Relational.topKPerGroupAgg(candidates, k, Seq("query_id"),
+        col("pair_cos"), col("neighbor_id"), "pair_cos", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("pair_cos"))
   }

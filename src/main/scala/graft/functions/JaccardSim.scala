@@ -25,6 +25,15 @@ import org.apache.spark.sql.types._
   * Inputs are [[ShingleHashes]] outputs, which are `array_distinct`'d by
   * construction; duplicates in the input would count once here (set
   * semantics), same as the array_intersect/union form.
+  *
+  * One DELIBERATE divergence from the algebra: two empty inputs yield
+  * 0.0 here, where `size(...)/size(...)` is a 0/0 division — NULL under
+  * non-ANSI SQL, a DIVIDE_BY_ZERO error under this project's ANSI
+  * sessions. The native form stays total (a primitive double keeps the
+  * null-safe codegen fast path), and the only consumer — a
+  * `>= threshold` filter — treats 0.0 and NULL alike. JaccardSimSpec
+  * pins this edge explicitly; the bit-equality property holds for all
+  * non-empty inputs.
   */
 case class JaccardSim(left: Expression, right: Expression)
   extends BinaryExpression {

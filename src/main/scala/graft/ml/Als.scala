@@ -66,6 +66,15 @@ object Als {
     * item lists are assembled distributed (groupBy + collect_list of the
     * SMALL per-user top-k / held-out sets — bounded state, no driver
     * round trip); the evaluator then reduces them to one number each.
+    *
+    * Denominator semantics: the inner join means metrics average over
+    * users WITH at least one held-out positive — a user whose test rows
+    * all fall below `relevanceThreshold` contributes nothing rather than
+    * a zero. That is the usual recommender-eval convention (zero-positive
+    * users have no ideal ranking, so NDCG is undefined for them), but it
+    * does make the averages look better than an all-users-scored-as-zero
+    * reading; left-join with empty label arrays if you want that stricter
+    * number.
     */
   def rankingEval(model: ALSModel, test: DataFrame, k: Int,
                   c: Config = Config(), relevanceThreshold: Double = 0.0)
@@ -84,11 +93,13 @@ object Als {
       .select(col(c.userCol),
         transform(col("s"), s => s.getField("i").cast("double")).as("label"))
     val joined = pred.join(truth, c.userCol).cache()
-    def metric(name: String): Double = new RankingEvaluator()
-      .setMetricName(name).setK(k)
-      .setPredictionCol("pred").setLabelCol("label")
-      .evaluate(joined)
-    (metric("meanAveragePrecisionAtK"), metric("ndcgAtK"))
+    try {
+      def metric(name: String): Double = new RankingEvaluator()
+        .setMetricName(name).setK(k)
+        .setPredictionCol("pred").setLabelCol("label")
+        .evaluate(joined)
+      (metric("meanAveragePrecisionAtK"), metric("ndcgAtK"))
+    } finally joined.unpersist()
   }
 
   /** Per-user top-k recommendations, unpacked distributed (explode +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -94,6 +94,54 @@ object Profile {
   def summaryAllApprox(df: DataFrame, cols: Seq[String],
                        accuracy: Int = 10000): DataFrame =
     summaryAllImpl(df, cols, exact = false, accuracy)
+
+  /** Oracle-checkable form of the sketch profile (q48/q51 tolerance
+    * gating): ONE wide aggregate computes both the exact interpolated
+    * percentiles and the `approx_percentile` sketch, and each percentile
+    * cell emits the EXACT value only when the sketch lands within `rtol`
+    * of it (else −1, which an exact oracle fails). A hash-match against
+    * the exact-percentile oracle therefore certifies the 100 TB sketch
+    * path's accuracy, not just the exact path — the same trick that
+    * makes q48's HLL and q51's t-digest driver-checkable.
+    */
+  def summaryAllGated(df: DataFrame, cols: Seq[String],
+                      accuracy: Int = 10000, rtol: Double = 0.01): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
+          .as(s"${c}__pct"),
+        approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(accuracy)).cast("array<double>").as(s"${c}__apct"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // |sketch − exact| ≤ rtol·|exact| + 1e-9 (the absolute epsilon keeps
+    // an exact-zero percentile gateable)
+    def gated(c: String, i: Int): Column = {
+      val exact = element_at(col(s"${c}__pct"), i)
+      val approx = element_at(col(s"${c}__apct"), i)
+      round(when(abs(approx - exact) <= abs(exact) * rtol + lit(1e-9), exact)
+        .otherwise(lit(-1.0)), 4)
+    }
+    val entries = cols.flatMap { c =>
+      Seq(lit(c),
+        struct(col(s"${c}__count").cast("long").as("n"),
+          round(col(s"${c}__mean"), 4).as("mean"),
+          round(col(s"${c}__stddev"), 4).as("stddev"),
+          col(s"${c}__min").as("min"),
+          gated(c, 1).as("p25"), gated(c, 2).as("p50"), gated(c, 3).as("p75"),
+          col(s"${c}__max").as("max")))
+    }
+    wide.select(explode(map(entries: _*)).as(Seq("column_name", "stats")))
+      .select(col("column_name"), col("stats.n").as("n"),
+        col("stats.mean").as("mean"), col("stats.stddev").as("stddev"),
+        col("stats.min").as("min"), col("stats.p25").as("p25"),
+        col("stats.p50").as("p50"), col("stats.p75").as("p75"),
+        col("stats.max").as("max"))
+  }
 
   private def summaryAllImpl(df: DataFrame, cols: Seq[String],
                              exact: Boolean, accuracy: Int = 10000): DataFrame = {

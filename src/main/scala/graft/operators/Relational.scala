@@ -63,6 +63,36 @@ object Relational {
       .filter(col(rankCol) <= k)
   }
 
+  /** Per-group top-k of a (score, id) ranking via the k-bounded
+    * [[graft.functions.TopKScoredAggregator]] — the shape to use when the
+    * group count is SMALL relative to the scored row count (kNN: |groups|
+    * = |queries|, scored rows = |queries|×|corpus|). A row_number window
+    * ([[topKPerGroup]]) would shuffle every scored row into |groups|
+    * reducers and sort there; this aggregate keeps k-bounded PARTIAL
+    * buffers map-side, so only k×|partitions| rows per group cross the
+    * shuffle no matter how large the corpus grows.
+    *
+    * Rank order is score descending, id ascending (deterministic for
+    * distinct ids). Output: groupCols ++ (idName, scoreName, rankCol).
+    */
+  def topKPerGroupAgg(df: DataFrame, k: Int, groupCols: Seq[String],
+                      score: Column, id: Column,
+                      scoreName: String, idName: String,
+                      rankCol: String = "rank"): DataFrame = {
+    // the buffer carries (double, long); unpack restores the caller's
+    // original id type so the operator is type-transparent like a window
+    val idType = df.select(id).schema.head.dataType
+    val topk = graft.functions.TopKScoredAggregator.topKScored(k)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk(score.cast("double"), id.cast("long")).as("_top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("_top")).as(Seq("_pos", "_s")): _*)
+      .select(groupCols.map(col) :+
+        col("_s.id").cast(idType).as(idName) :+
+        col("_s.score").as(scoreName) :+
+        (col("_pos") + 1).cast("long").as(rankCol): _*)
+  }
+
   /** As-of join: for every left row, the latest right row with
     * `rightTs <= leftTs` in the same key group (DuckDB/kdb ASOF JOIN
     * semantics, inclusive).

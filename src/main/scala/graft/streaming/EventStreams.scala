@@ -176,6 +176,29 @@ object EventStreams {
       }
       .start()
 
+  /** Materialize a finite stream through the foreachBatch parquet sink:
+    * complete-mode output overwrites `outDir` on every micro-batch, so
+    * after `processAllAvailable` the directory holds exactly the final
+    * aggregate state. This is the streaming-path RESULT (file source →
+    * incremental state → sink), not a batch re-run of the same transform
+    * — the one seam batch-parity testing can't cover, which is why q64
+    * declares it as an oracle-checked query.
+    *
+    * Complete mode (not append) because a finite input's watermark never
+    * passes the last window — append would withhold it forever; complete
+    * re-emits full state, and mode("overwrite") keeps the sink idempotent
+    * per batch.
+    */
+  def materializeToParquet(spark: SparkSession, df: DataFrame,
+                           outDir: String): DataFrame = {
+    val q = runForeachBatch(df, "complete") { (batch, _) =>
+      batch.write.mode("overwrite").parquet(outDir)
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Run a streaming query to completion against a finite source (test
     * harness: memory sink + processAllAvailable), returning the sink table.
     */

@@ -6,7 +6,12 @@ import org.apache.spark.sql.SparkSession
   * [passes]`. Same session config as Bench (local[SPARK_GRAFT_CPUS],
   * shuffle partitions = cores); prints per-pass seconds and the min —
   * the per-query view of Bench's min-of-2 protocol, for iterating on one
-  * plan without paying for the other 58.
+  * plan without paying for the other queries.
+  *
+  * Like Bench, the action is `.count()`: Catalyst may prune columns and
+  * drop the final orderBy the Verify path pays for, so treat these as
+  * RELATIVE numbers (same discount every pass/round); absolute parity
+  * with Verify would need a noop write or collect.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {

@@ -89,6 +89,35 @@ class DedupSpec extends SparkTestBase {
     assert(!kept.contains(2), s"2 has lower-id near-dup 1: $kept")
   }
 
+  test("q63 LSH corpus dedup is sound: kept set ⊇ the exact path's kept set") {
+    // the q63 composition on the q63 corpus: MinHash-LSH candidates are
+    // VERIFIED with exact hash-Jaccard, so every emitted pair must also
+    // appear in the exhaustive inverted-index pair set at the same
+    // threshold — LSH can only MISS pairs (recall, measured in
+    // LshRecallSpec), never invent them. Hence dropNearDups over the LSH
+    // pairs keeps a superset of what the exact path keeps.
+    val docs = SparkEntry.withNearDups(spark, sf)
+    val lshPairsDf = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5)
+    val lshPairs = lshPairsDf
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exactPairsDf = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3)
+      .filter(round($"jaccard", 4) >= 0.5)
+    val exactPairs = exactPairsDf
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.nonEmpty, "constructed near-dups should be recalled")
+    assert(lshPairs.subsetOf(exactPairs),
+      s"LSH invented pairs: ${lshPairs.diff(exactPairs).take(3)}")
+
+    val keptLsh = Dedup.dropNearDups(docs, lshPairsDf, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    val keptExact = Dedup.dropNearDups(docs, exactPairsDf, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptExact.subsetOf(keptLsh),
+      s"LSH dropped docs the exact path kept: ${keptLsh.diff(keptExact).take(3)}")
+  }
+
   test("hot-posting cap bounds the stop-shingle pair explosion") {
     // adversarial corpus: 60 docs share ONE boilerplate shingle, each with
     // otherwise-unique content — uncapped, that single posting list makes

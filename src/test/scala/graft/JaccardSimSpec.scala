@@ -36,6 +36,29 @@ class JaccardSimSpec extends SparkTestBase {
     }
   }
 
+  test("documented divergence: two empty inputs → 0.0 where the algebra fails") {
+    // the one edge where native ≠ algebra, by design (primitive-double
+    // codegen): 0/0 in the algebra is NULL under non-ANSI SQL and a
+    // DIVIDE_BY_ZERO error under the session's ANSI mode — the native
+    // form returns a total 0.0 either way, and any >= threshold filter
+    // treats all three outcomes identically. Pinned here so the
+    // divergence stays documented-and-tested, not latent
+    val bothEmpty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    assert(bothEmpty.select(JaccardSim($"a", $"b")).head().getDouble(0) === 0.0)
+    val e = intercept[Exception] {
+      bothEmpty.select(algebra($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"), e.getMessage)
+    // one-empty: both forms agree on 0.0 (0/n is well-defined)
+    val out = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(3L), Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(JaccardSim($"a", $"b").as("native"), algebra($"a", $"b").as("alg"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0)
+    }
+  }
+
   test("equals the algebra over real shingle hashes from the file scan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), ShingleHashes(col("text"), 3).as("sh"))

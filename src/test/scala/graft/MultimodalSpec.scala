@@ -73,6 +73,40 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("Pgm decodes the checked-in fixture byte-for-byte") {
+    val bytes = getClass.getResourceAsStream("/fixture.pgm").readAllBytes()
+    val img = Multimodal.Pgm.decode(bytes)
+    assert(img.width === 4 && img.height === 3 && img.maxVal === 255)
+    // 4x3 gradient written as pixel i = 10*i (header carries a #-comment
+    // line, so the tokenizer's comment path is exercised too)
+    assert(img.pixels.toSeq === (0 until 12).map(_ * 10))
+    // malformed input fails loudly, never silently garbles
+    intercept[IllegalArgumentException] {
+      Multimodal.Pgm.decode("not a pgm".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.Pgm.decode(bytes.dropRight(2))
+    }
+  }
+
+  test("PgmModel rides batchedFeatures exactly like the stub (real codec path)") {
+    val bytes = getClass.getResourceAsStream("/fixture.pgm").readAllBytes()
+    val df = Seq((1L, bytes), (2L, bytes)).toDF("doc_id", "blob")
+    val out = Multimodal.batchedFeatures(df, "doc_id", "blob",
+        batchSize = 8, dims = 4, model = Multimodal.PgmModel)
+      .orderBy($"doc_id").as[(Long, Seq[Float])].collect()
+    assert(out.length === 2)
+    // feature d = mean of pixels ≡ d (mod 4), normalized by maxVal:
+    // pixels 0,10,…,110 → lane d holds {10d, 10d+40, 10d+80}
+    val expected = (0 until 4).map(d => ((10 * d + 40).toDouble / 255).toFloat)
+    out.foreach { case (_, f) =>
+      assert(f.size === 4)
+      f.zip(expected).foreach { case (got, exp) =>
+        assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+      }
+    }
+  }
+
   test("pipeline emits one feature row per document, no shuffle") {
     val df = Seq((1, "doc one"), (2, "doc two")).toDF("doc_id", "text")
     val out = Multimodal.pipeline(df, "text", "doc_id")

@@ -55,6 +55,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("array_intersect"), s"interpreted verify survived:\n$p")
   }
 
+  test("q33 kNN ranking is a k-bounded partial aggregate, not a window") {
+    val p = plan(SparkEntry.queries("q33_knn_brute")(spark, sf))
+    // the ranking stage must keep k-bounded PARTIAL buffers map-side
+    // (ObjectHashAggregate over the typed TopKScoredAggregator); a
+    // row_number window partitioned by query_id would shuffle every
+    // scored corpus row into |queries| reducers — the named 100×
+    // scale-killer
+    assert(p.contains("ObjectHashAggregate"), s"no object hash agg:\n$p")
+    assert(p.contains("partial_topkscoredaggregator") ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"ranking fell back to a window:\n$p")
+  }
+
+  test("q47 IVF search ranking has no window node either") {
+    val p = plan(SparkEntry.queries("q47_ivf_search")(spark, sf))
+    // ivfAssign's per-vector argmax keeps its window (partitioned by the
+    // high-cardinality vec_id — that one is fine); the per-QUERY final
+    // ranking must not contribute one. nprobe/assign windows partition by
+    // vec_id only, so any window partitioned by query_id is a regression
+    assert(p.contains("ObjectHashAggregate"), s"no object hash agg:\n$p")
+    assert(!p.contains("windowspecdefinition(query_id"),
+      s"final ranking fell back to a per-query window:\n$p")
+  }
+
   test("aggregate-then-join keeps join input at |items| not |ratings|") {
     val ratings = Tables.load(spark, sf, "lineitem")
     val items = Tables.load(spark, sf, "part")

@@ -82,6 +82,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c4(0)) < 1e-6 && math.abs(c4(1) - 2.9 / 3) < 1e-6, c4)
   }
 
+  test("kmeans loops to a fixpoint; within-cluster cosine never degrades") {
+    val blobs = vecs(
+      1 -> Seq(1f, 0.1f), 2 -> Seq(1f, -0.1f), 3 -> Seq(0.9f, 0f),
+      4 -> Seq(0.1f, 1f), 5 -> Seq(-0.1f, 1f), 6 -> Seq(0f, 0.9f))
+    // deliberately poor init: both seeds inside the x-blob, so the loop
+    // has real work to do before the y-blob gets its own centroid
+    val init = vecs(10 -> Seq(1f, 0.1f), 20 -> Seq(0.9f, 0f))
+      .select($"vec_id".cast("long").as("centroid_id"),
+        transform($"embedding", x => x.cast("double")).as("centroid"))
+    // mean best-centroid cosine (unrounded — ivfAssign's 4-dp display
+    // rounding would mask sub-1e-4 movement)
+    def quality(cents: org.apache.spark.sql.DataFrame): Double =
+      blobs.join(broadcast(cents))
+        .withColumn("c", Similarity.cosine($"embedding", $"centroid"))
+        .groupBy($"vec_id").agg(max($"c").as("best"))
+        .agg(avg($"best")).head().getDouble(0)
+
+    var cur = init
+    var prevQ = quality(cur)
+    for (_ <- 1 to 3) {
+      cur = Similarity.kmeansStep(blobs, cur)
+        .select($"centroid_id", $"centroid")
+      val q = quality(cur)
+      assert(q >= prevQ - 1e-9, s"quality degraded: $q < $prevQ")
+      prevQ = q
+    }
+
+    val fix = Similarity.kmeans(blobs, init, maxIter = 10, eps = 1e-9)
+    // a fixpoint means one more step moves nothing
+    val before = fix.as[(Long, Seq[Double])].collect().toMap
+    val after = Similarity.kmeansStep(blobs, fix)
+      .select($"centroid_id", $"centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(before.keySet === after.keySet)
+    before.foreach { case (id, v) =>
+      v.zip(after(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"centroid $id still moving")
+      }
+    }
+    // and the fixpoint actually separated the blobs
+    assert(quality(fix) > 0.99, s"blobs not separated: ${quality(fix)}")
+  }
+
   test("kmeansStep member counts match ivfAssign on the same centroids") {
     val df = vecs(1 -> Seq(1f, 0f), 2 -> Seq(0f, 1f), 3 -> Seq(0.9f, 0.05f))
     val centroids = vecs(10 -> Seq(1f, 0f), 20 -> Seq(0f, 1f))
