@@ -454,6 +454,24 @@ object SparkEntry {
         .orderBy(col("centroid_id"))
     }),
 
+    // the ITERATED centroid builder (Similarity.kmeans, two Lloyd rounds
+    // from the q60 seeds): each round is fully distributed, only the
+    // k-row centroid frame crosses iterations. Oracle unrolls both
+    // rounds in SQL; output is the q60-style scalar signature (dim-0 +
+    // L2 norm) so the full mean vectors are hash-checked without array
+    // compares
+    "q65_kmeans_converged" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      ext.Similarity.kmeans(emb, seeds, maxIter = 2, eps = 0.0)
+        .select(col("centroid_id"),
+          round(element_at(col("centroid"), 1) + lit(1e-9), 4).as("c0"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0),
+            (a, x) => a + x * x)) + lit(1e-9), 4).as("cnorm"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // latest prior view per purchase — union+window as-of join (one
     // shuffle on user_id, no candidate-pair explosion)
     "q39_asof_join" -> ((s, dir) => {
@@ -1218,6 +1236,44 @@ object SparkEntry {
         |       round(s.cnorm + 1e-9, 4) AS cnorm
         |FROM sums s JOIN cnt c USING (centroid_id)
         |ORDER BY centroid_id""".stripMargin,
+
+    // q60's assignment/mean CTEs unrolled TWICE: cent1 rebuilds arrays
+    // from the per-dim means (list ORDER BY pos), asg2 re-runs the
+    // argmax against cent1, dims2 yields the round-2 means
+    "q65_kmeans_converged" ->
+      """WITH cent0 AS (SELECT vec_id AS centroid_id,
+        |                      CAST(embedding AS DOUBLE[]) AS centroid
+        |               FROM embeddings WHERE vec_id < 8),
+        |asg1 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |               c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+        |dims1 AS (SELECT a.centroid_id, i.pos,
+        |                 avg(CAST(e.embedding[i.pos] AS DOUBLE)) AS m
+        |          FROM asg1 a JOIN embeddings e USING (vec_id),
+        |               LATERAL (SELECT unnest(generate_series(1,
+        |                 len(e.embedding))) AS pos) i
+        |          GROUP BY 1, 2),
+        |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS centroid
+        |          FROM dims1 GROUP BY 1),
+        |asg2 AS (SELECT vec_id, centroid_id FROM (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |               c.centroid) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent1 c) WHERE rn = 1),
+        |dims2 AS (SELECT a.centroid_id, i.pos,
+        |                 avg(CAST(e.embedding[i.pos] AS DOUBLE)) AS m
+        |          FROM asg2 a JOIN embeddings e USING (vec_id),
+        |               LATERAL (SELECT unnest(generate_series(1,
+        |                 len(e.embedding))) AS pos) i
+        |          GROUP BY 1, 2)
+        |SELECT centroid_id,
+        |       round(max(CASE WHEN pos = 1 THEN m END) + 1e-9, 4) AS c0,
+        |       round(sqrt(sum(m*m)) + 1e-9, 4) AS cnorm
+        |FROM dims2 GROUP BY 1 ORDER BY centroid_id""".stripMargin,
 
     "q48_approx_distinct" ->
       """SELECT l_returnflag,
