@@ -684,17 +684,23 @@ object SparkEntry {
     // incremental state) materialized via the foreachBatch parquet sink,
     // then hash-checked against the batch oracle
     "q64_stream_materialized" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q64").toString
       // stage the batch table as a DIRECTORY of time-ranged files (the
       // file-stream source ingests directories, one file per
-      // micro-batch) — the realistic ordered-ingestion shape
-      val src = s"$tmp/src"
-      t(s, dir, "events").repartitionByRange(4, col("ts"))
-        .write.parquet(src)
+      // micro-batch — the realistic ordered-ingestion shape). The
+      // staging dir is keyed by the sf dir and REUSED across calls
+      // (Bench runs each query twice): re-staging per pass would bill
+      // the streaming query for a batch write it doesn't own
+      val src = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q64_src_${Integer.toHexString(dir.hashCode)}")
+      if (!new java.io.File(src, "_SUCCESS").exists())
+        t(s, dir, "events").repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(src.toString)
       val stream = streaming.EventStreams.readEventStream(
-        s, src, s.read.parquet(src).schema)
+        s, src.toString, s.read.parquet(src.toString).schema)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q64_out").toString
       streaming.EventStreams.materializeToParquet(s,
-          streaming.EventStreams.windowedCounts(stream), s"$tmp/out")
+          streaming.EventStreams.windowedCounts(stream), out)
         .orderBy(col("window_start"), col("event_type"))
     }),
 

@@ -143,11 +143,36 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a decoded image — the standard
+    * pre-inference normalization step (every vision model wants a fixed
+    * input size). Pure integer arithmetic (source index =
+    * floor(target·src/dst) per axis), so the result is deterministic
+    * and spec-checkable byte-for-byte; swap in a bilinear kernel behind
+    * the same signature if quality matters more than exactness.
+    */
+  def resize(img: PgmImage, newW: Int, newH: Int): PgmImage = {
+    require(newW > 0 && newH > 0, s"bad target ${newW}x$newH")
+    val px = new Array[Int](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = y * img.height / newH
+      var x = 0
+      while (x < newW) {
+        px(y * newW + x) = img.pixels(sy * img.width + x * img.width / newW)
+        x += 1
+      }
+      y += 1
+    }
+    PgmImage(newW, newH, img.maxVal, px)
+  }
+
   /** Real codec path behind the [[BatchModel]] interface: decode each
     * blob as a P5 PGM and emit `dims` features — feature d is the mean
     * of pixels at indices ≡ d (mod dims), normalized by maxVal. A
     * uniform strided pooling: deterministic, covers every pixel, and
     * exercises the same batched mapPartitions plumbing as the stub.
+    * Compose with [[resize]] upstream when a fixed input raster is
+    * required.
     */
   object PgmModel extends BatchModel {
     def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =

@@ -89,6 +89,21 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("resize: nearest-neighbor downscale and upscale, exact pixels") {
+    val bytes = getClass.getResourceAsStream("/fixture.pgm").readAllBytes()
+    val img = Multimodal.Pgm.decode(bytes) // 4x3, pixel i = 10*i
+    val down = Multimodal.resize(img, 2, 1)
+    // source index: y*3/1=0... row sy = y*h/newH = 0; x: 0*4/2=0, 1*4/2=2
+    assert(down.width === 2 && down.height === 1 && down.maxVal === 255)
+    assert(down.pixels.toSeq === Seq(0, 20))
+    val up = Multimodal.resize(img, 8, 3)
+    assert(up.width === 8 && up.height === 3)
+    // each source column doubles: row 0 of source is 0,10,20,30
+    assert(up.pixels.take(8).toSeq === Seq(0, 0, 10, 10, 20, 20, 30, 30))
+    // identity resize is a no-op
+    assert(Multimodal.resize(img, 4, 3).pixels.toSeq === img.pixels.toSeq)
+  }
+
   test("PgmModel rides batchedFeatures exactly like the stub (real codec path)") {
     val bytes = getClass.getResourceAsStream("/fixture.pgm").readAllBytes()
     val df = Seq((1L, bytes), (2L, bytes)).toDF("doc_id", "blob")

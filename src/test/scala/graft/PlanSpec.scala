@@ -55,6 +55,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("array_intersect"), s"interpreted verify survived:\n$p")
   }
 
+  test("q62 gated profile computes exact + sketch in ONE scan and agg pass") {
+    val p = plan(SparkEntry.queries("q62_summary_profile_sketch")(spark, sf))
+    // the tolerance gate must not cost a second table read or a join of
+    // two profiles — both percentile forms live in the same wide
+    // aggregate over one lineitem scan
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"gate should not join two profiles:\n$p")
+    assert(p.contains("approx_percentile") && p.contains("percentile("),
+      s"both percentile forms should be in the plan:\n$p")
+  }
+
   test("q33 kNN ranking is a k-bounded partial aggregate, not a window") {
     val p = plan(SparkEntry.queries("q33_knn_brute")(spark, sf))
     // the ranking stage must keep k-bounded PARTIAL buffers map-side
