@@ -216,6 +216,9 @@ object Similarity {
   : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the ONLY collect in this codebase: k rows of k×dim doubles — the
+    // fixpoint needs the values on the driver and re-seeding from a
+    // literal frame keeps iteration plans constant-size (see scaladoc)
     def toLocal(frame: DataFrame): Map[Long, Array[Double]] = frame
       .select(col(cIdCol).cast("long"), col(cVecCol).cast("array<double>"))
       .collect()
