@@ -386,6 +386,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // semantic (embedding-cosine) dedup, cell-bounded — the SemDeDup
+    // shape: nearest-centroid assignment bounds the pair join to
+    // Σ|cell|², never |corpus|². Exact duplicate vectors are injected
+    // (vec_id+100000 copies, reproducible in SQL) so the pipeline has
+    // true positives; they always share a cell, so the full
+    // assign → in-cell pair → min-id-representative chain hash-checks
+    "q66_dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val pairs = ext.Dedup.embeddingNearDups(corpus, centroids,
+        threshold = 0.9)
+      ext.Dedup.dropNearDups(corpus, pairs, "vec_id")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q33_knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ext.Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
@@ -1104,6 +1124,35 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // unrolls the SemDeDup chain: duplicate injection → nearest-centroid
+    // assignment (q38's argmax, over the widened corpus) → in-cell pairs
+    // at cosine ≥ 0.9 → drop the id_b side. Injected copies are exact,
+    // so cos(copy, original) ≈ 1 and no value sits near the threshold
+    "q66_dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |cent AS (SELECT vec_id AS centroid_id,
+        |                CAST(embedding AS DOUBLE[]) AS c
+        |         FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, emb, centroid_id FROM (
+        |    SELECT v.vec_id, v.emb, c.centroid_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.emb, c.c) DESC,
+        |                 c.centroid_id) AS rn
+        |    FROM corpus v CROSS JOIN cent c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+        |ORDER BY vec_id""".stripMargin,
 
     "q38_ivf_assign" ->
       """SELECT vec_id, centroid_id FROM (

@@ -226,4 +226,42 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Embedding-cosine near-duplicate pairs, cell-bounded (the SemDeDup
+    * shape): assign every vector to its nearest centroid via the same
+    * broadcast argmax-cosine as [[Similarity.ivfAssign]] (same tie-break,
+    * so IVF search and semantic dedup agree on cells), then score ONLY
+    * within-cell pairs. Pair cost is Σ|cell|² instead of |corpus|² — the
+    * property that makes semantic dedup feasible at 100 TB, where the
+    * all-pairs join is not a plan. Recall < 1 by construction (a near-dup
+    * pair split across two cells is missed — raise k-means quality or
+    * probe neighboring cells to recover); EXACT copies always share a
+    * cell, since identical vectors produce identical centroid cosines.
+    *
+    * The corpus is scanned once; the vector rides through the argmax
+    * window (no re-join to fetch it back). The self-join shuffles both
+    * sides on `centroid_id` — one exchange, reused across the two sides.
+    * Emits (id_a, id_b, cos) with id_a < id_b, ready for
+    * [[dropNearDups]].
+    */
+  def embeddingNearDups(df: DataFrame, centroids: DataFrame,
+                        threshold: Double, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        cIdCol: String = "centroid_id",
+                        cVecCol: String = "centroid"): DataFrame = {
+    import graft.operators.Relational
+    val joined = df.join(broadcast(centroids))
+      .withColumn("_cos", Similarity.cosine(col(vecCol), col(cVecCol)))
+    val asg = Relational.topKPerGroup(joined, 1, Seq(idCol),
+        Seq(col("_cos").desc, col(cIdCol)))
+      .select(col(cIdCol), col(idCol), col(vecCol))
+    val a = asg.select(col(cIdCol),
+      col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = asg.select(col(cIdCol).as("_cid_b"),
+      col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col(cIdCol) === col("_cid_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

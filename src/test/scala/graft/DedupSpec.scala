@@ -141,4 +141,35 @@ class DedupSpec extends SparkTestBase {
     // 9 tokens → 7 shingles each, 6 shared → 6 / (7+7−6) = 0.75
     assert(capped.toSeq === Seq((1000, 1001, 0.75)))
   }
+
+  test("embeddingNearDups: exact copies caught, cross-cell pairs bounded") {
+    // two well-separated directions (cells) in 4-d; exact copies of ids
+    // 1 and 10, plus an orthogonal singleton that must survive
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.05f, 0.0f, 0.0f)), // near id 1: cos ≈ 0.999
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f)), // orthogonal to everything
+      (101L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy of 1
+      (110L, Array(0.0f, 1.0f, 0.0f, 0.0f))) // exact copy of 10
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.1f, 0.9f, 0.1f, 0.0f)))
+      .toDF("centroid_id", "centroid")
+
+    val pairs = Dedup.embeddingNearDups(vecs, cents, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // exact copies always share their original's cell → always found;
+    // 2 is in 1's cell at cos ≈ 0.999; 11 sits in cell 1 (z leans to
+    // the second centroid) but is orthogonal to 10/110 → below threshold
+    assert(pairs === Set((1L, 2L), (1L, 101L), (2L, 101L), (10L, 110L)))
+
+    val kept = Dedup.dropNearDups(vecs, Dedup.embeddingNearDups(
+        vecs, cents, threshold = 0.9), "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    // min-id representatives survive: 1 keeps its group (2, 101 drop),
+    // 10 keeps 110 out, 11 is untouched
+    assert(kept === Set(1L, 10L, 11L))
+  }
 }
