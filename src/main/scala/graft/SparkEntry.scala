@@ -729,6 +729,25 @@ object SparkEntry {
     // Bernoulli sample lands within 10% of its target fraction (>6σ at
     // this SF) — the hash compare then asserts sampler accuracy without
     // requiring engine-identical RNG
+    // deterministic per-group sample: k smallest md5 hash scores per
+    // (lang, source), ranked by the k-bounded partial aggregate (NOT a
+    // window — |groups| is tiny vs corpus size). The hash is recomputed
+    // bit-identically by the oracle, so the exact sampled ids hash-match
+    "q67_group_sample" -> ((s, dir) =>
+      ext.Sampling.groupSample(t(s, dir, "documents"), k = 3,
+          Seq("lang", "source"), "doc_id", seed = 42L)
+        .orderBy(col("lang"), col("source"), col("rank"))),
+
+    // weighted corpus mixture: per-source Bernoulli keep-rates from a
+    // literal rate table, u = md5-hash/2^52 < rate. Map-side only; the
+    // oracle recomputes the identical hash and rate CASE
+    "q68_weighted_mix" -> ((s, dir) =>
+      ext.Sampling.weightedMix(t(s, dir, "documents"), "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1, idCol = "doc_id", seed = 42L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+
     "q59_stratified_sample" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val fractions = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.3)
@@ -1453,6 +1472,28 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // recomputes the 52-bit md5 hash score bit-identically and takes
+    // the k smallest per (lang, source) — the window formulation is
+    // fine for the oracle, only the Spark side needs the k-bounded shape
+    "q67_group_sample" ->
+      """SELECT lang, source, doc_id, rank FROM (
+        |  SELECT lang, source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY CAST(concat('0x', substr(
+        |          md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 13))
+        |        AS BIGINT), doc_id) AS BIGINT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, source, rank""".stripMargin,
+
+    "q68_weighted_mix" ->
+      """SELECT source, doc_id FROM documents
+        |WHERE CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0
+        |  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q46_subword_stats" ->
       """SELECT doc_id,

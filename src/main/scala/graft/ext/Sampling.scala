@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Both operators derive their randomness from a cryptographic hash of
+  * (seed, row id) instead of an RNG: the sample is a pure function of
+  * the data — reproducible across runs, clusters, partitionings, and
+  * engines (the DuckDB oracle recomputes the identical hash), and
+  * stable under re-partitioning, which `DataFrame.sample`'s
+  * per-partition RNG streams are not. That determinism is what lets a
+  * 100 TB pipeline re-derive exactly which rows made the training mix
+  * months later.
+  */
+object Sampling {
+
+  /** Uniform hash score in [0, 2^52): the first 13 hex digits of
+    * md5(seed ":" id) as an integer. 52 bits so the value is exactly
+    * representable as a Double (the TopKScored buffer currency) and
+    * exactly reproducible in SQL
+    * (`CAST(concat('0x', substr(md5(..), 1, 13)) AS BIGINT)`).
+    */
+  def hashScore(id: Column, seed: Long): Column =
+    conv(substring(md5(concat(lit(seed.toString + ":"),
+      id.cast("string"))), 1, 13), 16, 10).cast("long")
+
+  /** Uniform-without-replacement sample of k rows per group: keep the k
+    * smallest hash scores within each group. Ranked by the k-bounded
+    * [[graft.functions.TopKScoredAggregator]] partial aggregate — map
+    * tasks keep at most k candidates per group, so only k×|partitions|
+    * rows per group cross the shuffle. The row_number-window
+    * formulation would funnel the ENTIRE corpus into |groups| reducers
+    * — the exact shape the kNN ranking had to abandon — and |groups|
+    * (e.g. language × source) is typically tiny relative to corpus
+    * size, making this the difference between a plan that survives
+    * 100 TB and one that does not.
+    *
+    * Output: groupCols ++ (idCol, rankCol), rank 1..k by ascending
+    * hash (id-ascending tie-break via the aggregator's ordering).
+    */
+  def groupSample(df: DataFrame, k: Int, groupCols: Seq[String],
+                  idCol: String, seed: Long = 42L,
+                  rankCol: String = "rank"): DataFrame =
+    // aggregator ranks score DESCENDING; negate for smallest-hash-first
+    Relational.topKPerGroupAgg(df, k, groupCols,
+        -hashScore(col(idCol), seed).cast("double"), col(idCol),
+        "_neg_hash", idCol, rankCol)
+      .select((groupCols :+ idCol :+ rankCol).map(col): _*)
+
+  /** Weighted corpus mixture: per-source Bernoulli sampling at the
+    * given rates (a training-mix staple — e.g. keep all of wikipedia,
+    * 10% of common-crawl). A row survives iff its uniform hash
+    * u = hashScore/2^52 < rate(source); sources absent from `rates`
+    * get `defaultRate`. Map-side only — a codegen'd CASE over the
+    * (small, literal) rate table and one hash per row; no shuffle, no
+    * RNG state, and the kept set is independent of partitioning.
+    */
+  def weightedMix(df: DataFrame, sourceCol: String,
+                  rates: Map[String, Double], defaultRate: Double,
+                  idCol: String, seed: Long = 42L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      hashScore(col(idCol), seed).cast("double") / lit(4503599627370496.0)
+        < rate)
+  }
+}

@@ -81,6 +81,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"ranking fell back to a window:\n$p")
   }
 
+  test("q67 group sample ranks via the k-bounded aggregate, not a window") {
+    val p = plan(SparkEntry.queries("q67_group_sample")(spark, sf))
+    // |groups| = |lang × source| is tiny vs corpus size: a row_number
+    // window here would funnel the whole corpus into a handful of
+    // reducers — same contract as the q33 ranking
+    assert(p.contains("ObjectHashAggregate"), s"no object hash agg:\n$p")
+    assert(!p.contains("Window"), s"sampling fell back to a window:\n$p")
+  }
+
   test("q47 IVF search ranking has no window node either") {
     val p = plan(SparkEntry.queries("q47_ivf_search")(spark, sf))
     // ivfAssign's per-vector argmax keeps its window (partitioned by the

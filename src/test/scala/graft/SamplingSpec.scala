@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"grp${i % 4}")).toDF("id", "grp")
+
+  test("groupSample: k rows per group, partition-layout independent") {
+    val df = corpus(400)
+    val s1 = Sampling.groupSample(df, 5, Seq("grp"), "id")
+      .select($"grp", $"id", $"rank").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(s1.groupBy(_._1).forall(_._2.length == 5))
+    // the sample is a pure function of the data: reshuffling the input
+    // across partitions must not change which rows are picked (the
+    // property DataFrame.sample's per-partition RNG streams lack)
+    val s2 = Sampling.groupSample(df.repartition(17, $"id"), 5,
+        Seq("grp"), "id")
+      .select($"grp", $"id", $"rank").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(s1.toSeq === s2.toSeq)
+  }
+
+  test("groupSample: different seeds draw different samples") {
+    val df = corpus(400)
+    def ids(seed: Long) =
+      Sampling.groupSample(df, 5, Seq("grp"), "id", seed = seed)
+        .select($"id").as[Long].collect().toSet
+    assert(ids(42L) !== ids(7L))
+  }
+
+  test("groupSample matches the sort-by-hash formulation exactly") {
+    val df = corpus(200)
+    val agg = Sampling.groupSample(df, 3, Seq("grp"), "id")
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    // oracle shape: global sort by the same hash within each group
+    val byHash = df
+      .withColumn("_h", Sampling.hashScore($"id", 42L))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp").orderBy($"_h", $"id")))
+      .filter($"_rn" <= 3)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(agg === byHash)
+  }
+
+  test("weightedMix: rates honored within tolerance, deterministic") {
+    val df = (0 until 4000).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("id", "src")
+    val kept = Sampling.weightedMix(df, "src",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 0.25, idCol = "id")
+      .groupBy($"src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("src0") === 1000L)            // rate 1.0 keeps everything
+    assert(!kept.contains("src2"))            // rate 0.0 keeps nothing
+    assert(math.abs(kept("src1") - 500L) < 100, s"src1: ${kept("src1")}")
+    assert(math.abs(kept("src3") - 250L) < 75, s"src3: ${kept("src3")}")
+    // determinism: the kept id set is identical across re-runs
+    def keptIds() = Sampling.weightedMix(df.repartition(13), "src",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0),
+        defaultRate = 0.25, idCol = "id")
+      .select($"id").as[Long].collect().toSet
+    assert(keptIds() === keptIds())
+  }
+}
