@@ -729,6 +729,20 @@ object SparkEntry {
     // Bernoulli sample lands within 10% of its target fraction (>6σ at
     // this SF) — the hash compare then asserts sampler accuracy without
     // requiring engine-identical RNG
+    // LLM-pretraining sequence packing: every doc's token interval in
+    // the id-ordered corpus concatenation + the 512-token chunks it
+    // spans. The global cumsum is a hierarchical prefix-sum (bucket
+    // totals → tiny bucket-summary window → within-bucket windows), so
+    // no full-corpus single-reducer sort; all-integer → exact oracle.
+    // bucketSize=64 so sf0.01's 500 docs exercise ~8 real buckets
+    "q69_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ext.TextOps.packSequences(docs, "doc_id",
+          ext.TextOps.tokenCount(col("text")), budget = 512L,
+          bucketSize = 64L)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic per-group sample: k smallest md5 hash scores per
     // (lang, source), ranked by the k-bounded partial aggregate (NOT a
     // window — |groups| is tiny vs corpus size). The hash is recomputed
@@ -1472,6 +1486,24 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle's global-order window IS the semantics; only the Spark
+    // side needs the hierarchical decomposition. All-integer arithmetic
+    "q69_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |x AS (SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(floor(start_off / 512) AS BIGINT) AS chunk_first,
+        |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 512)
+        |    AS BIGINT) AS chunk_last
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // recomputes the 52-bit md5 hash score bit-identically and takes
     // the k smallest per (lang, source) — the window formulation is

@@ -154,4 +154,52 @@ object TextOps {
     */
   def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
     slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
+
+  /** Concat-and-chunk sequence packing: assign every document its token
+    * interval in the id-ordered concatenation of the corpus, and the
+    * fixed-size chunk ids that interval lands in — the packing step of
+    * an LLM pretraining pipeline (concatenate all text, split into
+    * budget-sized training sequences; documents may straddle chunk
+    * boundaries).
+    *
+    * The global running sum is a distributed HIERARCHICAL prefix-sum,
+    * not one global-order window (which would sort the entire corpus in
+    * a single reducer — unusable at 100 TB):
+    *   1. bucket docs by contiguous id range (`bucketSize` ids/bucket)
+    *      and aggregate per-bucket token totals — a map-side-combined
+    *      shuffle on the high-cardinality bucket key;
+    *   2. exclusive-prefix-sum the BUCKET SUMMARIES with one
+    *      unpartitioned window — |corpus|/bucketSize rows (~1e5 at 1e11
+    *      docs with the default 2^20), the only single-reducer step and
+    *      it never touches full-size data;
+    *   3. broadcast the bucket offsets back and add the within-bucket
+    *      exclusive cumsum — a window partitioned by the bucket key.
+    *
+    * All-integer arithmetic end-to-end, so the assignment is exact and
+    * engine-independent. Zero-length docs occupy their start chunk
+    * (`greatest(len, 1)` in the last-chunk bound).
+    *
+    * Output: idCol, n_tokens, start_off, chunk_first, chunk_last.
+    */
+  def packSequences(df: DataFrame, idCol: String, len: Column,
+                    budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol), len.cast("long").as("n_tokens"))
+      .withColumn("_bucket", floor(col(idCol) / bucketSize).cast("long"))
+    val bucketOffsets = docs.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_btot"))
+      .withColumn("_boff", coalesce(
+        sum(col("_btot")).over(Window.orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bucket"), col("_boff"))
+    val w = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), Seq("_bucket"))
+      .withColumn("start_off",
+        col("_boff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("start_off"),
+        floor(col("start_off") / budget).cast("long").as("chunk_first"),
+        floor((col("start_off") + greatest(col("n_tokens"), lit(1L)) - 1)
+          / budget).cast("long").as("chunk_last"))
+  }
 }

@@ -90,6 +90,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"sampling fell back to a window:\n$p")
   }
 
+  test("q69 packing: the only unpartitioned window is over bucket summaries") {
+    val p = plan(SparkEntry.queries("q69_pack_sequences")(spark, sf))
+    // full-size data flows only through the _bucket-partitioned window;
+    // the single-reducer exclusive-prefix window must sit above the
+    // bucket aggregate (|corpus|/bucketSize rows), never the corpus
+    val unpart = "windowspecdefinition\\((doc_id|n_tokens)"
+      .r.findAllIn(p).size
+    assert(p.contains("windowspecdefinition(_bucket"),
+      s"within-bucket cumsum should partition by _bucket:\n$p")
+    assert(unpart == 0,
+      s"a window ordered directly over corpus columns (no bucket partition):\n$p")
+  }
+
   test("q47 IVF search ranking has no window node either") {
     val p = plan(SparkEntry.queries("q47_ivf_search")(spark, sf))
     // ivfAssign's per-vector argmax keeps its window (partitioned by the

@@ -70,4 +70,46 @@ class TextOpsSpec extends SparkTestBase {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1) > q(2))
   }
+
+  test("packSequences: hierarchical prefix-sum == one global window") {
+    import org.apache.spark.sql.expressions.Window
+    // ids with gaps and shuffled insert order; bucketSize=4 forces many
+    // buckets so the bucket-offset + within-bucket path really composes
+    val df = Seq(7L, 1L, 22L, 3L, 15L, 8L, 2L, 30L, 9L)
+      .map(id => (id, ("tok " * (id % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = graft.ext.TextOps.packSequences(df, "doc_id",
+        graft.ext.TextOps.tokenCount($"text"), budget = 7L, bucketSize = 4L)
+      .select($"doc_id", $"start_off", $"chunk_first", $"chunk_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val global = df
+      .withColumn("n", graft.ext.TextOps.tokenCount($"text"))
+      .withColumn("start_off", coalesce(sum($"n").over(
+        Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_off",
+        floor($"start_off" / 7).cast("long").as("cf"),
+        floor(($"start_off" + greatest($"n", lit(1L)) - 1) / 7)
+          .cast("long").as("cl"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq === global.toSeq)
+    // intervals tile the concatenation: each start is the previous end
+    val offs = packed.map(_._2)
+    assert(offs.head === 0L)
+  }
+
+  test("packSequences: boundary straddle and zero-length docs") {
+    val df = Seq(
+      (1L, 5L),   // [0, 5)   chunk 0
+      (2L, 0L),   // [5, 5)   zero-length: occupies chunk 0
+      (3L, 10L),  // [5, 15)  straddles the budget-8 boundary: chunks 0-1
+      (4L, 1L))   // [15, 16) chunk 1
+      .toDF("doc_id", "n")
+    val out = graft.ext.TextOps.packSequences(df, "doc_id", $"n",
+        budget = 8L, bucketSize = 2L)
+      .select($"doc_id", $"chunk_first", $"chunk_last")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L),
+      (4L, 1L, 1L)))
+  }
 }
