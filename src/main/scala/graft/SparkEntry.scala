@@ -729,6 +729,32 @@ object SparkEntry {
     // Bernoulli sample lands within 10% of its target fraction (>6σ at
     // this SF) — the hash compare then asserts sampler accuracy without
     // requiring engine-identical RNG
+    // exact heavy-hitter tokens via the Misra-Gries candidate pass +
+    // exact recount: bounded state end-to-end, counts exact, so the
+    // result hash-matches the oracle's full groupBy HAVING formulation
+    "q71_heavy_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(ext.TextOps.tokens(col("text"))).as("token"))
+      ext.TextOps.heavyHitters(toks, "token", capacity = 30)
+        .orderBy(col("token"))
+    }),
+
+    // C4-style boilerplate-line removal: lines occurring in more than
+    // maxLineDf distinct docs are dropped, docs reassembled in order.
+    // Boilerplate is injected deterministically (doc_id%3 / doc_id%7
+    // suffixes, reproducible in SQL) so the pipeline has true positives;
+    // unique content lines must survive untouched
+    "q70_drop_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nall rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit(""))).as("text"))
+      ext.Dedup.dropBoilerplateLines(docs, "doc_id", "text", maxLineDf = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM-pretraining sequence packing: every doc's token interval in
     // the id-ordered corpus concatenation + the 512-token chunks it
     // spans. The global cumsum is a hierarchical prefix-sum (bucket
@@ -1486,6 +1512,38 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // MG guarantees candidate coverage for freq > N/(cap+1); the exact
+    // recount + integer threshold reproduces the full-vocabulary answer
+    "q71_heavy_tokens" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+        |    '\s+')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        |GROUP BY token
+        |HAVING count(*) * 31 > (SELECT count(*) FROM toks)
+        |ORDER BY token""".stripMargin,
+
+    "q70_drop_boilerplate" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'all rights reserved' ELSE '' END,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END)
+        |    AS t FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+        |lines AS (SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+        |                 unnest(parts) AS line FROM ls),
+        |hot AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |  WHERE df > 10),
+        |kept AS (SELECT * FROM lines
+        |         WHERE line NOT IN (SELECT line FROM hot)),
+        |outp AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(o.text_clean, '') AS text_clean
+        |FROM d LEFT JOIN outp o USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle's global-order window IS the semantics; only the Spark
     // side needs the hierarchical decomposition. All-integer arithmetic

@@ -227,6 +227,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Line-level boilerplate removal (the C4-style cleanup): drop every
+    * line that occurs in more than `maxLineDf` distinct documents
+    * ("all rights reserved", cookie banners, nav text), keep everything
+    * else in original order, and reassemble each document.
+    *
+    * Shuffle shape at 100 TB: ONE exchange on the line hash computes
+    * per-line document frequency (partial count-distinct map-side); the
+    * over-threshold lines are then at most |corpus-lines|/maxLineDf
+    * DISTINCT strings — small by construction — so the removal join is
+    * a BROADCAST anti-join against the hot-line list, and reassembly
+    * shuffles on the high-cardinality doc id. No full-size frame ever
+    * meets a skewed or low-cardinality key.
+    *
+    * Documents whose every line is boilerplate survive with empty text
+    * (left join + coalesce), so the operator never drops rows — that is
+    * [[dropNearDups]]'s job.
+    */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           maxLineDf: Long, sep: String = "\n")
+  : DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("_pos", "_line")))
+    val hot = lines.groupBy(col("_line"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxLineDf)
+      .select(col("_line"))
+    val kept = lines.join(broadcast(hot), Seq("_line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), sep).as("_clean"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_clean"), lit("")).as("text_clean"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, cell-bounded (the SemDeDup
     * shape): assign every vector to its nearest centroid via the same
     * broadcast argmax-cosine as [[Similarity.ivfAssign]] (same tie-break,

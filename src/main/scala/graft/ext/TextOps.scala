@@ -155,6 +155,38 @@ object TextOps {
   def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
     slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
 
+  /** Exact heavy hitters over an open vocabulary: every item whose
+    * frequency strictly exceeds N/(capacity+1), with EXACT counts.
+    *
+    * Two passes, neither of which materializes the full vocabulary:
+    *   1. a [[graft.functions.MisraGriesAggregator]] summary — bounded
+    *      to `capacity` counters per partial buffer, mergeable, and
+    *      guaranteed to contain every over-threshold item regardless of
+    *      partitioning — produces the candidate list (≤ capacity rows);
+    *   2. a semi-join against the BROADCAST candidates restricts the
+    *      exact groupBy-count to those items, and the integer threshold
+    *      cnt×(capacity+1) > N filters to the true heavy hitters.
+    *
+    * The sketch affects only candidate GENERATION; reported counts are
+    * exact — which is what makes the result oracle-checkable and the
+    * operator usable for contamination/boilerplate audits where the
+    * counts drive decisions. A plain groupBy-count would carry one row
+    * per distinct item (the open-vocabulary killer at 100 TB); here
+    * state is capacity-bounded end-to-end.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, capacity: Int)
+  : DataFrame = {
+    val mg = graft.functions.MisraGriesAggregator.frequentItems(capacity)
+    val cands = items.agg(mg(col(itemCol)).as("_cands"))
+      .select(explode(col("_cands")).as(itemCol))
+    val total = items.agg(count(col(itemCol)).as("_n"))
+    items.join(broadcast(cands), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .filter(col("cnt") * (capacity + 1) > col("_n"))
+      .select(col(itemCol), col("cnt"))
+  }
+
   /** Concat-and-chunk sequence packing: assign every document its token
     * interval in the id-ordered concatenation of the corpus, and the
     * fixed-size chunk ids that interval lands in — the packing step of

@@ -142,6 +142,25 @@ class DedupSpec extends SparkTestBase {
     assert(capped.toSeq === Seq((1000, 1001, 0.75)))
   }
 
+  test("dropBoilerplateLines: hot lines go, content and order survive") {
+    val boiler = "all rights reserved"
+    val docs = (0 until 12).map { i =>
+      val content = s"unique line ${i}a\nunique line ${i}b"
+      (i.toLong, if (i % 2 == 0) s"$content\n$boiler" else content)
+    } :+ (100L, boiler) // a doc that is ONLY boilerplate
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "doc_id", "text", maxLineDf = 3)
+      .select($"doc_id", $"text_clean").as[(Long, String)].collect().toMap
+    // boilerplate (df = 7 > 3) dropped everywhere; unique content (df=1)
+    // kept, original line order preserved
+    (0 until 12).foreach { i =>
+      assert(out(i.toLong) === s"unique line ${i}a\nunique line ${i}b")
+    }
+    // the all-boilerplate doc survives as an empty row, not a dropped one
+    assert(out(100L) === "")
+    assert(out.size === 13)
+  }
+
   test("embeddingNearDups: exact copies caught, cross-cell pairs bounded") {
     // two well-separated directions (cells) in 4-d; exact copies of ids
     // 1 and 10, plus an orthogonal singleton that must survive
