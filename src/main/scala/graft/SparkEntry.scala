@@ -724,11 +724,13 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
-    // A6 seeded stratified sampling. Tolerance-gated oracle (q48 pattern):
-    // emit the EXACT stratum size only when the seeded per-stratum
-    // Bernoulli sample lands within 10% of its target fraction (>6σ at
-    // this SF) — the hash compare then asserts sampler accuracy without
-    // requiring engine-identical RNG
+    // Gopher-style repetition filters: duplicate-token, top-token, and
+    // duplicate-2-gram fractions per document — one tokenization, one
+    // scan, the top-token count an O(L) fold over the sorted array
+    "q72_repetition_stats" -> ((s, dir) =>
+      ext.TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // exact heavy-hitter tokens via the Misra-Gries candidate pass +
     // exact recount: bounded state end-to-end, counts exact, so the
     // result hash-matches the oracle's full groupBy HAVING formulation
@@ -788,6 +790,11 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // A6 seeded stratified sampling. Tolerance-gated oracle (q48 pattern):
+    // emit the EXACT stratum size only when the seeded per-stratum
+    // Bernoulli sample lands within 10% of its target fraction (>6σ at
+    // this SF) — the hash compare then asserts sampler accuracy without
+    // requiring engine-identical RNG
     "q59_stratified_sample" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val fractions = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.3)
@@ -1512,6 +1519,26 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q72_repetition_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |topc AS (SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, token, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(t) AS token FROM d) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |m AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1]))) AS d2
+        |  FROM d)
+        |SELECT m.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(1 - nd / CAST(n AS DOUBLE) + 1e-9, 4) AS dup_token_frac,
+        |  round(topc / CAST(n AS DOUBLE) + 1e-9, 4) AS top_token_frac,
+        |  round(1 - d2 / CAST(greatest(n - 1, 1) AS DOUBLE) + 1e-9, 4)
+        |    AS dup_2gram_frac
+        |FROM m JOIN topc ON m.doc_id = topc.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     // MG guarantees candidate coverage for freq > N/(cap+1); the exact
     // recount + integer threshold reproduces the full-vocabulary answer

@@ -155,6 +155,44 @@ object TextOps {
   def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
     slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
 
+  /** Within-document repetition metrics — the Gopher-style quality
+    * filters that catch degenerate/templated text before it reaches a
+    * training mix:
+    *
+    *  - `dup_token_frac`:  1 − |distinct tokens| / |tokens|
+    *  - `top_token_frac`:  most-frequent-token count / |tokens|
+    *  - `dup_2gram_frac`:  1 − |distinct 2-grams| / |2-grams|
+    *
+    * All map-side column algebra over ONE tokenization: the top-token
+    * count is a single O(L) fold over the sorted token array (longest
+    * equal-run), not a per-token recount — the HOF-lambda O(L²) trap
+    * documented in PLANS.md. One scan, no shuffle, no UDFs.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        array_sort(col("_toks")).as("_sorted"))
+    // longest equal-run over the sorted array = max token multiplicity;
+    // fold state (prev, run, best) makes it one O(L) pass
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val topRun = aggregate(col("_sorted"), zero, (acc, x) => {
+      val run = when(x === acc.getField("prev"),
+        acc.getField("run") + lit(1L)).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    }).getField("best")
+    val nD = size(array_distinct(col("_toks"))).cast("double")
+    val n2 = greatest(col("n_tokens") - 1L, lit(1L)).cast("double")
+    val d2 = size(shinglesFromTokens(col("_toks"), 2)).cast("double")
+    staged.select(col(idCol), col("n_tokens"),
+      r4(lit(1.0) - nD / col("n_tokens")).as("dup_token_frac"),
+      r4(topRun.cast("double") / col("n_tokens")).as("top_token_frac"),
+      r4(lit(1.0) - d2 / n2).as("dup_2gram_frac"))
+  }
+
   /** Exact heavy hitters over an open vocabulary: every item whose
     * frequency strictly exceeds N/(capacity+1), with EXACT counts.
     *

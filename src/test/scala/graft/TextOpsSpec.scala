@@ -71,6 +71,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(q(1) > q(2))
   }
 
+  test("repetitionStats: degenerate text flagged, fold == brute force") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog today"),
+      (3L, "go go go stop go go stop stop go go"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repetitionStats(df, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"dup_token_frac", $"top_token_frac",
+        $"dup_2gram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: one token repeated 6x → dup 5/6, top 6/6, all 2-grams equal
+    assert(out(1L) === ((1L, 6L, 0.8333, 1.0, 0.8)))
+    // doc 2: all distinct → zeros
+    assert(out(2L) === ((2L, 10L, 0.0, 0.1, 0.0)))
+    // doc 3: brute-force cross-check of every metric
+    val toks = "go go go stop go go stop stop go go".split(" ").toSeq
+    val n = toks.length
+    val top = toks.groupBy(identity).values.map(_.length).max
+    val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    assert(out(3L) === ((3L, n.toLong,
+      r4(1.0 - toks.distinct.length.toDouble / n),
+      r4(top.toDouble / n),
+      r4(1.0 - grams.distinct.length.toDouble / grams.length))))
+  }
+
   test("packSequences: hierarchical prefix-sum == one global window") {
     import org.apache.spark.sql.expressions.Window
     // ids with gaps and shuffled insert order; bucketSize=4 forces many
