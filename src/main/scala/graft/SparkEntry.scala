@@ -724,6 +724,17 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // train/eval decontamination: docs 0-4 stand in for the eval set;
+    // every remaining doc gets its count of distinct shared 3-gram
+    // shingles (eval shingles broadcast, corpus probes map-side)
+    "q73_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ext.Dedup.contaminationStats(
+          docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+          "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filters: duplicate-token, top-token, and
     // duplicate-2-gram fractions per document — one tokenization, one
     // scan, the top-token count an O(L) fold over the sorted array
@@ -1519,6 +1530,24 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // same 3-gram construction as the q32 oracle; shared-shingle counts
+    // via unnest + join against the eval set's distinct shingles
+    "q73_decontaminate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+        |          AS t FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 5),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id >= 5) x
+        |  JOIN ev USING (s) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin,
 
     "q72_repetition_stats" ->
       """WITH d AS (SELECT doc_id,

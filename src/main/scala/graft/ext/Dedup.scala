@@ -227,6 +227,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Train/eval decontamination: for every corpus document, count the
+    * distinct token n-gram shingles it shares with an evaluation set —
+    * the benchmark-leakage audit every serious training pipeline runs
+    * before a model ships.
+    *
+    * Shape at 100 TB: eval sets are small (10³–10⁶ docs), so their
+    * distinct shingles BROADCAST; the corpus is exploded to
+    * (doc, shingle) map-side and probes the broadcast hash relation —
+    * no shuffle touches corpus×eval, and the only exchange is the
+    * per-doc overlap count grouped on the high-cardinality doc id. The
+    * alternative — arrays_overlap against one giant eval-shingle array
+    * — would rebuild the probe set per ROW; the broadcast join builds
+    * it once per task.
+    *
+    * Returns every corpus row's (idCol, n_overlap, contaminated 0/1);
+    * docs sharing nothing keep n_overlap = 0, so the caller filters or
+    * audits without losing rows.
+    */
+  def contaminationStats(corpus: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int)
+  : DataFrame = {
+    def exploded(df: DataFrame) = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(TextOps.shinglesFromTokens(col("_toks"), shingleN))
+          .as("_sh"))
+    val evalShingles = exploded(eval).select(col("_sh")).distinct()
+    val hits = exploded(corpus)
+      .join(broadcast(evalShingles), Seq("_sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0L).cast("long")
+          .as("contaminated"))
+  }
+
   /** Line-level boilerplate removal (the C4-style cleanup): drop every
     * line that occurs in more than `maxLineDf` distinct documents
     * ("all rights reserved", cookie banners, nav text), keep everything

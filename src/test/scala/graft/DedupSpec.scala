@@ -161,6 +161,21 @@ class DedupSpec extends SparkTestBase {
     assert(out.size === 13)
   }
 
+  test("contaminationStats counts distinct shared shingles, keeps clean rows") {
+    val eval = Seq((900L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "the quick brown" and "quick brown fox": 2 overlaps
+      (1L, "today the quick brown fox slept"),
+      // repeats a shared shingle — counted once (distinct semantics)
+      (2L, "the quick brown then the quick brown again"),
+      (3L, "completely unrelated words about other things entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(corpus, eval, "doc_id", "text", 3)
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 0L, 0L)))
+  }
+
   test("embeddingNearDups: exact copies caught, cross-cell pairs bounded") {
     // two well-separated directions (cells) in 4-d; exact copies of ids
     // 1 and 10, plus an orthogonal singleton that must survive

@@ -103,6 +103,34 @@ class PlanSpec extends SparkTestBase {
       s"a window ordered directly over corpus columns (no bucket partition):\n$p")
   }
 
+  test("q70 removes hot lines via a broadcast anti-join, never a shuffle") {
+    val p = plan(SparkEntry.queries("q70_drop_boilerplate")(spark, sf))
+    // the over-threshold line list is small by construction
+    // (≤ |corpus-lines|/maxLineDf) — the removal must probe it
+    // broadcast; a shuffled anti-join would re-exchange every line
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"hot-line removal is not a broadcast anti-join:\n$p")
+  }
+
+  test("q71 recount rides a broadcast semi-join against MG candidates") {
+    val p = plan(SparkEntry.queries("q71_heavy_tokens")(spark, sf))
+    // candidates are capacity-bounded (≤30 rows) — the exact recount
+    // must restrict via a broadcast semi-join, and no full-vocabulary
+    // shuffle join may appear
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"candidate restriction is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a full shuffle join crept into the recount:\n$p")
+  }
+
+  test("q73 corpus probes the eval shingle set broadcast, map-side") {
+    val p = plan(SparkEntry.queries("q73_decontaminate")(spark, sf))
+    assert("BroadcastHashJoin .*Inner".r.findFirstIn(p).isDefined,
+      s"eval shingles are not probed via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus x eval overlap fell into a shuffle join:\n$p")
+  }
+
   test("q47 IVF search ranking has no window node either") {
     val p = plan(SparkEntry.queries("q47_ivf_search")(spark, sf))
     // ivfAssign's per-vector argmax keeps its window (partitioned by the
