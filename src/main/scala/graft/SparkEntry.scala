@@ -724,6 +724,21 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // PII scrubbing: emails + long digit runs masked with typed
+    // placeholders, counts emitted. PII is injected deterministically
+    // (doc_id%4 suffix, reproducible in SQL); patterns are
+    // RE2-compatible so Spark and DuckDB scrub identically
+    "q74_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com or call 5551234567")))
+            .otherwise(lit(""))).as("text"))
+      ext.TextOps.scrubPii(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // train/eval decontamination: docs 0-4 stand in for the eval set;
     // every remaining doc gets its count of distinct shared 3-gram
     // shingles (eval shingles broadcast, corpus probes map-side)
@@ -1530,6 +1545,24 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q74_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+        |                     '@example.com or call 5551234567')
+        |         ELSE '' END) AS text FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS text_clean,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+        |    AS n_longnums
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // same 3-gram construction as the q32 oracle; shared-shingle counts
     // via unnest + join against the eval set's distinct shingles

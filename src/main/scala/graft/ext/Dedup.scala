@@ -309,6 +309,10 @@ object Dedup {
     * pair split across two cells is missed — raise k-means quality or
     * probe neighboring cells to recover); EXACT copies always share a
     * cell, since identical vectors produce identical centroid cosines.
+    * Size k WITH the corpus (k ∝ N / target cell size, e.g. via the
+    * [[Similarity.kmeans]] builder): at fixed k, cell occupancy grows
+    * linearly with N and the in-cell pair join quadratically — the 10×
+    * smoke in PLANS.md measures exactly that on the fixed-k q66.
     *
     * The corpus is scanned once; the vector rides through the argmax
     * window (no re-join to fetch it back). The self-join shuffles both

@@ -155,6 +155,26 @@ object TextOps {
   def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
     slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
 
+  /** PII scrubbing: mask email addresses and long digit runs (phone
+    * numbers, SSN-ish ids) with typed placeholders, and count what was
+    * masked — the redaction step a public-corpus pipeline runs before
+    * training. Pure map-side regexp algebra (codegen'd, one scan, no
+    * shuffle); the patterns use only RE2-compatible constructs so the
+    * same regexes run identically in Spark (java.util.regex) and the
+    * DuckDB oracle (RE2).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{7,}"
+
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+        longNumRe, "<NUM>").as("text_clean"),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(longNumRe)).cast("long")
+        .as("n_longnums"))
+
   /** Within-document repetition metrics — the Gopher-style quality
     * filters that catch degenerate/templated text before it reaches a
     * training mix:

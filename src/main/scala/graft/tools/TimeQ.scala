@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   * the per-query view of Bench's min-of-2 protocol, for iterating on one
   * plan without paying for the other queries.
   *
-  * Like Bench, the action is `.count()`: Catalyst may prune columns and
-  * drop the final orderBy the Verify path pays for, so treat these as
-  * RELATIVE numbers (same discount every pass/round); absolute parity
-  * with Verify would need a noop write or collect.
+  * The default action is `.count()` (like Bench): Catalyst may prune
+  * columns and drop the final orderBy the Verify path pays for, so
+  * treat those as RELATIVE numbers (same discount every pass/round).
+  * Set SPARK_GRAFT_TIME_ACTION=write to time a noop-format write
+  * instead — full result materialization, nothing pruned — when
+  * absolute parity with the Verify path matters.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
@@ -26,11 +28,16 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val noopWrite = sys.env.get("SPARK_GRAFT_TIME_ACTION").contains("write")
     val times = (1 to passes).map { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = if (noopWrite) {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      } else df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[timeq] pass $i: $sec%.3f s ($n rows)")
+      val rows = if (n < 0) "noop write" else s"$n rows"
+      println(f"[timeq] pass $i: $sec%.3f s ($rows)")
       sec
     }
     println(f"[timeq] $name min=${times.min}%.3f s over $passes passes")

@@ -71,6 +71,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(q(1) > q(2))
   }
 
+  test("scrubPii masks emails and long digit runs, counts them, and " +
+    "leaves clean text byte-identical") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk and bob@x.io or call 12345678 now"),
+      (2L, "short numbers 123456 stay, seven 1234567 goes"),
+      (3L, "nothing to scrub here at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.scrubPii(df, "doc_id", "text")
+      .select($"doc_id", $"text_clean", $"n_emails", $"n_longnums")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "mail <EMAIL> and <EMAIL> or call <NUM> now")
+    assert((out(1L)._3, out(1L)._4) === ((2L, 1L)))
+    // 6-digit run is below the 7+ threshold and survives
+    assert(out(2L)._2 === "short numbers 123456 stay, seven <NUM> goes")
+    assert((out(2L)._3, out(2L)._4) === ((0L, 1L)))
+    assert(out(3L)._2 === "nothing to scrub here at all")
+    assert((out(3L)._3, out(3L)._4) === ((0L, 0L)))
+  }
+
   test("repetitionStats: degenerate text flagged, fold == brute force") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
