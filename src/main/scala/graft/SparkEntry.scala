@@ -724,6 +724,25 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // overlapping token-window chunking (32-token chunks every 24):
+    // map-side explode, no shuffle — the bounded-input prep step for
+    // embedding pipelines
+    "q76_chunk_docs" -> ((s, dir) =>
+      ext.TextOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-language quality gate: keep docs at/above their language's
+    // 70th-percentile quality score. Thresholds = tiny broadcast agg;
+    // corpus filtered map-side (no per-group sort window)
+    "q75_quality_gate" -> ((s, dir) => {
+      val scored = ext.TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("quality"))
+      ext.TextOps.qualityGate(scored, "lang", "quality", p = 0.7)
+        .select(col("lang"), col("doc_id"), col("quality"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // PII scrubbing: emails + long digit runs masked with typed
     // placeholders, counts emitted. PII is injected deterministically
     // (doc_id%4 suffix, reproducible in SQL); patterns are
@@ -1545,6 +1564,47 @@ object SparkEntry {
     "q59_stratified_sample" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS stratum_rows
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q76_chunk_docs" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |starts AS (SELECT doc_id, t,
+        |    unnest(range(0, len(t), 24)) AS st FROM d)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(sl) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(sl, ' ') AS chunk_text
+        |FROM (SELECT doc_id, st, list_slice(t, st + 1, st + 32) AS sl
+        |      FROM starts)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q27's quality formula, then per-lang quantile_cont(0.7) threshold
+    // (r4-rounded, matching Spark's exact percentile) and the >= filter
+    "q75_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for')))
+        |      / greatest(len(toks), 1) + 1e-9, 4) AS stopword_ratio,
+        |    round(list_unique(toks) / greatest(len(toks), 1) + 1e-9, 4)
+        |      AS distinct_ratio,
+        |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |      / greatest(length(text), 1) + 1e-9, 4) AS punct_ratio
+        |  FROM (SELECT doc_id, lang, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |q AS (SELECT doc_id, lang,
+        |  round(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+        |    + 0.3 * distinct_ratio
+        |    + 0.2 * least(stopword_ratio * 2, 1.0)
+        |    + CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END + 1e-9, 4)
+        |    AS quality FROM f),
+        |thr AS (SELECT lang, round(quantile_cont(quality, 0.7) + 1e-9, 4)
+        |          AS q70 FROM q GROUP BY 1)
+        |SELECT q.lang, q.doc_id, q.quality
+        |FROM q JOIN thr ON q.lang = thr.lang
+        |WHERE q.quality >= thr.q70
+        |ORDER BY q.lang, q.doc_id""".stripMargin,
 
     "q74_pii_scrub" ->
       """WITH d AS (SELECT doc_id, concat(text,

@@ -155,6 +155,62 @@ object TextOps {
   def md5FingerprintFromShingles(sh: Column, k: Int = 8): Column =
     slice(array_sort(transform(sh, s => md5(s.cast("binary")))), 1, k)
 
+  /** Overlapping token-window chunking: split each document into
+    * chunks of `chunkTokens` tokens starting every `stride` tokens
+    * (stride < chunkTokens → overlap) — the preparation step for
+    * embedding / retrieval pipelines where models take bounded inputs.
+    * Trailing fragments are kept (standard practice: the tail still
+    * carries signal).
+    *
+    * Pure map-side: one tokenization, chunk starts generated inside the
+    * plan (`sequence`), slices bound to the STAGED token attribute (the
+    * O(L²) lambda-inlining trap does not fire on attributes), and the
+    * explode multiplies rows without any shuffle. Output:
+    * (idCol, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkTokens >= 1)
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("_n"))
+    staged.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0L), col("_n") - 1L, lit(stride.toLong)),
+          st => slice(col("_toks"), (st + 1L).cast("int"),
+            lit(chunkTokens))))
+          .as(Seq("chunk_id", "_chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
+  /** Per-group quality gating: keep the rows whose score clears their
+    * group's p-th quantile — "top 30% by quality PER LANGUAGE", the
+    * mix-balancing filter that stops one language's score distribution
+    * from starving another's. Shape: thresholds are a tiny groupBy
+    * aggregate (|groups| rows) broadcast back onto the corpus; the
+    * corpus itself is scanned once and filtered map-side. A percent_rank
+    * window would sort every group's rows in one reducer — |groups| is
+    * small, so that is the q33-class funnel.
+    *
+    * `exact = true` uses the exact interpolated percentile (matches
+    * DuckDB quantile_cont bit-for-bit on 4dp-rounded scores — the
+    * oracle-checkable form); at 100 TB pass `exact = false` for the
+    * mergeable approx_percentile sketch (same plan shape, no per-group
+    * value buffering).
+    */
+  def qualityGate(scored: DataFrame, groupCol: String, scoreCol: String,
+                  p: Double, exact: Boolean = true): DataFrame = {
+    val q = if (exact) percentile(col(scoreCol), lit(p))
+            else approx_percentile(col(scoreCol), lit(p), lit(10000))
+    val thresholds = scored.groupBy(col(groupCol))
+      .agg(r4(q).as("_thr"))
+    scored.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** PII scrubbing: mask email addresses and long digit runs (phone
     * numbers, SSN-ish ids) with typed placeholders, and count what was
     * masked — the redaction step a public-corpus pipeline runs before

@@ -90,6 +90,39 @@ class TextOpsSpec extends SparkTestBase {
     assert((out(3L)._3, out(3L)._4) === ((0L, 0L)))
   }
 
+  test("qualityGate keeps each group's top (1-p) by score, groups independent") {
+    // group a: scores 1..10, p=0.7 → exact percentile 7.3 → keep 8,9,10
+    // group b: scores 100x larger — must not leak into a's threshold
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 10).map(i => ("b", 100L + i, i * 100.0)))
+      .toDF("grp", "id", "score")
+    val kept = graft.ext.TextOps.qualityGate(df, "grp", "score", 0.7)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(kept === Set(("a", 8L), ("a", 9L), ("a", 10L),
+      ("b", 108L), ("b", 109L), ("b", 110L)))
+    // the approx variant thresholds at a DATA value (no interpolation),
+    // which can only sit at or below the interpolated exact threshold —
+    // so its kept set is a superset of the exact gate's, never a subset
+    val keptApprox = graft.ext.TextOps
+      .qualityGate(df, "grp", "score", 0.7, exact = false)
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(kept.subsetOf(keptApprox))
+    assert(keptApprox.size <= kept.size + 2) // one boundary row per group
+  }
+
+  test("chunkDocs: 32/24 windows overlap, tail fragment kept") {
+    val words = (1 to 70).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.chunkDocs(df, "doc_id", "text", 32, 24)
+      .select($"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq(0L, 1L, 2L))
+    assert(out.map(_._2) === Seq(32L, 32L, 22L)) // tail: 70 − 48 = 22
+    assert(out(0)._3 === words.slice(0, 32).mkString(" "))
+    assert(out(1)._3 === words.slice(24, 56).mkString(" ")) // 8-token overlap
+    assert(out(2)._3 === words.slice(48, 70).mkString(" "))
+  }
+
   test("repetitionStats: degenerate text flagged, fold == brute force") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
