@@ -131,6 +131,15 @@ class PlanSpec extends SparkTestBase {
       s"corpus x eval overlap fell into a shuffle join:\n$p")
   }
 
+  test("q75 gate broadcasts the threshold frame and adds no window") {
+    val p = plan(SparkEntry.queries("q75_quality_gate")(spark, sf))
+    // thresholds are |langs| rows — they must come back via broadcast;
+    // a percent_rank window would sort each language in one reducer
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join is not broadcast:\n$p")
+    assert(!p.contains("Window"), s"gate fell back to a rank window:\n$p")
+  }
+
   test("q47 IVF search ranking has no window node either") {
     val p = plan(SparkEntry.queries("q47_ivf_search")(spark, sf))
     // ivfAssign's per-vector argmax keeps its window (partitioned by the
