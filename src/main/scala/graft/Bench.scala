@@ -40,11 +40,18 @@ object Bench {
     System.gc()
     val second = pass()
     val results = first.zip(second).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // the queries map uses the short qNN prefix ("q32" not
+    // "q32_ngram_jaccard") and 4-dp values: the driver captures a bounded
+    // tail of the process output, and at 76+ queries the full-name form
+    // overflows that window, truncating the line's head and defeating the
+    // parse (BENCH_r03/r04 "parsed": null). Full names are recoverable —
+    // the prefix is unique by construction (SparkEntry key convention)
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.4f"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // three channels so the driver can't miss it: stdout (sbt prefixes it
     // with [info] — parse-hostile), stderr (sbt passes it through
     // UNPREFIXED — grep '^{' to extract), and the SPARK_GRAFT_BENCH_OUT

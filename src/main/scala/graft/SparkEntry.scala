@@ -707,11 +707,25 @@ object SparkEntry {
       // stage the batch table as a DIRECTORY of time-ranged files (the
       // file-stream source ingests directories, one file per
       // micro-batch — the realistic ordered-ingestion shape). The
-      // staging dir is keyed by the sf dir and REUSED across calls
-      // (Bench runs each query twice): re-staging per pass would bill
-      // the streaming query for a batch write it doesn't own
+      // staging dir is keyed by the source's CANONICAL PATH plus a cheap
+      // data fingerprint (file count + total size + max mtime) and
+      // REUSED across calls (Bench runs each query twice — re-staging
+      // per pass would bill the streaming query for a batch write it
+      // doesn't own), but a regenerated dataset at the same path gets a
+      // new fingerprint → fresh staging, never a stale stream vs a live
+      // oracle
+      val srcParquet = new java.io.File(dir, "events.parquet")
+      val parts: Array[java.io.File] =
+        if (srcParquet.isDirectory) srcParquet.listFiles() else Array(srcParquet)
+      val fp = java.lang.Long.toHexString(
+        parts.foldLeft(parts.length.toLong) { (acc, f) =>
+          31 * (31 * acc + f.length()) + f.lastModified()
+        })
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${srcParquet.getCanonicalPath}|$fp".getBytes("UTF-8"))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
       val src = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q64_src_${Integer.toHexString(dir.hashCode)}")
+        s"graft_q64_src_$key")
       if (!new java.io.File(src, "_SUCCESS").exists())
         t(s, dir, "events").repartitionByRange(4, col("ts"))
           .write.mode("overwrite").parquet(src.toString)

@@ -42,7 +42,11 @@ object Dedup {
     */
   def minhashSignatureFromHashes(df: DataFrame, numHashes: Int): DataFrame =
     df.withColumn("sig", array((0 until numHashes).map { i =>
-      array_min(transform(col("sh"), h => xxhash64(h, lit(i))))
+      // min over the empty shingle set (docs shorter than the shingle
+      // size) is the Long.MaxValue identity, not null — keeps the
+      // signature non-nullable and bit-equal to MinHashSignature
+      coalesce(array_min(transform(col("sh"), h => xxhash64(h, lit(i)))),
+        lit(Long.MaxValue))
     }: _*))
 
   /** MinHash LSH banding: (band_id, hash of the band's signature slice)

@@ -133,6 +133,10 @@ object Multimodal {
       i = 2
       val (w, h, maxVal) = (int(), int(), int())
       if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+      // untrusted-corpus guard: w*h must be checked in LONG, or a crafted
+      // header (e.g. 46341x46341) overflows Int, sneaks past the
+      // truncation check, and dies later with NegativeArraySizeException
+      if (w.toLong * h > Int.MaxValue) fail(s"dims ${w}x$h overflow pixel count")
       if (maxVal <= 0 || maxVal > 255) fail(s"maxVal $maxVal out of 8-bit range")
       i += 1 // exactly ONE whitespace byte separates header from raster
       if (bytes.length - i < w * h) fail(s"raster truncated: ${bytes.length - i} < ${w * h}")
@@ -152,13 +156,20 @@ object Multimodal {
     */
   def resize(img: PgmImage, newW: Int, newH: Int): PgmImage = {
     require(newW > 0 && newH > 0, s"bad target ${newW}x$newH")
+    require(newW.toLong * newH <= Int.MaxValue,
+      s"target ${newW}x$newH overflows pixel count")
     val px = new Array[Int](newW * newH)
     var y = 0
     while (y < newH) {
-      val sy = y * img.height / newH
+      // per-axis index math in LONG: x*img.width (resp. y*img.height)
+      // overflows Int for sources/targets near the pixel-count bound,
+      // silently mis-indexing before any bound check can catch it
+      val sy = (y.toLong * img.height / newH).toInt
+      val rowBase = sy.toLong * img.width
       var x = 0
       while (x < newW) {
-        px(y * newW + x) = img.pixels(sy * img.width + x * img.width / newW)
+        px(y * newW + x) =
+          img.pixels((rowBase + x.toLong * img.width / newW).toInt)
         x += 1
       }
       y += 1

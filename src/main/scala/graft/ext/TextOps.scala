@@ -122,9 +122,16 @@ object TextOps {
     * O(L²) re-tokenization.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val idx = sequence(lit(0), size(toks) - n)
+    // documents with fewer than n tokens yield NO shingles (not one
+    // truncated shingle): this matches SQL engines that build the n-gram
+    // by positional indexing, where an out-of-bounds t[i+k] nulls the
+    // concatenation and the null is dropped — both sides must agree on
+    // short/degenerate docs or dedup stats silently diverge there
+    when(size(toks) >= n,
+      array_distinct(transform(idx, i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Token n-gram shingles ("a b c" 2-grams → ["a b","b c"]); the unit of

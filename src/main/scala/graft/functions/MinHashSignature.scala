@@ -57,7 +57,11 @@ object MinHashSignature {
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
     val tokens = SplitPattern.split(text.toLowerCase.toString, -1)
     val size = tokens.length
-    val nShingles = math.max(size - n, 0) + 1
+    // fewer than n tokens → zero shingles (matches the guarded
+    // TextOps.shinglesFromTokens); the signature stays all
+    // Long.MaxValue — the min-over-empty-set identity, same as the
+    // coalesce in Dedup.minhashSignatureFromHashes
+    val nShingles = math.max(size - n + 1, 0)
     val mins = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)
     var s = 0

@@ -73,7 +73,9 @@ object ShingleHashes {
     val tokens = SplitPattern.split(text.toLowerCase.toString, -1)
 
     val size = tokens.length
-    val nShingles = math.max(size - n, 0) + 1
+    // fewer than n tokens → zero shingles (bit-equal to the guarded
+    // TextOps.shinglesFromTokens — no truncated shingle for short docs)
+    val nShingles = math.max(size - n + 1, 0)
     val distinct = new LinkedHashSet[String](nShingles * 2)
     var k = 0
     val sb = new java.lang.StringBuilder(64)

@@ -29,9 +29,19 @@ case class TopKScoredAggregator(k: Int)
   require(k >= 1, s"k must be >= 1, got $k")
 
   // rank order: higher score first, then smaller id (ties on both are
-  // impossible for distinct ids)
-  @transient private lazy val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.id))
+  // impossible for distinct ids). Score comparison is
+  // java.lang.Double.compare DESCENDING — NaN ranks FIRST, exactly like
+  // the `row_number().over(orderBy(desc))` window this aggregator
+  // replaces (Spark orders NaN greater than any value). The negate-and-
+  // sort-ascending form (`Ordering.by(-score)`) would rank NaN last,
+  // silently demoting zero-norm vectors (cosine 0/0 = NaN) relative to
+  // the window/oracle semantics.
+  @transient private lazy val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   override def zero: Seq[Scored] = Vector.empty
 

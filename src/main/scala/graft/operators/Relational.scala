@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** The relational operator surface of the reference, re-expressed as
   * composable DataFrame transformations (SURVEY.md §2.2–2.6).
@@ -73,15 +74,23 @@ object Relational {
     * shuffle no matter how large the corpus grows.
     *
     * Rank order is score descending, id ascending (deterministic for
-    * distinct ids). Output: groupCols ++ (idName, scoreName, rankCol).
+    * distinct ids; NaN scores rank first, matching the window's `desc`).
+    * Output: groupCols ++ (idName, scoreName, rankCol).
+    *
+    * The id must be an INTEGRAL column (byte/short/int/long): the
+    * k-bounded buffer carries it as a long and the unpack restores the
+    * original width. A string or fractional id has no lossless long
+    * round-trip — use [[topKPerGroup]] (the window form) for those.
     */
   def topKPerGroupAgg(df: DataFrame, k: Int, groupCols: Seq[String],
                       score: Column, id: Column,
                       scoreName: String, idName: String,
                       rankCol: String = "rank"): DataFrame = {
-    // the buffer carries (double, long); unpack restores the caller's
-    // original id type so the operator is type-transparent like a window
     val idType = df.select(id).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"topKPerGroupAgg requires an integral id column (the k-bounded " +
+        s"buffer round-trips it through long); got ${idType.sql} — use " +
+        s"topKPerGroup (window form) for non-integral ids")
     val topk = graft.functions.TopKScoredAggregator.topKScored(k)
     df.groupBy(groupCols.map(col): _*)
       .agg(topk(score.cast("double"), id.cast("long")).as("_top"))

@@ -87,6 +87,10 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { // truncated raster
       Multimodal.Pgm.decode(bytes.dropRight(2))
     }
+    intercept[IllegalArgumentException] { // w*h overflows Int: 46341² —
+      // must fail on the dim check, not NegativeArraySizeException later
+      Multimodal.Pgm.decode("P5 46341 46341 255 ".getBytes("US-ASCII"))
+    }
   }
 
   test("resize: nearest-neighbor downscale and upscale, exact pixels") {

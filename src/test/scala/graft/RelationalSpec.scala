@@ -105,6 +105,32 @@ class RelationalSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("topKPerGroupAgg equals the window form and keeps the id's width") {
+    val df = Seq(("g1", 1, 0.5), ("g1", 2, 0.9), ("g1", 3, 0.7),
+      ("g2", 4, 0.1)).toDF("g", "id", "s")
+    val agg = Relational.topKPerGroupAgg(df, 2, Seq("g"), $"s", $"id",
+        "score", "item")
+      .orderBy($"g", $"rank")
+      .select($"g", $"item", $"score", $"rank").collect()
+    assert(agg.map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+      r.getLong(3))).toSeq ===
+      Seq(("g1", 2, 0.9, 1L), ("g1", 3, 0.7, 2L), ("g2", 4, 0.1, 1L)))
+  }
+
+  test("topKPerGroupAgg rejects non-integral id columns loudly") {
+    // the k-bounded buffer round-trips the id through long; a string or
+    // fractional id would throw (ANSI) or truncate — refuse at call time
+    val df = Seq(("g", "id-1", 1.0)).toDF("g", "id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Relational.topKPerGroupAgg(df, 1, Seq("g"), $"s", $"id", "score", "item")
+    }
+    assert(e.getMessage.contains("integral id"))
+    val frac = Seq(("g", 1.5, 1.0)).toDF("g", "id", "s")
+    intercept[IllegalArgumentException] {
+      Relational.topKPerGroupAgg(frac, 1, Seq("g"), $"s", $"id", "score", "item")
+    }
+  }
+
   test("topK aggregator reduce keeps sorted bound under any insert order") {
     val agg = graft.functions.TopKAggregator(3)
     val b = Seq(9.0, 7.0, 5.0)

@@ -36,12 +36,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(got === Seq("a b c", "b c d", "c d e"))
   }
 
-  test("shinglesFromTokens on short docs yields one truncated shingle") {
-    val got = Seq("a b").toDF("text")
+  test("shinglesFromTokens on short docs yields NO shingles (oracle parity)") {
+    // SQL engines building the n-gram positionally null the concatenation
+    // on out-of-bounds t[i+k] and drop it via list_distinct — a truncated
+    // shingle here would silently diverge dedup stats on 1-2 token docs
+    val got = Seq("a b", "a", "a b c").toDF("text")
       .withColumn("toks", TextOps.tokens($"text"))
       .select(TextOps.shinglesFromTokens($"toks", 3).as("sh"))
-      .as[Seq[String]].head()
-    assert(got === Seq("a b"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq.empty, Seq.empty, Seq("a b c")))
+    // and the codegen ShingleHashes expression agrees bit-for-bit
+    val expr = Seq("a b", "a").toDF("text")
+      .select(graft.functions.ShingleHashes($"text", 3).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(expr === Seq(Seq.empty, Seq.empty))
   }
 
   test("fingerprint: equal texts agree; near-dups share most of the sketch") {

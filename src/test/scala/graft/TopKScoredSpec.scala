@@ -16,7 +16,14 @@ import graft.functions.{Scored, TopKScoredAggregator}
   */
 class TopKScoredSpec extends AnyFunSuite {
 
-  private def ord: Ordering[Scored] = Ordering.by(s => (-s.score, s.id))
+  // reference order = the row_number window the aggregator replaces:
+  // score DESC with Spark's NaN-greatest semantics (Double.compare), id ASC
+  private def ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.score, a.score)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   private def reference(xs: Seq[Scored], k: Int): Seq[Scored] =
     xs.sorted(ord).take(k)
@@ -66,5 +73,24 @@ class TopKScoredSpec extends AnyFunSuite {
     val rows = Seq(Scored(1.0, 9), Scored(1.0, 2), Scored(1.0, 5), Scored(0.5, 1))
     val got = rows.foldLeft(agg.zero)(agg.reduce)
     assert(got === Seq(Scored(1.0, 2), Scored(1.0, 5), Scored(1.0, 9)))
+  }
+
+  test("NaN scores rank FIRST, matching the desc window they replace") {
+    // zero-norm vectors make cosine 0/0 = NaN; Spark's ORDER BY ... DESC
+    // puts NaN before every finite value, so the k-bounded aggregate
+    // must too — in reduce (either insertion order) and through merge
+    val agg = TopKScoredAggregator(2)
+    val rows = Seq(Scored(5.0, 1), Scored(Double.NaN, 2), Scored(7.0, 3))
+    val expected = Seq(Scored(Double.NaN, 2), Scored(7.0, 3))
+    def same(a: Seq[Scored], b: Seq[Scored]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        x.id == y.id && (x.score == y.score ||
+          (x.score.isNaN && y.score.isNaN))
+      }
+    assert(same(rows.foldLeft(agg.zero)(agg.reduce), expected))
+    assert(same(rows.reverse.foldLeft(agg.zero)(agg.reduce), expected))
+    val left = rows.take(1).foldLeft(agg.zero)(agg.reduce)
+    val right = rows.drop(1).foldLeft(agg.zero)(agg.reduce)
+    assert(same(agg.merge(left, right), expected))
   }
 }
