@@ -882,7 +882,54 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"),
           count(lit(1)).as("n_lines"))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // BM25 ranked retrieval: per-term tf is a map-side fold over the
+    // staged token array (terms are literal — no (doc,term) explode, no
+    // term-keyed shuffle), corpus stats (N, avgdl, df) are ONE
+    // single-row aggregate broadcast back, ranking is a global top-k
+    "q77_bm25_search" -> ((s, dir) =>
+      ext.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "customer", "merge"), k = 10)),
+
+    // duplicate-cluster assignment = connected components over the
+    // near-dup pair graph (iterated min-label propagation). The corpus
+    // is seeded with CHAINS — doc ~ 75%-prefix copy ~ 50%-prefix copy,
+    // where doc↔50% falls below the threshold — so the transitive
+    // closure is load-bearing: greedy pairwise grouping cannot produce
+    // this answer. Oracle = recursive CTE over the same pair list
+    "q78_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      def prefixCopy(offset: Int, num: Int, den: Int): DataFrame = {
+        val toks = split(col("text"), "\\s+")
+        docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + offset).as("doc_id"),
+            col("lang"), col("source"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(floor(size(toks) * num / den), lit(1)).cast("int")))
+              .as("text"))
+      }
+      val corpus = docs
+        .unionByName(prefixCopy(100000, 3, 4))
+        .unionByName(prefixCopy(200000, 1, 2))
+      val pairs = ext.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          shingleN = 3, partitionCols = Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.6)
+      ext.Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split: hash-of-id cut against
+    // cumulative fractions — map-side CASE, stable under repartitioning
+    // and engine changes (the oracle recomputes the identical hash)
+    "q79_split_assign" -> ((s, dir) =>
+      ext.Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+          splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          seed = 42L)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")))
   )
 
   /** documents ∪ truncated copies (id+100000, last token dropped): a
@@ -1756,6 +1803,94 @@ object SparkEntry {
         |      regexp_replace(regexp_replace(lower(text),
         |        '(\p{L})(\d)', '\1 \2', 'g'), '(\d)(\p{L})', '\1 \2', 'g'),
         |      '[\s[:punct:]]+'), t -> t != '')) AS BIGINT) AS n_subwords
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the +1 idf floor; constants are written as the same
+    // IEEE expressions the Spark side evaluates ((1.2 + 1), (1 - 0.75))
+    // so both engines derive bit-identical doubles before the 4-dp
+    // rounding; tf/len/df/avgdl are integer-valued doubles (exact)
+    "q77_bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len,
+        |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'customer')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf3
+        |  FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+        |  FROM m)
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1))
+        |      / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1))
+        |      / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1))
+        |      / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * (1.2 + 1))
+        |      / (tf3 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + 1e-9, 4) AS score
+        |FROM m, s ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // same chain corpus (75%- and 50%-prefix copies of docs 0-29) and
+    // same exact-Jaccard pair rule as the Spark side; connected
+    // components via a recursive CTE — min label reachable from each
+    // node over the bidirected edge list
+    "q78_dedup_clusters" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // same 52-bit md5 hash-score convention as q67/q68; the val cut is
+    // written (0.8 + 0.1) to mirror the Spark side's cumulative-sum
+    // IEEE arithmetic exactly
+    "q79_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < (0.8 + 0.1) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

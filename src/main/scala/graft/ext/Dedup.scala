@@ -160,6 +160,65 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph via iterated min-label propagation. Where
+    * [[dropNearDups]] is greedy-per-pair (a similarity CHAIN keeps its
+    * local minima), this computes the TRANSITIVE closure: every node in
+    * a component gets the component's minimum id as `cluster_id` — the
+    * semantics you want when "duplicate group" must mean one canonical
+    * representative per chain (A~B, B~C ⇒ {A,B,C} is one cluster even
+    * though A≁C directly).
+    *
+    * Each round: newLabel(v) = min(label(v), min over neighbors'
+    * labels) — one shuffle on the edge key and one on the node id per
+    * round, each frame persisted and the previous unpersisted so the
+    * lineage stays flat. Converges in O(component diameter) rounds, NOT
+    * corpus size: near-dup chains are short (a 100 TB corpus has
+    * billions of SMALL clusters, not one long path), so 3–5 rounds is
+    * typical; `maxIter` bounds the pathological path-graph. (At extreme
+    * diameters, alternating large-star/small-star halves path lengths
+    * per round for O(log d) — same per-round plan, different edge
+    * rewrite; this implementation keeps the simpler propagation.)
+    *
+    * Input: pairs with (id_a, id_b) columns (any generator above).
+    * Output: (id, cluster_id) for every id that appears in a pair —
+    * isolated docs aren't duplicated, so they're not in any cluster.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among each node's neighbors (labels keyed to the edge
+      // source; name-based joins, so the edges↔labels self-lineage
+      // resolves cleanly after Spark's relation dedup)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"),
+          col("cluster_id").as("_lbl")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("_lbl")).as("_nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("_nbr_min"), col("cluster_id"))
+            < col("cluster_id")).as("_changed"))
+        .persist()
+      // full count (not isEmpty) so the WHOLE next frame materializes in
+      // cache before the previous labels frame is released
+      converged = next.filter(col("_changed")).count() == 0L
+      labels.unpersist()
+      labels = next.select(col("id"), col("cluster_id"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact pairwise shingle-Jaccard via an inverted index: explode each
     * doc's distinct shingles into postings, equi-join postings on the
     * shingle (within `partitionCols`), count common shingles per pair,

@@ -59,6 +59,34 @@ object Sampling {
     * (small, literal) rate table and one hash per row; no shuffle, no
     * RNG state, and the kept set is independent of partitioning.
     */
+  /** Deterministic train/val/test split: each row's uniform hash
+    * u = hashScore/2^52 is cut against the cumulative split fractions
+    * (e.g. train [0, .8), val [.8, .9), test [.9, 1)). Pure map-side
+    * CASE — no shuffle, no RNG — and because u is a function of the row
+    * id alone, the assignment is stable under repartitioning, engine
+    * changes, and incremental reruns: a document joins the same split
+    * forever, which is what keeps eval sets uncontaminated as the
+    * corpus grows. Fractions must sum to 1 (±1e-9); the last split
+    * absorbs the top of the unit interval.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   seed: Long = 42L,
+                   splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashScore(col(idCol), seed).cast("double") /
+      lit(4503599627370496.0) // 2^52
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    // build the CASE from the last (absorbing) split backwards
+    val label = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), cut), acc) =>
+      when(u < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   def weightedMix(df: DataFrame, sourceCol: String,
                   rates: Map[String, Double], defaultRate: Double,
                   idCol: String, seed: Long = 42L): DataFrame = {

@@ -206,4 +206,33 @@ class DedupSpec extends SparkTestBase {
     // 10 keeps 110 out, 11 is untouched
     assert(kept === Set(1L, 10L, 11L))
   }
+
+  test("duplicateClusters: transitive closure over chains, disjoint " +
+    "components stay apart") {
+    // component 1 is a PATH 1-2-3-4-5 (no shortcut edges): the min label
+    // must propagate 4 hops, so this exercises the iteration, not just
+    // one round. Component 2 is a triangle with a non-min entry edge.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path
+      (20L, 30L), (30L, 40L), (20L, 40L))     // triangle
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 30L -> 20L, 40L -> 20L))
+    // greedy dropNearDups keeps path-local minima (1, every odd link is
+    // a pair's low side... in fact only ids that never appear as id_b):
+    // the cluster view instead names ONE representative per chain
+    assert(got.values.toSet === Set(1L, 20L))
+  }
+
+  test("duplicateClusters converges regardless of id orientation") {
+    // labels must flow against the pair orientation too (id_b < id_a
+    // never happens from our generators, but min-propagation must not
+    // depend on it); star centered on the max id
+    val pairs = Seq((7L, 9L), (8L, 9L), (1L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Retrieval
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark runs fast"),     // tf(spark)=3, len 5
+    (2L, "spark is a query engine"),         // tf(spark)=1, len 5
+    (3L, "ducks swim on the pond"),          // no hit
+    (4L, "spark spark query engine engine engine word word word word")) // len 10
+    .toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Robertson formula") {
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("spark"), k = 4)
+      .as[(Long, Double)].collect().toMap
+    // N=4, df=3, avgdl=6.25 ⇒ idf = ln((4-3+0.5)/(3+0.5)+1)
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+    def s(tf: Double, len: Double) =
+      math.round((idf * tf * (1.2 + 1) /
+        (tf + 1.2 * ((1 - 0.75) + 0.75 * len / 6.25)) + 1e-9) * 1e4) / 1e4
+    assert(got(1L) === s(3, 5))
+    assert(got(2L) === s(1, 5))
+    assert(got(3L) === 0.0)
+    assert(got(4L) === s(2, 10))
+    // saturation + length normalization: tf=3 beats tf=1 at equal
+    // length, but a long doc's tf=2 scores below a short doc's tf=3
+    assert(got(1L) > got(4L) && got(4L) > got(2L) && got(2L) > got(3L))
+  }
+
+  test("multi-term scores add per-term contributions") {
+    val one = Retrieval.bm25(docs, "doc_id", "text", Seq("spark"), k = 4)
+      .as[(Long, Double)].collect().toMap
+    val other = Retrieval.bm25(docs, "doc_id", "text", Seq("engine"), k = 4)
+      .as[(Long, Double)].collect().toMap
+    val both = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("spark", "engine"), k = 4).as[(Long, Double)].collect().toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(math.abs(both(id) - (one(id) + other(id))) <= 1e-4,
+        s"doc $id: ${both(id)} vs ${one(id)} + ${other(id)}")
+    }
+  }
+
+  test("ranking is a global top-k (TakeOrderedAndProject), one 1-row agg") {
+    // write to parquet first: literal local relations constant-fold,
+    // which would hide the real plan shape
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val plan = Retrieval.bm25(spark.read.parquet(dir), "doc_id", "text",
+      Seq("spark", "engine"), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k fusion, no global sort:\n$plan")
+    assert(!plan.contains("Window"), s"no window allowed in bm25:\n$plan")
+  }
+}

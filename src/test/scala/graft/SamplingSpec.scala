@@ -48,6 +48,32 @@ class SamplingSpec extends SparkTestBase {
     assert(agg === byHash)
   }
 
+  test("assignSplits: exhaustive, proportional, stable under repartition") {
+    val df = (0 until 4000).map(_.toLong).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val counts = Sampling.assignSplits(df, "id", splits)
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // every row lands in exactly one split, proportions within ~3σ
+    assert(counts.values.sum === 4000L)
+    assert(math.abs(counts("train") - 3200L) < 120, s"train: $counts")
+    assert(math.abs(counts("val") - 400L) < 80, s"val: $counts")
+    assert(math.abs(counts("test") - 400L) < 80, s"test: $counts")
+    // the assignment is a pure function of the id — identical after a
+    // repartition (what keeps eval membership frozen as the corpus grows)
+    def asg(d: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplits(d, "id", splits)
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(asg(df) === asg(df.repartition(13, $"id")))
+  }
+
+  test("assignSplits rejects fractions that do not sum to 1") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("weightedMix: rates honored within tolerance, deterministic") {
     val df = (0 until 4000).map(i => (i.toLong, s"src${i % 4}"))
       .toDF("id", "src")
