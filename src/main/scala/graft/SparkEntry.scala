@@ -929,6 +929,28 @@ object SparkEntry {
           splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
           seed = 42L)
         .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // bloom-prefiltered decontamination — the regime where the eval
+    // shingle set is too big to broadcast raw: ship its bloom filter
+    // (~10 bits/item), cut the corpus stream map-side in codegen, exact
+    // shuffle join over survivors only. No false negatives + exact
+    // verify → identical answer to q73 (same oracle SQL)
+    "q81_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ext.Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5),
+          "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // perplexity-style quality signal: add-one-smoothed corpus unigram
+    // LM, per-doc mean token log-prob. Declared in the 100 TB shape —
+    // top-500 broadcast vocabulary, tail scored as OOV (truncation is
+    // deterministic: count desc, token asc — so still oracle-exact)
+    "q80_unigram_logprob" -> ((s, dir) =>
+      ext.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 500)
         .orderBy(col("doc_id")))
   )
 
@@ -945,6 +967,25 @@ object SparkEntry {
           greatest(size(split(col("text"), "\\s+")) - 1, lit(1)))).as("text"))
     docs.union(mutated)
   }
+
+  /** Shared by q73 (exact broadcast) and q81 (bloom prefilter + exact
+    * verify): both compute the identical contamination report.
+    */
+  private val decontaminationOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(t) - 2, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+      |          AS t FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 5),
+      |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id >= 5) x
+      |  JOIN ev USING (s) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+      |  CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+      |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column names, same ordering). */
   def oracleSql: Map[String, String] = Map(
@@ -1687,21 +1728,11 @@ object SparkEntry {
 
     // same 3-gram construction as the q32 oracle; shared-shingle counts
     // via unnest + join against the eval set's distinct shingles
-    "q73_decontaminate" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(t) - 2, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
-        |          AS t FROM documents)),
-        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id < 5),
-        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id >= 5) x
-        |  JOIN ev USING (s) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
-        |  CAST(COALESCE(h.n_overlap, 0) > 0 AS BIGINT) AS contaminated
-        |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id >= 5 ORDER BY d.doc_id""".stripMargin,
+    "q73_decontaminate" -> decontaminationOracle,
+
+    // bloom prefilter + exact verify computes the SAME answer as the
+    // exact broadcast formulation — one oracle serves both
+    "q81_decontaminate_bloom" -> decontaminationOracle,
 
     "q72_repetition_stats" ->
       """WITH d AS (SELECT doc_id,
@@ -1891,6 +1922,22 @@ object SparkEntry {
         |        md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 13))
         |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // same add-one smoothing and deterministic top-500 vocabulary cut
+    // (count desc, token asc) as the Spark side; ln = natural log
+    // (DuckDB log() is base 10); N and V come from the FULL vocabulary
+    "q80_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln((COALESCE(v.c, 0) + 1.0) / (tot.n + tot.v)))
+        |    + 1e-9, 4) AS avg_logprob
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -311,20 +311,63 @@ object Dedup {
   def contaminationStats(corpus: DataFrame, eval: DataFrame,
                          idCol: String, textCol: String, shingleN: Int)
   : DataFrame = {
-    def exploded(df: DataFrame) = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol),
-        explode(TextOps.shinglesFromTokens(col("_toks"), shingleN))
-          .as("_sh"))
-    val evalShingles = exploded(eval).select(col("_sh")).distinct()
-    val hits = exploded(corpus)
+    val evalShingles = shingleStream(eval, idCol, textCol, shingleN)
+      .select(col("_sh")).distinct()
+    val hits = shingleStream(corpus, idCol, textCol, shingleN)
       .join(broadcast(evalShingles), Seq("_sh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    overlapReport(corpus, idCol, hits)
+  }
+
+  /** (idCol, _sh) stream of each doc's DISTINCT token n-gram shingles. */
+  private def shingleStream(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int): DataFrame = df
+    .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    .select(col(idCol),
+      explode(TextOps.shinglesFromTokens(col("_toks"), shingleN))
+        .as("_sh"))
+
+  /** Left-join the per-doc hit counts back so no corpus row is lost. */
+  private def overlapReport(corpus: DataFrame, idCol: String,
+                            hits: DataFrame): DataFrame =
     corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0L).cast("long")
           .as("contaminated"))
+
+  /** [[contaminationStats]] for the regime where even the eval shingle
+    * set is too large to broadcast as raw strings (full eval-suite
+    * sweeps): ship its BLOOM FILTER instead (~10 bits/item at 1% fpp —
+    * two orders of magnitude smaller than the strings), prefilter the
+    * corpus shingle stream map-side inside codegen, and run the exact
+    * join only over the ~fpp-sized survivor stream. The exact join is a
+    * plain shuffle join ON PURPOSE — the premise is that the eval side
+    * does not broadcast — but by then the corpus side has been cut by
+    * the filter, so the exchange is survivors-only. Bloom filters have
+    * no false negatives and the verify join removes the false
+    * positives, so the result is IDENTICAL to [[contaminationStats]]
+    * (same oracle).
+    *
+    * Cost: two extra tiny jobs on the eval side (distinct-count to size
+    * the filter, then the filter build — Spark's own mergeable
+    * treeAggregate under `stat.bloomFilter`).
+    */
+  def decontaminateBloom(corpus: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalShingles = shingleStream(eval, idCol, textCol, shingleN)
+      .select(col("_sh")).distinct()
+    val hashed = evalShingles.select(xxhash64(col("_sh")).as("_h"))
+    val bf = hashed.stat.bloomFilter("_h",
+      math.max(hashed.count(), 1L), fpp)
+    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val survivors = shingleStream(corpus, idCol, textCol, shingleN)
+      .filter(graft.functions.BloomMightContain(
+        xxhash64(col("_sh")), bytes))
+    val hits = survivors.join(evalShingles, Seq("_sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    overlapReport(corpus, idCol, hits)
   }
 
   /** Line-level boilerplate removal (the C4-style cleanup): drop every

@@ -308,6 +308,51 @@ object TextOps {
       .select(col(itemCol), col("cnt"))
   }
 
+  /** Unigram-LM log-prob scoring: train an add-one-smoothed unigram
+    * language model on the corpus itself and score every document by its
+    * mean per-token log-probability — the cheap perplexity-style quality
+    * signal pipelines use to rank documents before an expensive model
+    * pass (low avg log-prob = rare/garbled vocabulary).
+    *
+    *   p(t) = (count(t) + 1) / (N + V)   (N tokens, V distinct, OOV → 1/(N+V))
+    *
+    * Two shapes behind one signature:
+    *  - `vocabSize <= 0`: EXACT — score via a token-keyed join of the
+    *    token stream against the full vocabulary. Correct at any SF but
+    *    the join shuffles the whole corpus on a Zipf-skewed key; test
+    *    scale only.
+    *  - `vocabSize > 0` (the 100 TB shape): the LM keeps the top-K
+    *    tokens by count (deterministic tie-break: token asc) and treats
+    *    the tail as OOV. The vocabulary broadcasts (K rows), scoring is
+    *    map-side, and the only corpus shuffles are the vocab-count
+    *    aggregate (map-side combined, output = |vocab| rows) and the
+    *    final per-doc aggregate. N and V still come from the FULL
+    *    vocabulary (one tiny aggregate), so smoothing is unchanged —
+    *    truncation is deterministic, so the result is still exactly
+    *    oracle-checkable.
+    *
+    * Output: (idCol, n_tokens, avg_logprob), natural log, 4 dp.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("_tok"))
+    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+    val totals = counts.agg(sum(col("_c")).as("_n"),
+      count(lit(1)).as("_v"))
+    val vocab =
+      if (vocabSize > 0)
+        broadcast(counts.orderBy(col("_c").desc, col("_tok"))
+          .limit(vocabSize))
+      else counts
+    toks.join(vocab, Seq("_tok"), "left")
+      .join(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(avg(log((coalesce(col("_c"), lit(0L)) + lit(1.0)) /
+          (col("_n") + col("_v"))))).as("avg_logprob"))
+  }
+
   /** Concat-and-chunk sequence packing: assign every document its token
     * interval in the id-ordered concatenation of the corpus, and the
     * fixed-size chunk ids that interval lands in — the packing step of

@@ -176,6 +176,34 @@ class DedupSpec extends SparkTestBase {
     assert(out === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 0L, 0L)))
   }
 
+  test("decontaminateBloom ≡ contaminationStats (no false negatives, " +
+    "exact verify kills false positives)") {
+    // larger corpus than the hand fixture so the bloom actually filters;
+    // clean docs share vocabulary n-grams but no full 3-shingle
+    val eval = Seq(
+      (900L, "the quick brown fox jumps high"),
+      (901L, "pack my box with five dozen jugs")).toDF("doc_id", "text")
+    val corpus = (1L to 40L).map { i =>
+      val base = s"doc $i filler words number ${i * 7} more content here"
+      val text =
+        if (i % 5 == 0) s"$base the quick brown fox appears"
+        else if (i % 7 == 0) s"$base pack my box with care"
+        else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contaminationStats(corpus, eval, "doc_id", "text", 3)
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // high fpp on purpose: false positives MUST be scrubbed by the
+    // exact verify join, so even a sloppy filter changes nothing
+    val bloom = Dedup.decontaminateBloom(corpus, eval, "doc_id", "text", 3,
+        fpp = 0.2)
+      .select($"doc_id", $"n_overlap", $"contaminated")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bloom === exact)
+    assert(exact.exists(_._3 == 1L) && exact.exists(_._3 == 0L))
+  }
+
   test("embeddingNearDups: exact copies caught, cross-cell pairs bounded") {
     // two well-separated directions (cells) in 4-d; exact copies of ids
     // 1 and 10, plus an orthogonal singleton that must survive

@@ -166,4 +166,30 @@ class PlanSpec extends SparkTestBase {
     assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
       s"aggregate should feed the join (agg below join in plan):\n$p")
   }
+
+  test("q81 bloom decontamination probes in codegen BELOW the exact join") {
+    val p = plan(SparkEntry.queries("q81_decontaminate_bloom")(spark, sf))
+    // the bloom probe must appear as a Filter under the verify join —
+    // prefiltering the corpus stream map-side is the whole point
+    val probeIdx = p.indexOf("bloom_might_contain")
+    assert(probeIdx >= 0, s"bloom probe missing from plan:\n$p")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"bloom probe should sit below the verify join:\n$p")
+  }
+
+  test("q79 split assignment is pure map-side: no exchange, no join") {
+    // the split label is a hash-CASE over the id — any Exchange/Join/
+    // Window here means the operator regressed to a shuffling formulation
+    // and would re-place 100 TB of rows just to tag them
+    val df = graft.ext.Sampling.assignSplits(
+      Tables.load(spark, sf, "documents"),
+      "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), 42L)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"split assignment shuffled:\n$p")
+    assert(!p.contains("Join"), s"split assignment joined:\n$p")
+    assert(!p.contains("Window"), s"split assignment windowed:\n$p")
+    // "*(1) Project" = the projection runs inside whole-stage codegen
+    assert(p.contains("*(1) Project"), s"label CASE fell out of codegen:\n$p")
+  }
 }

@@ -199,4 +199,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(out === Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L),
       (4L, 1L, 1L)))
   }
+
+  test("unigramLogProb: hand-computed smoothing, OOV path, full ≡ top-K") {
+    // corpus: "a a b" + "a c" → counts a=3, b=1, c=1; N=5, V=3
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    def p(c: Long): Double = (c + 1.0) / (5 + 3)
+    // mirror the operator's r4 convention (+1e-9 nudge, 4 dp)
+    def r4(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
+    val exact = graft.ext.TextOps.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val exp1 = r4((2 * math.log(p(3)) + math.log(p(1))) / 3)
+    val exp2 = r4((math.log(p(3)) + math.log(p(1))) / 2)
+    assert(exact === Seq((1L, 3L, exp1), (2L, 2L, exp2)))
+    // K >= V: top-K variant must be bit-identical to the exact join
+    val topAll = graft.ext.TextOps.unigramLogProb(df, "doc_id", "text",
+        vocabSize = 10)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(topAll === exact)
+    // K=1 keeps only 'a' (count desc); b and c score as OOV count 0,
+    // same smoothing denominator → doc 2 drops, doc 1 unchanged less
+    val top1 = graft.ext.TextOps.unigramLogProb(df, "doc_id", "text",
+        vocabSize = 1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val oov = math.log(1.0 / 8)
+    val e1 = r4((2 * math.log(p(3)) + oov) / 3)
+    val e2 = r4((math.log(p(3)) + oov) / 2)
+    assert(top1 === Seq((1L, 3L, e1), (2L, 2L, e2)))
+  }
 }
