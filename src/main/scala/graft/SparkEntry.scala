@@ -951,7 +951,30 @@ object SparkEntry {
     "q80_unigram_logprob" -> ((s, dir) =>
       ext.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 500)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // corpus-mix drift: Jensen-Shannon divergence between the token
+    // distributions of the English slice vs the rest — one token-keyed
+    // shuffle + a map-side totals aggregate, single-row output
+    "q82_token_divergence" -> ((s, dir) =>
+      ext.TextOps.tokenDistributionDivergence(
+        t(s, dir, "documents"), "text", col("lang") === "en")),
+
+    // market-basket co-occurrence with lift over lineitem (parts ordered
+    // together): capped basket self-join, pair-keyed aggregate, top-k.
+    // The basket cap + minPairCount prune are the 100 TB levers
+    "q83_cooccurrence" -> ((s, dir) =>
+      operators.Recommend.cooccurrence(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L,
+        k = 50)),
+
+    // keyword extraction: top-3 tokens per doc by smoothed TF-IDF;
+    // ranking window rides the high-cardinality doc id and compares the
+    // ROUNDED score (cross-engine-stable rank)
+    "q84_tfidf_terms" -> ((s, dir) =>
+      ext.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id"), col("rank")))
   )
 
   /** documents ∪ truncated copies (id+100000, last token dropped): a
@@ -1938,6 +1961,81 @@ object SparkEntry {
         |  round(avg(ln((COALESCE(v.c, 0) + 1.0) / (tot.n + tot.v)))
         |    + 1e-9, 4) AS avg_logprob
         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // same JS formula and IEEE op order as the Spark side: p = c/N
+    // (double division), m = (pa+pb)/2, ln = natural log, zero-count
+    // terms contribute 0; single row so GROUP BY the constants
+    "q82_token_divergence" ->
+      """WITH toks AS (SELECT (lang = 'en') AS a,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT
+        |    sum(CASE WHEN lang = 'en'
+        |      THEN len(regexp_split_to_array(lower(text), '\s+'))
+        |      ELSE 0 END) AS na,
+        |    sum(CASE WHEN lang = 'en' THEN 0
+        |      ELSE len(regexp_split_to_array(lower(text), '\s+'))
+        |      END) AS nb
+        |  FROM documents)
+        |SELECT CAST(na AS BIGINT) AS n_tokens_a,
+        |  CAST(nb AS BIGINT) AS n_tokens_b,
+        |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_a,
+        |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_b,
+        |  round(sum(
+        |    CASE WHEN ca > 0 THEN (ca / CAST(na AS DOUBLE))
+        |      * ln((ca / CAST(na AS DOUBLE))
+        |        / ((ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE))
+        |           / 2)) / 2 ELSE 0 END
+        |    + CASE WHEN cb > 0 THEN (cb / CAST(nb AS DOUBLE))
+        |      * ln((cb / CAST(nb AS DOUBLE))
+        |        / ((ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE))
+        |           / 2)) / 2 ELSE 0 END) + 1e-9, 4) AS js_div
+        |FROM counts, tot GROUP BY na, nb""".stripMargin,
+
+    // identical cap rule (row_number by item id, ≤ 64), lift over the
+    // CAPPED baskets; bigint/bigint division is double in both engines
+    "q83_cooccurrence" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |tot AS (SELECT count(DISTINCT b) AS nb FROM capped),
+        |ic AS (SELECT i, count(*) AS c FROM capped GROUP BY i),
+        |pairs AS (SELECT x.i AS item_a, y.i AS item_b,
+        |    count(*) AS pair_cnt
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |  round(pair_cnt * nb / (ca.c * cb.c) + 1e-9, 4) AS lift
+        |FROM pairs JOIN ic ca ON ca.i = item_a
+        |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
+        |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same smoothed idf and the same ROUNDED-score rank ordering as the
+    // Spark side (rounding before ranking keeps rank engine-stable)
+    "q84_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, tok,
+        |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) + 1e-9, 4)
+        |      AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok AS term, CAST(rank AS BIGINT) AS rank, score
+        |FROM (SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

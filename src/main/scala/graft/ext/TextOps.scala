@@ -353,6 +353,83 @@ object TextOps {
           (col("_n") + col("_v"))))).as("avg_logprob"))
   }
 
+  /** Per-document characteristic terms: top-k distinct tokens by
+    * smoothed TF-IDF (sklearn-style idf = ln((N+1)/(df+1)) + 1, so
+    * corpus-wide tokens still score > 0 and ties don't collapse to one
+    * bucket) — the keyword-extraction step of corpus exploration and
+    * cluster labeling.
+    *
+    * Shapes: the (doc, token) tf aggregate and the token df aggregate
+    * both shuffle on high-cardinality keys with map-side combine; N is
+    * a broadcast single-row aggregate; the final ranking window
+    * partitions on the HIGH-cardinality doc id (each group is ≤ the
+    * doc's distinct-token count — the safe window shape, unlike the
+    * |queries|-reducer funnel q33 had to avoid). Ranking compares the
+    * ROUNDED score then the token, so rank is reproducible across
+    * engines regardless of last-ulp libm drift.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+    val tf = toks.groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, Seq("_tok")).join(broadcast(n))
+      .withColumn("score",
+        r4(col("_tf") * (log((col("_n") + lit(1.0)) / (col("_df") + lit(1.0)))
+          + lit(1.0))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("_tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("_tok").as("term"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Jensen-Shannon divergence between the token distributions of two
+    * corpus slices — the drift report a pipeline runs when re-mixing
+    * sources or comparing a new crawl against the current training mix
+    * (JS because it is symmetric, bounded [0, ln 2], and defined even
+    * where supports differ).
+    *
+    * Shape at 100 TB: ONE token-keyed shuffle builds the per-token
+    * conditional counts (map-side combined; output = |vocab| rows); the
+    * slice totals come from a separate single-row aggregate over
+    * per-doc token COUNTS (map-side arithmetic, no explode) that
+    * broadcasts back; the divergence itself is a single-row aggregate
+    * over the vocab frame. No full-corpus row ever meets a
+    * low-cardinality key.
+    *
+    * Output (one row): n_tokens_a/b, vocab_a/b, js_div (natural log,
+    * 4 dp). Zero-count terms contribute 0 (lim p→0 of p·ln(p/m)).
+    */
+  def tokenDistributionDivergence(df: DataFrame, textCol: String,
+                                  sideA: Column): DataFrame = {
+    val counts = df
+      .select(sideA.as("_a"), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col("_tok")).agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_cb"))
+    val totals = df.select(sideA.as("_a"),
+        tokenCount(col(textCol)).as("_n"))
+      .agg(sum(when(col("_a"), col("_n")).otherwise(0L)).as("_na"),
+        sum(when(col("_a"), 0L).otherwise(col("_n"))).as("_nb"))
+    val pa = col("_ca").cast("double") / col("_na")
+    val pb = col("_cb").cast("double") / col("_nb")
+    val m = (pa + pb) / lit(2.0)
+    val contrib =
+      when(col("_ca") > 0L, pa * log(pa / m) / lit(2.0)).otherwise(lit(0.0)) +
+      when(col("_cb") > 0L, pb * log(pb / m) / lit(2.0)).otherwise(lit(0.0))
+    counts.join(broadcast(totals))
+      .agg(max(col("_na")).as("n_tokens_a"),
+        max(col("_nb")).as("n_tokens_b"),
+        sum(when(col("_ca") > 0L, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("_cb") > 0L, 1L).otherwise(0L)).as("vocab_b"),
+        r4(sum(contrib)).as("js_div"))
+  }
+
   /** Concat-and-chunk sequence packing: assign every document its token
     * interval in the id-ordered concatenation of the corpus, and the
     * fixed-size chunk ids that interval lands in — the packing step of

@@ -41,4 +41,54 @@ object Recommend {
       .orderBy(col("avg_rating").desc, tieBreak)
       .limit(k)
   }
+
+  /** Item-item co-occurrence ("bought together") with lift — the
+    * collaborative signal that needs no model fit, and the classic
+    * basket self-join whose cost is Σ|basket|², not |rows|.
+    *
+    * Scale levers, in order of importance:
+    *  - `maxBasket` CAPS each basket before the self-join (keep the
+    *    `maxBasket` smallest item ids — deterministic, so the oracle
+    *    reproduces the cap exactly). One pathological basket of 10⁶
+    *    items would otherwise contribute 10¹² pairs; with the cap every
+    *    basket contributes ≤ maxBasket². The capping window partitions
+    *    on the HIGH-cardinality basket id — the safe window shape.
+    *  - the pair aggregate shuffles on (item_a, item_b) — high
+    *    cardinality by construction.
+    *  - `minPairCount` prunes the singleton-pair tail BEFORE the lift
+    *    join, which at corpus scale is most of the pair stream.
+    *
+    * lift = pair_cnt · n_baskets / (cnt_a · cnt_b) over the CAPPED
+    * baskets (consistent numerator and denominators). Output: top-k
+    * pairs by (pair_cnt desc, item_a, item_b) — a total order.
+    */
+  def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   maxBasket: Int = 64, minPairCount: Long = 2L,
+                   k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val w = Window.partitionBy(col("_b")).orderBy(col("_i"))
+    val capped = items.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBasket).drop("_rn")
+    val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
+    val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val pairs = capped
+      .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
+        col("_b") === col("_b2") && col("_i") < col("item_b"))
+      .groupBy(col("_i").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
+        Seq("item_b"))
+      .join(broadcast(totals))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        round((col("pair_cnt") * col("_nb")) / (col("_ca") * col("_cb"))
+          + lit(1e-9), 4).as("lift"))
+      .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
 }

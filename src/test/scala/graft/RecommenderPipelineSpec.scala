@@ -101,4 +101,29 @@ class RecommenderPipelineSpec extends SparkTestBase {
     val tvRow2 = result.tv.collect().find(_.getInt(0) == 2)
     tvRow2.foreach(r => assert(math.abs(r.getDouble(3) - avgItem2) < 1e-9))
   }
+
+  test("cooccurrence: basket cap, pair prune, and hand-computed lift") {
+    import spark.implicits._
+    // basket 1 has 3 items but the cap keeps the 2 smallest ids, so the
+    // (10,30)/(20,30) pairs must NOT appear even with minPairCount=1
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 20L), // dup row: distinct-ed away
+      (4L, 30L), (4L, 40L))
+      .toDF("basket", "item")
+    val capped = graft.operators.Recommend.cooccurrence(
+        df, "basket", "item", maxBasket = 2, minPairCount = 1L, k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // capped baskets: 1→{10,20}, 2→{10,20}, 3→{10,20}, 4→{30,40};
+    // counts 10→3, 20→3, 30→1, 40→1, nb=4
+    assert(capped === Seq(
+      (10L, 20L, 3L, math.round((3.0 * 4 / 9 + 1e-9) * 1e4) / 1e4),
+      (30L, 40L, 1L, 4.0)))
+    // minPairCount prunes the singleton pair
+    val pruned = graft.operators.Recommend.cooccurrence(
+        df, "basket", "item", maxBasket = 2, minPairCount = 2L, k = 10)
+      .select($"item_a", $"item_b").as[(Long, Long)].collect().toSeq
+    assert(pruned === Seq((10L, 20L)))
+  }
 }

@@ -226,4 +226,42 @@ class TextOpsSpec extends SparkTestBase {
     val e2 = r4((math.log(p(3)) + oov) / 2)
     assert(top1 === Seq((1L, 3L, e1), (2L, 2L, e2)))
   }
+
+  test("tokenDistributionDivergence: 0 on identical, ln2 on disjoint") {
+    // identical distributions on both sides → JS = 0
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "grp", "text")
+    val d0 = graft.ext.TextOps.tokenDistributionDivergence(
+        same, "text", $"grp" === "a")
+      .select($"n_tokens_a", $"n_tokens_b", $"vocab_a", $"vocab_b", $"js_div")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(d0 === ((3L, 3L, 3L, 3L, 0.0)))
+    // fully disjoint vocabularies → JS = ln 2 (each term p·ln(p/(p/2)))
+    val disj = Seq((1L, "a", "x x y"), (2L, "b", "u v w w"))
+      .toDF("doc_id", "grp", "text")
+    val d1 = graft.ext.TextOps.tokenDistributionDivergence(
+        disj, "text", $"grp" === "a")
+      .select($"vocab_a", $"vocab_b", $"js_div")
+      .as[(Long, Long, Double)].collect().head
+    assert(d1._1 === 2L && d1._2 === 3L)
+    assert(math.abs(d1._3 - math.log(2.0)) < 1e-4)
+  }
+
+  test("tfidfTopTerms: smoothed idf, tf weighting, deterministic rank") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    def r4(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
+    def idf(dfreq: Int): Double = math.log(4.0 / (dfreq + 1.0)) + 1.0
+    val out = graft.ext.TextOps.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Double)].collect()
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(out === Seq(
+      (1L, "apple", 1L, r4(2 * idf(1))),  // rare + doubled beats banana
+      (1L, "banana", 2L, r4(1 * idf(2))),
+      (2L, "banana", 1L, r4(1 * idf(2))), // tie on score → token order
+      (2L, "cherry", 2L, r4(1 * idf(2))),
+      (3L, "cherry", 1L, r4(3 * idf(2)))))
+  }
 }
