@@ -46,11 +46,15 @@ object SparkEntry {
     * embedding copies is measured in LshRecallSpec too), q35 is ALS model
     * output, q63 composes the xxhash64 MinHash pair generator (DedupSpec
     * pins its soundness against the exact-Jaccard path: every dropped id
-    * has a lower-id exact-Jaccard≥threshold partner).
+    * has a lower-id exact-Jaccard≥threshold partner), q85's codebook
+    * comes from iterated distributed k-means (driver-looped fixpoint —
+    * not single-statement SQL; SimilaritySpec measures its recall@10
+    * against bruteForceKnn and pins the exact-re-rank contract).
     */
   def rowsOnly: Set[String] =
     Set("q30_minhash_neardup", "q31_simhash_neardup",
-      "q34_lsh_neighbors", "q35_als_recommend", "q63_dedup_corpus_lsh")
+      "q34_lsh_neighbors", "q35_als_recommend", "q63_dedup_corpus_lsh",
+      "q85_pq_search")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -974,7 +978,21 @@ object SparkEntry {
     "q84_tfidf_terms" -> ((s, dir) =>
       ext.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
           k = 3)
-        .orderBy(col("doc_id"), col("rank")))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // product-quantization ANN: train per-subspace codebooks (m=4×16
+    // codes over dim 64), ADC-score the compressed code stream, exact
+    // re-rank of the top-50. Rows-only (iterated k-means codebook);
+    // SimilaritySpec pins recall@10 vs bruteForceKnn
+    "q85_pq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = ext.Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
+      ext.Similarity.pqSearch(emb, model, emb.filter(col("vec_id") < 5),
+          k = 10, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   /** documents ∪ truncated copies (id+100000, last token dropped): a

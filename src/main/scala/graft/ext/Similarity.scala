@@ -279,4 +279,116 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("pair_cos"))
   }
+
+  // ---- Product quantization (ADC search over compressed codes) ----
+
+  /** PQ codebook: `m` subspaces × ≤k centroids × `dsub` doubles — the
+    * driver-held model (a few KB) that turns a raw embedding scan into
+    * a code scan. Centroids within a subspace are ordered (stable code
+    * assignment); empty clusters may shrink a subspace below k
+    * (standard Lloyd behavior, harmless — codes index survivors).
+    */
+  case class PqModel(m: Int, dsub: Int,
+                     codebook: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    require(codebook.length == m && codebook.forall(_.nonEmpty))
+    /** Subspace-j centroids as a literal array<array<double>> column. */
+    private[graft] def centsLit(j: Int): Column =
+      array(codebook(j).map(c => array(c.map(lit): _*)): _*)
+  }
+
+  /** Train a PQ codebook: per-subspace Lloyd's k-means (reuses
+    * [[kmeans]], so every data-sized op stays distributed; only the
+    * m×k×dsub centroid doubles ever reach the driver). Init is the k
+    * smallest-id vectors' sub-slices — deterministic, same convention
+    * as the declared IVF queries. m small (4–16) ⇒ the m training
+    * loops are a bounded number of Spark jobs, amortized over every
+    * subsequent encode/search of the corpus.
+    */
+  def pqTrain(df: DataFrame, m: Int, k: Int, maxIter: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+  : PqModel = {
+    val dim = df.select(size(col(vecCol)).as("_d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val cb = (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
+      val init = sub.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+      kmeans(sub, init, maxIter, eps = 1e-6, idCol, vecCol)
+        .select(col("centroid_id").cast("long"),
+          col("centroid").cast("array<double>"))
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray).toIndexedSeq
+    }
+    PqModel(m, dsub, cb)
+  }
+
+  /** Encode each vector as `m` small codes — nearest sub-centroid per
+    * subspace (squared L2, first-min tie-break). Pure map-side: the
+    * codebook rides the plan as literals, sub-vectors are STAGED as
+    * attributes before the HOF lambdas touch them (the O(L²)
+    * lambda-capture trap), and the output (idCol, codes array<int>) is
+    * the ~32×-compressed corpus the ADC scan reads instead of raw
+    * vectors — at 100 TB that factor is the difference between an
+    * in-memory scan and an I/O-bound one.
+    */
+  def pqEncode(df: DataFrame, model: PqModel,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val staged = df.select(col(idCol) +: (0 until model.m).map(j =>
+      slice(col(vecCol), j * model.dsub + 1, model.dsub).as(s"_sub$j")): _*)
+    val codes = (0 until model.m).map { j =>
+      val scores = transform(model.centsLit(j), c =>
+        aggregate(zip_with(col(s"_sub$j"), c,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    staged.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search: each query precomputes a
+    * per-subspace lookup table lut[j][c] = dot(q_subⱼ, centroid_jc)
+    * (m×k doubles, broadcast with the query), the corpus CODE stream is
+    * scored with m array lookups + adds per row — no vector arithmetic,
+    * no raw-embedding I/O — and the top-`rerank` candidates per query
+    * (k-bounded partial aggregate, q33's shape) are re-ranked EXACTLY
+    * against the raw vectors. Recall is governed by (m, k, rerank);
+    * the exact re-rank makes reported cosines true cosines.
+    */
+  def pqSearch(corpus: DataFrame, model: PqModel, queries: DataFrame,
+               k: Int, rerank: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val codes = pqEncode(corpus, model, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val qStaged = queries.select(col(idCol).as("query_id") +:
+      (0 until model.m).map(j =>
+        slice(col(vecCol), j * model.dsub + 1, model.dsub).as(s"_qs$j")): _*)
+    val lut = array((0 until model.m).map { j =>
+      transform(model.centsLit(j), c =>
+        aggregate(zip_with(col(s"_qs$j"), c,
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v))
+    }: _*)
+    val q = qStaged.select(col("query_id"), lut.as("_lut"))
+    val scored = codes.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", (0 until model.m).map(j =>
+        element_at(element_at(col("_lut"), j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+    val cands = Relational.topKPerGroupAgg(scored, rerank, Seq("query_id"),
+        col("approx"), col("neighbor_id"), "approx", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("n_vec")), "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))), "query_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    Relational.topKPerGroupAgg(exact, k, Seq("query_id"),
+        col("cos"), col("neighbor_id"), "cos", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 }

@@ -144,4 +144,47 @@ class SimilaritySpec extends SparkTestBase {
       .select($"vec_id", $"centroid_id").as[(Int, Int)].collect().toMap
     assert(got === Map(1 -> 10, 2 -> 20, 3 -> 10))
   }
+
+  test("pqEncode: codes index the nearest sub-centroid, stable for dups") {
+    // hand-built model: 2 subspaces of dim 2, 2 centroids each
+    val model = Similarity.PqModel(2, 2, IndexedSeq(
+      IndexedSeq(Array(1.0, 0.0), Array(0.0, 1.0)),
+      IndexedSeq(Array(1.0, 1.0), Array(-1.0, -1.0))))
+    val df = vecs(
+      1 -> Seq(0.9f, 0.1f, 1f, 1f),    // sub0→code0, sub1→code0
+      2 -> Seq(0.1f, 0.9f, -1f, -1f),  // sub0→code1, sub1→code1
+      3 -> Seq(0.9f, 0.1f, 1f, 1f))    // duplicate of 1 → same codes
+    val got = Similarity.pqEncode(df, model)
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(got === Map(1 -> Seq(0, 0), 2 -> Seq(1, 1), 3 -> Seq(0, 0)))
+  }
+
+  test("pqSearch: recall@10 vs bruteForceKnn on real embeddings; " +
+    "reported cosines are exact") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val model = Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
+    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 50)
+    val exact = Similarity.bruteForceKnn(emb, queries, 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val pqTop = topSet(pq)
+    val exTop = topSet(exact)
+    val recalls = exTop.map { case (q, s) =>
+      pqTop.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@10 over ${recalls.size} queries: $mean%.2f")
+    assert(mean >= 0.5, f"PQ recall@10 $mean%.2f below 0.5 at " +
+      "(m=4, k=16, rerank=50) — the shipped q85 parameters")
+    // exact-re-rank contract: every reported cos equals the true cosine
+    val reported = pq.join(
+        emb.select($"vec_id".as("query_id"), $"embedding".as("qv")), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv")),
+        "neighbor_id")
+      .select(abs($"cos" - Similarity.cosine($"qv", $"nv")).as("err"))
+      .agg(max($"err")).head().getDouble(0)
+    assert(reported < 1e-12)
+  }
 }
