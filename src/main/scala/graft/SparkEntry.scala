@@ -980,6 +980,26 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // PageRank centrality over the item-affinity graph (symmetrized
+    // q83 pair list), 2 fixed iterations; output scaled by N (mean 1.0)
+    // and rounded so the top-20 ordering is engine-stable
+    "q86_pagerank" -> ((s, dir) => {
+      val pairs = operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L)
+      val edges = pairs
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pairs
+          .select(col("item_b").as("src"), col("item_a").as("dst")))
+      val n = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .agg(count(lit(1)).as("_n"))
+      ext.Graph.pageRank(edges, iters = 2)
+        .join(broadcast(n))
+        .select(col("id").as("item"),
+          round(col("pr") * col("_n") + lit(1e-9), 4).as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("item")).limit(20)
+    }),
+
     // product-quantization ANN: train per-subspace codebooks (m=4×16
     // codes over dim 64), ADC-score the compressed code stream, exact
     // re-rank of the top-50. Rows-only (iterated k-means codebook);
@@ -2036,6 +2056,40 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same capped pair list as q83, symmetrized; two unrolled PageRank
+    // iterations with the identical arithmetic ((1 - 0.85)/n teleport,
+    // COALESCE(·,0) for in-degree-0 nodes); scaled by N and rounded
+    "q86_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |pairs AS (SELECT x.i AS ia, y.i AS ib
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |          UNION ALL SELECT ib, ia FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst AS id FROM edges),
+        |n AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes, n),
+        |s1 AS (SELECT e.dst AS id, sum(r.pr / d.d) AS s
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nd.id, (1 - 0.85) / n.n + 0.85 * COALESCE(s1.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s1 ON s1.id = nd.id),
+        |s2 AS (SELECT e.dst AS id, sum(r.pr / d.d) AS s
+        |  FROM edges e JOIN deg d ON d.src = e.src
+        |    JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nd.id, (1 - 0.85) / n.n + 0.85 * COALESCE(s2.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s2 ON s2.id = nd.id)
+        |SELECT id AS item, round(pr * n.n + 1e-9, 4) AS pr_scaled
+        |FROM r2, n ORDER BY pr_scaled DESC, item LIMIT 20""".stripMargin,
 
     // same smoothed idf and the same ROUNDED-score rank ordering as the
     // Spark side (rounding before ranking keeps rank engine-stable)

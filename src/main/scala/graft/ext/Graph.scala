@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over plain (src, dst) edge DataFrames — the iterative
+  * join workload Spark was built for. Connected components lives in
+  * [[Dedup.duplicateClusters]] (it is a dedup primitive there); this
+  * module holds scoring/centrality.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list.
+    *
+    * Per iteration (the canonical distributed shape):
+    *   1. join ranks onto edges by src (both sides keyed on the
+    *      high-cardinality node id; AQE handles hub skew),
+    *   2. per-dst sum of pr/out-degree (map-side partial agg),
+    *   3. left-join back onto the node set so in-degree-0 nodes keep the
+    *      teleport mass: pr' = (1−d)/N + d·Σ.
+    *
+    * Only the (id, pr) frame crosses iterations — lineage grows
+    * linearly in `iters`, which is why this takes a FIXED iteration
+    * count rather than a convergence loop: callers at scale checkpoint
+    * or re-seed between batches of iterations (same plan-size argument
+    * as [[Similarity.kmeans]], which re-seeds from the driver because
+    * its state is k rows; a rank vector is |V| rows, so it must stay
+    * distributed and the plan must stay bounded).
+    *
+    * Dangling mass (nodes with no OUT-edges) is dropped, the common
+    * simplification; on a symmetrized edge list (undirected graphs)
+    * there are no dangling nodes and ranks sum to 1.
+    *
+    * Returns (id, pr). `pr` is left unrounded — display rounding is the
+    * caller's concern (the declared query scales by N and rounds).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst")
+  : DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("_n"))
+    var ranks = nodes.join(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(outDeg, Seq("src"))
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("pr") / col("_d")).as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+        .join(broadcast(n))
+        .select(col("id"),
+          (lit(1.0 - damping) / col("_n") +
+            lit(damping) * coalesce(col("_s"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+}

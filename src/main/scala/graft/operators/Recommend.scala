@@ -65,21 +65,10 @@ object Recommend {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    maxBasket: Int = 64, minPairCount: Long = 2L,
                    k: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
-    val w = Window.partitionBy(col("_b")).orderBy(col("_i"))
-    val capped = items.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxBasket).drop("_rn")
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
     val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
     val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    val pairs = capped
-      .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
-        col("_b") === col("_b2") && col("_i") < col("item_b"))
-      .groupBy(col("_i").as("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= minPairCount)
-    pairs
+    basketPairs(df, basketCol, itemCol, maxBasket, minPairCount)
       .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
         Seq("item_a"))
       .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
@@ -90,5 +79,38 @@ object Recommend {
           + lit(1e-9), 4).as("lift"))
       .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
       .limit(k)
+  }
+
+  /** Distinct (basket `_b`, item `_i`) pairs with the deterministic
+    * `maxBasket` cap applied (keep the maxBasket smallest item ids per
+    * basket) — the shared first stage of [[cooccurrence]] and
+    * [[basketPairs]].
+    */
+  private[graft] def cappedBaskets(df: DataFrame, basketCol: String,
+                                   itemCol: String, maxBasket: Int)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val w = Window.partitionBy(col("_b")).orderBy(col("_i"))
+    items.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBasket).drop("_rn")
+  }
+
+  /** The raw co-occurrence pair list (item_a < item_b, pair_cnt ≥
+    * minPairCount) over capped baskets — [[cooccurrence]] without the
+    * lift/top-k stage; also the edge list for graph analytics
+    * ([[graft.ext.Graph.pageRank]] over the item-affinity graph).
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+                  maxBasket: Int = 64, minPairCount: Long = 2L)
+  : DataFrame = {
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+    capped
+      .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
+        col("_b") === col("_b2") && col("_i") < col("item_b"))
+      .groupBy(col("_i").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
   }
 }

@@ -111,6 +111,43 @@ object Tables {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Partitioned layout with per-file CLUSTERING: repartition on the
+    * partition columns first — so each Hive directory is written by one
+    * task instead of every task dribbling a small file into every
+    * directory (the classic |tasks|×|dirs| small-file explosion) — then
+    * sortWithinPartitions on the cluster columns so parquet row-group
+    * min/max statistics (zone maps) prune WITHIN files for range
+    * predicates on the cluster key. Directory pruning handles the
+    * partition columns; row-group pruning handles the cluster columns;
+    * together a time-keyed range query over a 100 TB table touches only
+    * its directories and only the matching row groups inside them.
+    */
+  def writeClustered(df: DataFrame, path: String,
+                     partitionCols: Seq[String],
+                     clusterCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .sortWithinPartitions((partitionCols ++ clusterCols).map(df.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `targetFiles` files. Small files are the silent scan killer at
+    * scale — per-file open/footer costs dominate and the driver's file
+    * index bloats — so ingestion-heavy tables get compacted on a
+    * schedule. Returns (filesBefore, filesAfter). Written to `dest`
+    * (atomic swap is the caller's/catalog's job — the engine never
+    * deletes source data).
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetFiles: Int): (Long, Long) = {
+    val df = spark.read.parquet(src)
+    val before = df.inputFiles.length.toLong
+    df.repartition(targetFiles).write.mode("overwrite").parquet(dest)
+    val after = spark.read.parquet(dest).inputFiles.length.toLong
+    (before, after)
+  }
+
   /** Single-file CSV sink with header, matching the reference's one-file
     * output shape (reference `model-als.py:173-174`, written via pandas).
     * Spark writes a directory; for the reference's exact-named single file

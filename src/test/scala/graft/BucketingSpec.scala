@@ -74,4 +74,42 @@ class BucketingSpec extends SparkTestBase {
       assert(joined.count() === expected)
     } finally spark.conf.set(key, prior)
   }
+
+  test("clustered write: one file per partition dir, rows sorted in-file") {
+    val out = "target/clustered-events"
+    Tables.writeClustered(
+      Tables.load(spark, sf, "events")
+        .select(col("event_type"), col("user_id"), col("event_id")),
+      out, partitionCols = Seq("event_type"), clusterCols = Seq("user_id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${d.getName}: expected 1 file, got ${parts.length} " +
+          "(small-file explosion)")
+      // in-file clustering: user_id must be non-decreasing in row order
+      val vals = spark.read.parquet(parts.head.getPath)
+        .select(col("user_id")).collect().map(_.getLong(0)).toSeq
+      assert(vals === vals.sorted, s"${d.getName} not clustered")
+    }
+    // round-trip completeness
+    assert(spark.read.parquet(out).count() ===
+      Tables.load(spark, sf, "events").count())
+  }
+
+  test("compact rewrites a fragmented table into the target file count") {
+    val frag = "target/frag-docs"
+    val dest = "target/compact-docs"
+    val docs = Tables.load(spark, sf, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    val (before, after) = Tables.compact(spark, frag, dest, targetFiles = 2)
+    assert(before === 16L && after === 2L, s"($before, $after)")
+    // identical content (sorted compare by id)
+    val a = spark.read.parquet(dest).orderBy(col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val b = docs.orderBy(col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRank: hand-computed star graph, mass conserved") {
+    // undirected star: a—b, a—c (symmetrized edge list)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),
+      (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // r0 = 1/3 each; s(a) = 1/3 + 1/3, s(b) = s(c) = (1/3)/2
+    val teleport = (1.0 - 0.85) / 3
+    assert(math.abs(got(1L) - (teleport + 0.85 * (2.0 / 3))) < 1e-12)
+    assert(math.abs(got(2L) - (teleport + 0.85 / 6)) < 1e-12)
+    assert(got(2L) === got(3L))
+    // symmetrized graph has no dangling nodes → ranks sum to 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // center outranks leaves, and stays that way after more iterations
+    val it3 = Graph.pageRank(edges, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(it3(1L) > it3(2L) && math.abs(it3.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank keeps in-degree-0 nodes at teleport mass") {
+    // directed chain 1→2→3: node 1 receives nothing but must keep the
+    // teleport term (the left-join-onto-nodes contract). Node 3 is
+    // dangling (no out-edges): its mass leaks, the documented
+    // simplification, so the total sums below 1 — but every node stays
+    // present with pr ≥ teleport.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 3
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(got(1L) - teleport) < 1e-12)
+    assert(got.values.forall(_ >= teleport - 1e-12))
+    assert(got(3L) > got(2L)) // chain end accumulates
+  }
+}
