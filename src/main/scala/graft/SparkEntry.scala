@@ -980,6 +980,23 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // ordered conversion funnel (view → click → purchase, first-touch
+    // anchors): per-step user-keyed aggregates, no windows or sorts
+    "q88_event_funnel" -> ((s, dir) =>
+      ext.EventOps.funnel(t(s, dir, "events"), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+
+    // equi-depth feature binning: 9 broadcast percentile cuts + map-side
+    // assignment — NOT a global-sort ntile. Bin histogram + bounds out
+    "q87_equidepth_bins" -> ((s, dir) =>
+      operators.Profile.equiDepthBins(t(s, dir, "lineitem"),
+          "l_extendedprice", bins = 10)
+        .groupBy(col("bin_id")).agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bin_id"))),
+
     // PageRank centrality over the item-affinity graph (symmetrized
     // q83 pair list), 2 fixed iterations; output scaled by N (mean 1.0)
     // and rounded so the top-20 ordering is engine-stable
@@ -990,13 +1007,9 @@ object SparkEntry {
         .select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pairs
           .select(col("item_b").as("src"), col("item_a").as("dst")))
-      val n = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-        .agg(count(lit(1)).as("_n"))
       ext.Graph.pageRank(edges, iters = 2)
-        .join(broadcast(n))
         .select(col("id").as("item"),
-          round(col("pr") * col("_n") + lit(1e-9), 4).as("pr_scaled"))
+          round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("item")).limit(20)
     }),
 
@@ -2056,6 +2069,42 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same first-touch anchors and strict-after rule; ts precision is
+    // identical on both sides (the dataset carries no sub-microsecond
+    // nanos, so the micros-normalized Spark load compares like the
+    // nanos-native DuckDB read)
+    "q88_event_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |    CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
+        |ORDER BY step_idx""".stripMargin,
+
+    // same 4dp-rounded cut points (quantile_cont = Spark's percentile
+    // interpolation) and the same strictly-greater bin rule
+    "q87_equidepth_bins" ->
+      """WITH cuts AS (SELECT list_transform(quantile_cont(
+        |    l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    c -> round(c + 1e-9, 4)) AS cs
+        |  FROM lineitem)
+        |SELECT bin_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM (SELECT l_extendedprice,
+        |    CAST(len(list_filter(cs, c -> l_extendedprice > c)) AS BIGINT)
+        |      AS bin_id
+        |  FROM lineitem, cuts)
+        |GROUP BY bin_id ORDER BY bin_id""".stripMargin,
 
     // same capped pair list as q83, symmetrized; two unrolled PageRank
     // iterations with the identical arithmetic ((1 - 0.85)/n teleport,

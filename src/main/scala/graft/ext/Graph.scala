@@ -31,17 +31,27 @@ object Graph {
     * simplification; on a symmetrized edge list (undirected graphs)
     * there are no dangling nodes and ranks sum to 1.
     *
-    * Returns (id, pr). `pr` is left unrounded — display rounding is the
-    * caller's concern (the declared query scales by N and rounds).
+    * The projected edge list, out-degree, and node frames are CACHED:
+    * every iteration (and the caller's follow-up joins) re-reads them,
+    * and without persistence each reference would re-execute the
+    * edge-derivation plan — for a derived graph (q86's basket
+    * self-join) that multiplies the most expensive stage by
+    * 2·iters+2. Same policy as GraphX, which persists the graph before
+    * iterating; callers with a cheap edge scan can `unpersist` after.
+    *
+    * Returns (id, pr, pr_scaled = pr·N): pr for mass accounting,
+    * pr_scaled (mean 1.0) as the display/threshold form — computed here
+    * because N is already on hand, saving callers a recount.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst")
   : DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+      .cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d")).cache()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.agg(count(lit(1)).as("_n"))
     var ranks = nodes.join(broadcast(n))
       .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
@@ -56,6 +66,7 @@ object Graph {
           (lit(1.0 - damping) / col("_n") +
             lit(damping) * coalesce(col("_s"), lit(0.0))).as("pr"))
     }
-    ranks
+    ranks.join(broadcast(n))
+      .select(col("id"), col("pr"), (col("pr") * col("_n")).as("pr_scaled"))
   }
 }

@@ -195,4 +195,45 @@ object Profile {
     df.groupBy(col(column)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(column))
       .limit(n)
+
+  /** Equi-depth binning: assign each row the quantile bucket of
+    * `valueCol` — the feature-bucketing step done the scale-safe way.
+    * `ntile(bins)` over a global ORDER BY would sort the entire table
+    * in ONE reducer (the q33-class funnel, fatal at 100 TB); instead
+    * the `bins−1` cut points come from one percentile aggregate (a
+    * single-row result), broadcast back, and the assignment is a
+    * map-side count of cut points below the value. Cut points are
+    * ROUNDED (4 dp) before comparison so bin membership is stable
+    * across engines.
+    *
+    * Ties sit entirely in one bin (every equal value compares
+    * identically against the cuts), so unlike ntile the bin sizes are
+    * only approximately equal under heavy ties — the standard
+    * equi-depth contract.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, bins: Int)
+  : DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val pcts = (1 until bins).map(_.toDouble / bins)
+    val cuts = df.agg(
+      percentile(col(valueCol), typedLit(pcts)).as("_cuts"))
+      .select(transform(col("_cuts"), c => round(c + lit(1e-9), 4))
+        .as("_cuts"))
+    df.join(broadcast(cuts))
+      .withColumn("bin_id",
+        size(filter(col("_cuts"), c => col(valueCol) > c)).cast("long"))
+      .drop("_cuts")
+  }
+
+  /** Rows-per-partition skew report (one row per partition plus the
+    * min/max/avg summary is the caller's agg away) — the first
+    * diagnostic to run when a stage straggles: a top-heavy histogram
+    * here means a hot key upstream (salt it) or a bad partitioner.
+    * Partition ids are a physical artifact (not data), so this is a
+    * diagnostic, never an oracle-checked result.
+    */
+  def partitionSkew(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("partition_id"))
 }

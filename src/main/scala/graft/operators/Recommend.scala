@@ -65,10 +65,13 @@ object Recommend {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    maxBasket: Int = 64, minPairCount: Long = 2L,
                    k: Int = 50): DataFrame = {
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+    // cached: referenced by the basket total, the item counts, and BOTH
+    // sides of the pair self-join — uncached, the distinct+cap window
+    // would run four times
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).cache()
     val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
     val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    basketPairs(df, basketCol, itemCol, maxBasket, minPairCount)
+    pairsOf(capped, minPairCount)
       .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
         Seq("item_a"))
       .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
@@ -104,13 +107,17 @@ object Recommend {
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
                   maxBasket: Int = 64, minPairCount: Long = 2L)
-  : DataFrame = {
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+  : DataFrame =
+    // cached for the same reason as in cooccurrence: the self-join
+    // references the capped frame twice
+    pairsOf(cappedBaskets(df, basketCol, itemCol, maxBasket).cache(),
+      minPairCount)
+
+  private def pairsOf(capped: DataFrame, minPairCount: Long): DataFrame =
     capped
       .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
         col("_b") === col("_b2") && col("_i") < col("item_b"))
       .groupBy(col("_i").as("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairCount)
-  }
 }

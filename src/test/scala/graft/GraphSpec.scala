@@ -11,8 +11,12 @@ class GraphSpec extends SparkTestBase {
     val edges = Seq(
       (1L, 2L), (2L, 1L),
       (1L, 3L), (3L, 1L)).toDF("src", "dst")
-    val got = Graph.pageRank(edges, iters = 1)
+    val out = Graph.pageRank(edges, iters = 1)
+    val got = out.select($"id", $"pr").as[(Long, Double)].collect().toMap
+    // pr_scaled is pr·N (mean 1.0 over nodes)
+    val scaled = out.select($"id", $"pr_scaled")
       .as[(Long, Double)].collect().toMap
+    assert(scaled.forall { case (id, s) => math.abs(s - got(id) * 3) < 1e-12 })
     // r0 = 1/3 each; s(a) = 1/3 + 1/3, s(b) = s(c) = (1/3)/2
     val teleport = (1.0 - 0.85) / 3
     assert(math.abs(got(1L) - (teleport + 0.85 * (2.0 / 3))) < 1e-12)
@@ -22,7 +26,7 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
     // center outranks leaves, and stays that way after more iterations
     val it3 = Graph.pageRank(edges, iters = 3)
-      .as[(Long, Double)].collect().toMap
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
     assert(it3(1L) > it3(2L) && math.abs(it3.values.sum - 1.0) < 1e-12)
   }
 
@@ -34,7 +38,7 @@ class GraphSpec extends SparkTestBase {
     // present with pr ≥ teleport.
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.pageRank(edges, iters = 2)
-      .as[(Long, Double)].collect().toMap
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
     val teleport = (1.0 - 0.85) / 3
     assert(got.keySet === Set(1L, 2L, 3L))
     assert(math.abs(got(1L) - teleport) < 1e-12)

@@ -76,4 +76,32 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(m("c1") - 33.3333) < 0.001)
     assert(math.abs(m("c2") - 66.6667) < 0.001)
   }
+
+  test("equiDepthBins: median split, ties stay in one bin, no window") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val out = Profile.equiDepthBins(df, "v", bins = 2)
+      .groupBy($"bin_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 5L, 1L -> 5L)) // cut at 5.5
+    // heavy ties: equal values compare identically → a single bin holds
+    // them all (the documented equi-depth-under-ties contract)
+    val ties = Seq.fill(8)(1.0).map(Tuple1(_)).toDF("v")
+    val tied = Profile.equiDepthBins(ties, "v", bins = 4)
+      .select($"bin_id").distinct().as[Long].collect().toSeq
+    assert(tied.size === 1)
+    // scale shape: no Window node (the rejected ntile formulation)
+    val plan = Profile.equiDepthBins(df, "v", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ntile crept back in:\n$plan")
+  }
+
+  test("partitionSkew counts every row exactly once") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("v").repartition(8)
+    val skew = Profile.partitionSkew(df)
+      .as[(Int, Long)].collect().toSeq
+    assert(skew.map(_._2).sum === 100L)
+    assert(skew.map(_._1).distinct.size === skew.size)
+  }
 }
