@@ -980,6 +980,20 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // trailing-1-hour rolling average per user: numeric range frame
+    // over epoch micros, window partitioned on the high-card user id
+    "q89_rolling_window" -> ((s, dir) =>
+      ext.EventOps.rollingUserAvg(t(s, dir, "events"), "user_id", "ts",
+          "value", windowMicros = 3600L * 1000000L)
+        .select(col("user_id"), col("event_id"), col("roll_avg"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // weekly cohort retention triangle: one (user, week) distinct, a
+    // per-user min, a user-keyed join, tiny final aggregate
+    "q90_cohort_retention" -> ((s, dir) =>
+      ext.EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // ordered conversion funnel (view → click → purchase, first-touch
     // anchors): per-step user-keyed aggregates, no windows or sorts
     "q88_event_funnel" -> ((s, dir) =>
@@ -2069,6 +2083,29 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same numeric micros range frame; DuckDB's RANGE frame over
+    // epoch_us(ts) includes the identical row set, avg rounded 4dp
+    "q89_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    + 1e-9, 4) AS roll_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    // same Monday-based date_trunc('week') and day-diff/7 offset
+    "q90_cohort_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |cohorts AS (SELECT user_id, min(w) AS cohort_week
+        |  FROM weeks GROUP BY user_id)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, w) / 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM weeks JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     // same first-touch anchors and strict-after rule; ts precision is
     // identical on both sides (the dataset carries no sub-microsecond

@@ -44,4 +44,52 @@ object EventOps {
     }
     out
   }
+
+  /** Per-user rolling aggregate over a TIME range (not a row count):
+    * avg of `valueCol` over the trailing `windowMicros` of event time —
+    * the feature-engineering window ("activity in the last hour") where
+    * row-count frames are wrong because event density varies.
+    *
+    * The window partitions on the HIGH-cardinality user id (safe shape)
+    * and orders by epoch micros so the range frame is numeric — Spark's
+    * rangeBetween needs a numeric ordering key, and integer micros
+    * compare exactly across engines where interval arithmetic might
+    * not.
+    */
+  def rollingUserAvg(events: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"))
+      .rangeBetween(-windowMicros, 0)
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("roll_avg",
+        round(avg(col(valueCol)).over(w) + lit(1e-9), 4))
+      .drop("_us")
+  }
+
+  /** Weekly cohort retention: bucket each user by their FIRST active
+    * week (the cohort), then count distinct users per (cohort week,
+    * weeks-since-cohort) — the retention triangle behind every growth
+    * dashboard.
+    *
+    * Shapes: one distinct over (user, week) — the only corpus-sized
+    * shuffle, keyed on the high-cardinality user — then a per-user min
+    * (map-side combined), a user-keyed join, and a tiny final aggregate
+    * (|cohorts| × |offsets| rows).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String)
+  : DataFrame = {
+    val weeks = events.select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("_w"))
+      .distinct()
+    val cohorts = weeks.groupBy(col(userCol))
+      .agg(min(col("_w")).as("cohort_week"))
+    weeks.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("_w"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
 }

@@ -40,4 +40,40 @@ class EventOpsSpec extends SparkTestBase {
     assert(got === Seq((1L, "view", 1L), (2L, "click", 0L),
       (3L, "purchase", 0L)))
   }
+
+  test("rollingUserAvg: time-range frame, not row-count; per-user") {
+    val events = Seq(
+      (1L, 101L, ts(0), 1.0),        // t = 0
+      (1L, 102L, ts(1800), 2.0),     // t = 30 min
+      (1L, 103L, ts(5400), 3.0),     // t = 90 min: first event aged out
+      (2L, 201L, ts(5400), 9.0))     // other user untouched
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventOps.rollingUserAvg(events, "user_id", "ts", "value",
+        windowMicros = 3600L * 1000000L)
+      .select($"event_id", $"roll_avg")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(101L -> 1.0, 102L -> 1.5, 103L -> 2.5,
+      201L -> 9.0))
+  }
+
+  test("cohortRetention: first-week cohorts, week offsets, distinct users") {
+    val week = 7 * 24 * 3600
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)),          // u1 cohort week 0 (dup row)
+      (1L, ts(2 * week)),                 // u1 returns at offset 2
+      (2L, ts(60)),                       // u2 cohort week 0, never back
+      (3L, ts(2 * week + 60)))            // u3 cohort week 2
+      .toDF("user_id", "ts")
+    val got = EventOps.cohortRetention(events, "user_id", "ts")
+      .select($"week_offset", $"n_users",
+        $"cohort_week".cast("string"))
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._3, r._1) -> r._2).toMap
+    val weeks = got.keys.map(_._1).toSeq.distinct.sorted
+    assert(weeks.size === 2)
+    assert(got((weeks.head, 0L)) === 2L) // u1, u2 in cohort 1
+    assert(got((weeks.head, 2L)) === 1L) // only u1 returned
+    assert(got((weeks.last, 0L)) === 1L) // u3's own cohort
+    assert(got.size === 3)
+  }
 }
