@@ -980,6 +980,12 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // typo/variant name pairs via the exact SymSpell deletion-
+    // neighborhood join — no all-pairs scan, no blocking recall loss
+    "q91_fuzzy_names" -> ((s, dir) =>
+      ext.Dedup.fuzzyNamePairs(t(s, dir, "part"), "p_name")
+        .orderBy(col("name_a"), col("name_b"))),
+
     // trailing-1-hour rolling average per user: numeric range frame
     // over epoch micros, window partitioned on the high-card user id
     "q89_rolling_window" -> ((s, dir) =>
@@ -2083,6 +2089,17 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // brute-force formulation — the deletion-neighborhood join is an
+    // exact-recall optimization, so the naive all-pairs SQL is the
+    // ground truth it must reproduce bit-for-bit
+    "q91_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // same numeric micros range frame; DuckDB's RANGE frame over
     // epoch_us(ts) includes the identical row set, avg rounded 4dp

@@ -370,6 +370,40 @@ object Dedup {
     overlapReport(corpus, idCol, hits)
   }
 
+  /** Fuzzy string matching via the SymSpell deletion neighborhood —
+    * every pair of DISTINCT strings within Levenshtein distance 1,
+    * found without an all-pairs comparison and without recall loss:
+    * two strings are within one edit iff they share a member of each
+    * other's {identity + single-character-deletion} variant set, so an
+    * equi-join on variant keys generates a candidate superset and a
+    * per-pair `levenshtein` verify (codegen built-in) removes the rest.
+    * This is EXACT blocking — unlike first-letter/length banding there
+    * is no "the edit hit the blocking key" escape.
+    *
+    * Shape at 100 TB: |distinct strings| × (len+1) posting rows, an
+    * equi-join whose cost is Σ posting² per variant key (bounded by
+    * near-duplicate cluster sizes — the same Σ|bucket|² contract as the
+    * MinHash band join), then one distinct on surviving pairs. The
+    * entity-resolution/typo-clustering primitive.
+    */
+  def fuzzyNamePairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).as("_s")).distinct()
+    val keyed = names.select(col("_s"),
+      explode(array_distinct(transform(
+        sequence(lit(0), length(col("_s"))),
+        i => concat(col("_s").substr(lit(1), i),
+          col("_s").substr(i + 2, length(col("_s"))))))).as("_k"))
+    keyed
+      .join(keyed.select(col("_k"), col("_s").as("name_b")),
+        Seq("_k"))
+      .filter(col("_s") < col("name_b"))
+      .select(col("_s").as("name_a"), col("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+
   /** Line-level boilerplate removal (the C4-style cleanup): drop every
     * line that occurs in more than `maxLineDf` distinct documents
     * ("all rights reserved", cookie banners, nav text), keep everything

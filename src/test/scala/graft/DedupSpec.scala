@@ -204,6 +204,25 @@ class DedupSpec extends SparkTestBase {
     assert(exact.exists(_._3 == 1L) && exact.exists(_._3 == 0L))
   }
 
+  test("fuzzyNamePairs: exact recall at distance 1, including " +
+    "first-char edits that banded blocking would miss") {
+    val df = Seq(
+      "blue bolt",  // substitution partner of "blue belt"
+      "blue belt",
+      "lue bolt",   // FIRST-char deletion of "blue bolt"
+      "blue boltx", // trailing insertion
+      "blue bolt",  // duplicate row: distinct-ed, no self pair
+      "red widget") // no partner within distance 1
+      .map(Tuple1(_)).toDF("name")
+    val got = Dedup.fuzzyNamePairs(df, "name")
+      .select($"name_a", $"name_b", $"dist")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("blue belt", "blue bolt", 1L),
+      ("blue bolt", "blue boltx", 1L),
+      ("blue bolt", "lue bolt", 1L)))
+  }
+
   test("embeddingNearDups: exact copies caught, cross-cell pairs bounded") {
     // two well-separated directions (cells) in 4-d; exact copies of ids
     // 1 and 10, plus an orthogonal singleton that must survive
