@@ -980,6 +980,42 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // incremental distinct users via MERGEABLE HLL sketches: per-day
+    // partial sketches (what a pipeline would persist) → hll_union_agg
+    // across days → estimate. The q48-style tolerance gate emits the
+    // EXACT count only when the merged estimate lands within 2%, so
+    // the oracle checks sketch accuracy without engine-identical HLLs
+    "q93_hll_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("_day"))
+        .agg(hll_sketch_agg(col("user_id")).as("_sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_approx"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("_exact"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          when(abs(col("_approx") - col("_exact")) <=
+            col("_exact") * 0.02, col("_exact")).otherwise(lit(-1L))
+            .as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // per-group closed-form OLS (value ~ hour-of-day) via the moment
+    // aggregates — regression at 100 TB is one map-side-combined pass,
+    // no solver; slope/intercept from distributed Σx/Σy/Σxy/Σx²
+    "q92_group_regression" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(regr_slope(col("value"), hour(col("ts"))) + lit(1e-9), 4)
+            .as("slope"),
+          round(regr_intercept(col("value"), hour(col("ts"))) + lit(1e-9), 4)
+            .as("intercept"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // typo/variant name pairs via the exact SymSpell deletion-
     // neighborhood join — no all-pairs scan, no blocking recall loss
     "q91_fuzzy_names" -> ((s, dir) =>
@@ -2089,6 +2125,23 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // the gate emits the exact distinct count (or -1 on a sketch miss),
+    // so the oracle is the exact formulation
+    "q93_hll_incremental" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same moment-based closed form; extract(hour) = Spark's hour()
+    "q92_group_regression" ->
+      """SELECT event_type,
+        |  round(regr_slope(value, extract(hour FROM ts)) + 1e-9, 4)
+        |    AS slope,
+        |  round(regr_intercept(value, extract(hour FROM ts)) + 1e-9, 4)
+        |    AS intercept,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // brute-force formulation — the deletion-neighborhood join is an
     // exact-recall optimization, so the naive all-pairs SQL is the
