@@ -202,6 +202,117 @@ object Multimodal {
       }
   }
 
+  /** One decoded PCM16 WAV clip (interleaved samples). */
+  case class WavAudio(sampleRate: Int, channels: Int,
+                      samples: Array[Short]) {
+    def durationSec: Double =
+      if (sampleRate == 0 || channels == 0) 0.0
+      else samples.length.toDouble / channels / sampleRate
+  }
+
+  /** Pure-JVM decoder for canonical PCM16 WAV (RIFF/WAVE, fmt
+    * audioFormat=1, 16-bit) — the second REAL codec behind the
+    * multimodal surface (images: [[Pgm]]). Walks the chunk list (word-
+    * aligned, unknown chunks skipped — real WAVs carry LIST/INFO
+    * chunks), validates every size against the buffer before reading
+    * (untrusted-corpus rule: corrupt headers must fail cleanly, same
+    * contract as the PGM long-math guards).
+    */
+  object Wav {
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (u16(b, i).toLong | (u16(b, i + 2).toLong << 16)) & 0xffffffffL
+
+    def decode(bytes: Array[Byte]): WavAudio = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"not a PCM16 WAV: $msg")
+      if (bytes.length < 12 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") fail("bad magic")
+      var i = 12
+      var rate = 0; var channels = 0; var haveFmt = false
+      var dataOff = -1; var dataLen = 0
+      while (i + 8 <= bytes.length && (!haveFmt || dataOff < 0)) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val sz = u32(bytes, i + 4)
+        if (sz > bytes.length - i - 8) fail(s"chunk $id overruns buffer")
+        id match {
+          case "fmt " =>
+            if (sz < 16) fail("fmt chunk too short")
+            val fmtCode = u16(bytes, i + 8)
+            channels = u16(bytes, i + 10)
+            val r = u32(bytes, i + 12)
+            val bits = u16(bytes, i + 22)
+            if (fmtCode != 1) fail(s"audioFormat $fmtCode (want PCM=1)")
+            if (bits != 16) fail(s"$bits bits (want 16)")
+            if (channels < 1 || channels > 8) fail(s"$channels channels")
+            if (r <= 0 || r > Int.MaxValue) fail(s"sample rate $r")
+            rate = r.toInt; haveFmt = true
+          case "data" =>
+            dataOff = i + 8; dataLen = sz.toInt
+          case _ => // LIST/INFO/fact/...: skip
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (!haveFmt) fail("no fmt chunk")
+      if (dataOff < 0) fail("no data chunk")
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        samples(j) = u16(bytes, dataOff + 2 * j).toShort
+        j += 1
+      }
+      WavAudio(rate, channels, samples)
+    }
+  }
+
+  /** The standard cheap audio features — duration, RMS energy (full-
+    * scale-normalized), zero-crossing rate — computed in one pass over
+    * the decoded samples. Deterministic, so spec-checkable exactly.
+    */
+  def wavFeatures(a: WavAudio): (Double, Double, Double) = {
+    val n = a.samples.length
+    if (n == 0) return (0.0, 0.0, 0.0)
+    var sumSq = 0.0
+    var crossings = 0
+    var j = 0
+    while (j < n) {
+      val s = a.samples(j).toDouble
+      sumSq += s * s
+      if (j > 0 && ((a.samples(j - 1) < 0) != (a.samples(j) < 0)))
+        crossings += 1
+      j += 1
+    }
+    (a.durationSec, math.sqrt(sumSq / n) / 32768.0,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+  }
+
+  /** Real audio path behind [[BatchModel]]: decode PCM16 WAV, emit
+    * `dims` features by strided mean |amplitude| (full-scale
+    * normalized) — the audio twin of [[PgmModel]], same batched
+    * mapPartitions plumbing.
+    */
+  object WavModel extends BatchModel {
+    def infer(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =
+      batch.map { bytes =>
+        val a = Wav.decode(bytes)
+        val sums = new Array[Double](dims)
+        val counts = new Array[Int](dims)
+        var j = 0
+        while (j < a.samples.length) {
+          sums(j % dims) += math.abs(a.samples(j).toDouble)
+          counts(j % dims) += 1
+          j += 1
+        }
+        Array.tabulate(dims) { d =>
+          if (counts(d) == 0) 0f
+          else (sums(d) / counts(d) / 32768.0).toFloat
+        }
+      }
+  }
+
   /** Deterministic stand-in for a batched model/codec runtime. A real
     * implementation holds the expensive handle (ONNX session, decoder
     * context) per partition and is invoked once per BATCH — that

@@ -126,6 +126,76 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  // hand-serialize a canonical PCM16 WAV (optionally with a LIST chunk
+  // before data, as real files carry)
+  private def wavBytes(rate: Int, channels: Int, samples: Seq[Short],
+                       junkChunk: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1024)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def chunk(id: String)(body: => Unit): Unit = {
+      bb.put(id.getBytes("US-ASCII"))
+      val sizePos = bb.position(); bb.putInt(0)
+      val start = bb.position(); body
+      val sz = bb.position() - start
+      bb.putInt(sizePos, sz)
+      if (sz % 2 == 1) bb.put(0.toByte)
+    }
+    bb.put("RIFF".getBytes("US-ASCII")); val riffSize = bb.position()
+    bb.putInt(0); bb.put("WAVE".getBytes("US-ASCII"))
+    chunk("fmt ") {
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort)
+      bb.putShort(16)
+    }
+    if (junkChunk) chunk("LIST") { bb.put("INFOjunk!".getBytes("US-ASCII")) }
+    chunk("data") { samples.foreach(bb.putShort) }
+    bb.putInt(riffSize, bb.position() - riffSize - 4)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("Wav decodes canonical PCM16, skips junk chunks, rejects corrupt") {
+    val square = Seq.fill(4)(Seq(8000.toShort, (-8000).toShort)).flatten
+    val a = Multimodal.Wav.decode(wavBytes(8000, 1, square))
+    assert(a.sampleRate === 8000 && a.channels === 1)
+    assert(a.samples.toSeq === square)
+    assert(math.abs(a.durationSec - 8.0 / 8000) < 1e-12)
+    // unknown LIST chunk between fmt and data must be skipped
+    val b = Multimodal.Wav.decode(wavBytes(8000, 1, square, junkChunk = true))
+    assert(b.samples.toSeq === square)
+    // corrupt inputs fail cleanly, never mis-index
+    intercept[IllegalArgumentException] {
+      Multimodal.Wav.decode("RIFFxxxxWAVN".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // data chunk claims more than buffer
+      val ok = wavBytes(8000, 1, square)
+      Multimodal.Wav.decode(ok.dropRight(4))
+    }
+  }
+
+  test("wavFeatures: exact RMS and zero-crossing rate on a square wave") {
+    val square = Seq.fill(4)(Seq(8000.toShort, (-8000).toShort)).flatten
+    val (dur, rms, zcr) =
+      Multimodal.wavFeatures(Multimodal.Wav.decode(wavBytes(8000, 1, square)))
+    assert(math.abs(dur - 0.001) < 1e-12)
+    assert(math.abs(rms - 8000.0 / 32768) < 1e-12) // |s| constant
+    assert(math.abs(zcr - 1.0) < 1e-12)            // crosses every step
+  }
+
+  test("WavModel rides batchedFeatures like the image codec") {
+    val square = Seq.fill(4)(Seq(8000.toShort, (-8000).toShort)).flatten
+    val bytes = wavBytes(8000, 1, square)
+    val df = Seq((1L, bytes), (2L, bytes)).toDF("doc_id", "blob")
+    val out = Multimodal.batchedFeatures(df, "doc_id", "blob",
+        batchSize = 8, dims = 2, model = Multimodal.WavModel)
+      .orderBy($"doc_id").as[(Long, Seq[Float])].collect()
+    assert(out.length === 2)
+    // |amplitude| is constant 8000 → every lane = 8000/32768
+    out.foreach { case (_, f) =>
+      assert(f.size === 2)
+      f.foreach(v => assert(math.abs(v - 8000f / 32768) < 1e-6))
+    }
+  }
+
   test("pipeline emits one feature row per document, no shuffle") {
     val df = Seq((1, "doc one"), (2, "doc two")).toDF("doc_id", "text")
     val out = Multimodal.pipeline(df, "text", "doc_id")
