@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Parquet table loaders for the harness star schema under
@@ -130,6 +131,54 @@ object Tables {
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Morton (Z-order) value: bit-interleave the low `bits` of two
+    * non-negative integer keys — points close in (x, y) land close in
+    * z, so range-partitioning + sorting by z gives every file a BOUNDED
+    * min/max box in BOTH dimensions at once. One-dimensional clustering
+    * ([[writeClustered]]) can only bound its sort key; a query filtering
+    * on the second key scans every file. Pure bit algebra — stays in
+    * whole-stage codegen.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      val xb = shiftleft(
+        shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(
+        shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Z-order-clustered parquet: range-partition and sort by the Morton
+    * value of two filter keys so parquet file/row-group min-max
+    * statistics prune on EITHER (or both) dimensions — the multi-
+    * dimensional generalization of [[writeClustered]], and what table
+    * formats market as "Z-ORDER BY". The z column is dropped before
+    * writing; it exists only to place rows.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String, numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", zValue(df.col(xCol), df.col(yCol), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file statistics report for a parquet directory: row count and
+    * min/max of the named columns per physical file — what the scan
+    * planner's pruning sees, surfaced as data. Run it after a layout
+    * change ([[writeClustered]]/[[writeZOrdered]]/[[compact]]) to
+    * check the files actually have tight bounds; a file whose min/max
+    * spans the full key range prunes nothing.
+    */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String])
+  : DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * `targetFiles` files. Small files are the silent scan killer at

@@ -98,6 +98,47 @@ class BucketingSpec extends SparkTestBase {
       Tables.load(spark, sf, "events").count())
   }
 
+  test("zValue interleaves bits (hand-checked Morton codes)") {
+    import spark.implicits._
+    val got = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5))
+      .toDF("x", "y")
+      .select(Tables.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // z(3,5) = x bits 11 at even positions, y bits 101 at odd:
+    // y=101,x=011 → bits (y2 x2 y1 x1 y0 x0) = 1 0 0 1 1 1 = 39
+    assert(got === Seq(0L, 1L, 2L, 3L, 39L))
+  }
+
+  test("z-order bounds BOTH dimensions per file; 1-D clustering only one") {
+    import spark.implicits._
+    val zOut = "target/z-grid"
+    val cOut = "target/c-grid"
+    // uniform 256×16 grid, pseudo-shuffled arrival order — both keys
+    // have real range, so per-file bounding boxes are meaningful (the
+    // sf0.001 star schema's suppkey has 10 values: every layout spans it)
+    val grid = (0 until 4096).map { id =>
+      (id.toLong, ((id * 37) % 256).toLong, ((id * 91) % 256).toLong)
+    }.toDF("id", "x", "y")
+    Tables.writeZOrdered(grid, zOut, "x", "y", numFiles = 8, bits = 8)
+    grid.repartitionByRange(8, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(cOut)
+
+    def spreads(path: String, c: String): Seq[Long] =
+      Tables.fileStats(spark, path, Seq(c)).collect()
+        .map(r => r.getAs[Long](s"${c}_max") - r.getAs[Long](s"${c}_min"))
+        .toSeq
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    // x-clustered files span ~the full y range; z-ordered files must
+    // bound y to a fraction of it (8 files = 3 top z bits = quadrant
+    // blocks: y spread ≤ 64, x spread ≤ 128 on a 256-grid)
+    assert(avg(spreads(zOut, "y")) < avg(spreads(cOut, "y")) * 0.6,
+      s"z y-spread ${avg(spreads(zOut, "y"))} vs 1-D ${avg(spreads(cOut, "y"))}")
+    assert(avg(spreads(zOut, "x")) < 255 * 0.6,
+      s"z x-spread ${avg(spreads(zOut, "x"))} not bounded")
+    // layout changes placement, never content
+    assert(spark.read.parquet(zOut).count() === 4096L)
+  }
+
   test("compact rewrites a fragmented table into the target file count") {
     val frag = "target/frag-docs"
     val dest = "target/compact-docs"
