@@ -54,7 +54,7 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q30_minhash_neardup", "q31_simhash_neardup",
       "q34_lsh_neighbors", "q35_als_recommend", "q63_dedup_corpus_lsh",
-      "q85_pq_search")
+      "q85_pq_search", "q95_ivfpq_search")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -980,6 +980,14 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // the stream-stream join's shared transform in batch mode (same
+    // code path StreamingSpec runs as a real watermarked stream) —
+    // gives the event-time-bounded join a driver-checked oracle row
+    "q94_stream_join_pairs" -> ((s, dir) =>
+      streaming.EventStreams.purchaseClickPairs(t(s, dir, "events"),
+          gap = "10 minutes")
+        .orderBy(col("user_id"), col("event_id"), col("click_id"))),
+
     // incremental distinct users via MERGEABLE HLL sketches: per-day
     // partial sketches (what a pipeline would persist) → hll_union_agg
     // across days → estimate. The q48-style tolerance gate emits the
@@ -1067,6 +1075,23 @@ object SparkEntry {
         .select(col("id").as("item"),
           round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("item")).limit(20)
+    }),
+
+    // the full ANN architecture: IVF cells pick WHICH codes to scan,
+    // PQ codes shrink WHAT a scan reads, exact re-rank restores true
+    // cosines. Rows-only like q85 (k-means codebook); SimilaritySpec
+    // pins nprobe=|cells| ≡ pqSearch and recall vs brute force
+    "q95_ivfpq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val model = ext.Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
+      ext.Similarity.ivfPqSearch(emb, centroids, model,
+          emb.filter(col("vec_id") < 5), nprobe = 3, k = 10, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // product-quantization ANN: train per-subspace codebooks (m=4×16
@@ -2125,6 +2150,14 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same half-open event-time bound [ts, ts + 10 min)
+    "q94_stream_join_pairs" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 10 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, p.event_id, click_id""".stripMargin,
 
     // the gate emits the exact distinct count (or -1 on a sketch miss),
     // so the oracle is the exact formulation

@@ -363,6 +363,50 @@ object Similarity {
   : DataFrame = {
     val codes = pqEncode(corpus, model, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
+    val scored = codes.join(broadcast(pqQueryLut(queries, model, idCol, vecCol)),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcApprox(model))
+    adcRerank(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF × PQ: the full large-scale ANN architecture — coarse cells
+    * restrict WHICH codes each query scans (ivfSearch's probe), the PQ
+    * codes make that scan read 16-byte codes instead of raw vectors
+    * (pqSearch's ADC), and the exact re-rank restores true cosines.
+    * At 100 TB both levers matter: nprobe/|cells| cuts the scan's row
+    * count, the code width cuts its bytes — combined, a full-corpus
+    * vector scan becomes a small fraction of a compressed one. With
+    * `nprobe = |centroids|` this degrades EXACTLY to [[pqSearch]]
+    * (spec-pinned), the same way probing every cell makes
+    * [[ivfSearch]] brute force.
+    */
+  def ivfPqSearch(corpus: DataFrame, centroids: DataFrame, model: PqModel,
+                  queries: DataFrame, nprobe: Int, k: Int, rerank: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val coded = pqEncode(corpus, model, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("centroid_id")),
+        Seq("neighbor_id"))
+    val probed = Relational.topKPerGroup(
+        queries.join(broadcast(centroids))
+          .withColumn("cos", cosine(col(vecCol), col("centroid"))),
+        nprobe, Seq(idCol), Seq(col("cos").desc, col("centroid_id")))
+      .select(col(idCol).as("query_id"), col("centroid_id"))
+    val q = pqQueryLut(queries, model, idCol, vecCol)
+      .join(probed, Seq("query_id")) // nprobe rows per query
+    val scored = coded.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adcApprox(model))
+    adcRerank(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Per-query ADC lookup table: lut[j][c] = dot(q_subⱼ, centroid_jc),
+    * staged sub-vectors (lambda-capture trap). (query_id, _lut).
+    */
+  private def pqQueryLut(queries: DataFrame, model: PqModel,
+                         idCol: String, vecCol: String): DataFrame = {
     val qStaged = queries.select(col(idCol).as("query_id") +:
       (0 until model.m).map(j =>
         slice(col(vecCol), j * model.dsub + 1, model.dsub).as(s"_qs$j")): _*)
@@ -372,12 +416,24 @@ object Similarity {
             (x, y) => x.cast("double") * y),
           lit(0.0), (a, v) => a + v))
     }: _*)
-    val q = qStaged.select(col("query_id"), lut.as("_lut"))
-    val scored = codes.join(broadcast(q),
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", (0 until model.m).map(j =>
-        element_at(element_at(col("_lut"), j + 1),
-          element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+    qStaged.select(col("query_id"), lut.as("_lut"))
+  }
+
+  /** Σⱼ lut[j][codes[j]] — the ADC approximate inner product: m array
+    * lookups + adds per candidate row, no vector arithmetic.
+    */
+  private def adcApprox(model: PqModel): Column =
+    (0 until model.m).map(j =>
+      element_at(element_at(col("_lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+
+  /** Top-`rerank` by ADC score (k-bounded partial aggregate), then
+    * EXACT cosine re-rank of only those candidates against the raw
+    * vectors — shared tail of [[pqSearch]] and [[ivfPqSearch]].
+    */
+  private def adcRerank(scored: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, k: Int, rerank: Int,
+                        idCol: String, vecCol: String): DataFrame = {
     val cands = Relational.topKPerGroupAgg(scored, rerank, Seq("query_id"),
         col("approx"), col("neighbor_id"), "approx", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"))

@@ -187,4 +187,39 @@ class SimilaritySpec extends SparkTestBase {
       .agg(max($"err")).head().getDouble(0)
     assert(reported < 1e-12)
   }
+
+  test("ivfPqSearch: probing every cell degrades exactly to pqSearch; " +
+    "nprobe<cells still recalls most true neighbors") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val model = Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // probe ALL cells → the cell restriction is vacuous → identical
+    // output to the plain PQ scan (same codes, same LUT, same re-rank)
+    val full = Similarity.ivfPqSearch(emb, centroids, model, queries,
+      nprobe = 8, k = 10, rerank = 50)
+    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 50)
+    assert(rows(full) === rows(pq))
+    // partial probe: recall@10 vs the probed-cell EXACT search stays
+    // high (the PQ stage should lose little beyond what probing loses)
+    val part = Similarity.ivfPqSearch(emb, centroids, model, queries,
+      nprobe = 3, k = 10, rerank = 50)
+    val ivfExact = Similarity.ivfSearch(emb, centroids, queries,
+      nprobe = 3, k = 10)
+    def tops(s: Set[(Long, Long, Long)]) =
+      s.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val a = tops(rows(part))
+    val b = tops(ivfExact
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"rank")
+      .as[(Long, Long, Long)].collect().toSet)
+    val recalls = b.map { case (q, s) =>
+      a.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@10 vs IVF-exact at nprobe=3: $mean%.2f")
+    assert(mean >= 0.5, f"IVF-PQ recall $mean%.2f below 0.5")
+  }
 }
