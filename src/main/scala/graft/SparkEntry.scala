@@ -980,6 +980,14 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // triangle count over the item-affinity graph: ordered wedge join
+    // (a<b<c) counts each triangle once with hub-capped fan-out
+    "q96_triangle_count" -> ((s, dir) =>
+      ext.Graph.triangleCount(
+        operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L),
+        "item_a", "item_b")),
+
     // the stream-stream join's shared transform in batch mode (same
     // code path StreamingSpec runs as a real watermarked stream) —
     // gives the event-time-bounded join a driver-checked oracle row
@@ -2150,6 +2158,21 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same capped pair list and a<b<c wedge orientation
+    "q96_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |pairs AS (SELECT x.i AS ia, y.i AS ib
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |w AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        |  FROM pairs e1 JOIN pairs e2 ON e1.ib = e2.ia)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM w JOIN pairs e ON w.a = e.ia AND w.c = e.ib""".stripMargin,
 
     // same half-open event-time bound [ts, ts + 10 min)
     "q94_stream_join_pairs" ->

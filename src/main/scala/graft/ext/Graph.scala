@@ -69,4 +69,23 @@ object Graph {
     ranks.join(broadcast(n))
       .select(col("id"), col("pr"), (col("pr") * col("_n")).as("pr_scaled"))
   }
+
+  /** Global triangle count over a CANONICAL pair list (every undirected
+    * edge once, `aCol < bCol`) — the clustering-coefficient numerator
+    * and a standard graph benchmark. The a<b<c orientation counts each
+    * triangle exactly once and, because wedges are built only from the
+    * ordered edge list, the wedge join's cost is Σ out-degree² under
+    * the degree-reducing canonical order — the classic mitigation for
+    * hub nodes (a hub's edges mostly point INTO it from smaller ids,
+    * capping its out-fan). The pair list is cached: the plan references
+    * it three times.
+    */
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")),
+      Seq("b"))
+    wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

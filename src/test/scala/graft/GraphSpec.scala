@@ -45,4 +45,16 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.forall(_ >= teleport - 1e-12))
     assert(got(3L) > got(2L)) // chain end accumulates
   }
+
+  test("triangleCount: K4 has 4 triangles, a square has none") {
+    // complete graph on {1,2,3,4}: C(4,3) = 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(Graph.triangleCount(k4, "a", "b")
+      .as[Long].collect().head === 4L)
+    // 4-cycle without diagonals: zero triangles
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCount(square, "a", "b")
+      .as[Long].collect().head === 0L)
+  }
 }
