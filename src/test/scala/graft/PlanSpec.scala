@@ -178,6 +178,38 @@ class PlanSpec extends SparkTestBase {
       s"bloom probe should sit below the verify join:\n$p")
   }
 
+  test("q88 funnel plans user-keyed aggregates only — no window, no sort " +
+    "to one reducer") {
+    val p = plan(SparkEntry.queries("q88_event_funnel")(spark, sf))
+    assert(!p.contains("Window"), s"funnel regressed to a window:\n$p")
+    // survivor aggregates must key on the user id; the only
+    // SinglePartition exchanges allowed are the 1-row step counts,
+    // which all sit above a map-side partial_count (data never crosses)
+    assert(p.contains("HashAggregate(keys=[user_id"),
+      s"survivor frame not user-keyed:\n$p")
+    val single = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start)
+    single.foreach { off =>
+      val after = p.substring(off, math.min(p.length, off + 400))
+      assert(after.contains("partial_count"),
+        s"SinglePartition exchange without a 1-row partial count:\n$after")
+    }
+  }
+
+  test("q89 rolling window partitions on the high-card user id, never " +
+    "one global partition") {
+    val p = plan(SparkEntry.queries("q89_rolling_window")(spark, sf))
+    assert(p.contains("Window"), s"no window node:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user:\n$p")
+  }
+
+  test("q96 triangle join is all equi-joins — no cartesian/nested-loop") {
+    val p = plan(SparkEntry.queries("q96_triangle_count")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join crept in:\n$p")
+  }
+
   test("q79 split assignment is pure map-side: no exchange, no join") {
     // the split label is a hash-CASE over the id — any Exchange/Join/
     // Window here means the operator regressed to a shuffling formulation
