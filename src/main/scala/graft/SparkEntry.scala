@@ -957,6 +957,12 @@ object SparkEntry {
           vocabSize = 500)
         .orderBy(col("doc_id"))),
 
+    // conditional bigram LM: catches broken word ORDER that the
+    // unigram score (q80) cannot; same add-one smoothing family
+    "q97_bigram_logprob" -> ((s, dir) =>
+      ext.TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // corpus-mix drift: Jensen-Shannon divergence between the token
     // distributions of the English slice vs the rest — one token-keyed
     // shuffle + a map-side totals aggregate, single-row output
@@ -2086,6 +2092,27 @@ object SparkEntry {
         |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // same positional bigrams (1-indexed t[i], t[i+1]), context counts
+    // over ALL occurrences (including sentence-final), ln natural
+    "q97_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |pr AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+        |  FROM d WHERE len(t) >= 2),
+        |pairs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pr),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |uc AS (SELECT w1, count(*) AS cu FROM (
+        |    SELECT unnest(t) AS w1 FROM d) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM uc)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((cb + 1.0) / (cu + v))) + 1e-9, 4) AS avg_logprob
+        |FROM pairs p JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |  CROSS JOIN v
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     // same add-one smoothing and deterministic top-500 vocabulary cut
     // (count desc, token asc) as the Spark side; ln = natural log

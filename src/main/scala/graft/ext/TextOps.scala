@@ -388,6 +388,40 @@ object TextOps {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Bigram-LM scoring — the conditional upgrade of [[unigramLogProb]]:
+    * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V), mean over a doc's
+    * positional bigrams. Catches garbled word ORDER that unigram
+    * statistics cannot (same bag of words, broken transitions).
+    *
+    * Shapes: positional bigrams come from one staged tokenization (no
+    * extra scan); the bigram and context-count aggregates shuffle on
+    * high-cardinality keys with map-side combine; V is a broadcast
+    * single-row aggregate. Docs with fewer than 2 tokens have no
+    * bigrams and drop out (the caller left-joins if it needs them).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).as("_n"))
+    val pairs = staged.filter(col("_n") >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), col("_n") - 1),
+          i => struct(element_at(col("_t"), i).as("_w1"),
+            element_at(col("_t"), i + 1).as("_w2")))).as("_bg"))
+      .select(col(idCol), col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
+    val bigCnt = pairs.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_cb"))
+    val ctxCnt = staged.select(explode(col("_t")).as("_w1"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_cu"))
+    val v = ctxCnt.agg(count(lit(1)).as("_v"))
+    pairs.join(bigCnt, Seq("_w1", "_w2")).join(ctxCnt, Seq("_w1"))
+      .join(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(avg(log((col("_cb") + lit(1.0)) / (col("_cu") + col("_v")))))
+          .as("avg_logprob"))
+  }
+
   /** Jensen-Shannon divergence between the token distributions of two
     * corpus slices — the drift report a pipeline runs when re-mixing
     * sources or comparing a new crawl against the current training mix

@@ -227,6 +227,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(top1 === Seq((1L, 3L, e1), (2L, 2L, e2)))
   }
 
+  test("bigramLogProb: hand-computed conditionals, short docs dropped") {
+    // corpus: "a b a b", "b a", "z" → unigrams a:3 b:3 z:1 (V=3),
+    // bigrams (a,b):2 (b,a):2; p(b|a) = p(a|b) = (2+1)/(3+3) = 0.5
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    def r4(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
+    val got = graft.ext.TextOps.bigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 3 has no bigrams → dropped; its token still counts toward V
+    assert(got === Seq((1L, 3L, r4(math.log(0.5))),
+      (2L, 1L, r4(math.log(0.5)))))
+  }
+
   test("tokenDistributionDivergence: 0 on identical, ln2 on disjoint") {
     // identical distributions on both sides → JS = 0
     val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
