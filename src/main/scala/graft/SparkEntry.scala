@@ -1044,6 +1044,14 @@ object SparkEntry {
       ext.Dedup.fuzzyNamePairs(t(s, dir, "part"), "p_name")
         .orderBy(col("name_a"), col("name_b"))),
 
+    // 24 hourly slots per user on day one, forward-filled from the
+    // irregular event stream — grid generated in-plan, one user-keyed
+    // window does the fill
+    "q98_resample_ffill" -> ((s, dir) =>
+      ext.EventOps.resampleHourlyFfill(t(s, dir, "events"), "user_id",
+          "ts", "value", startTs = "2024-01-01 00:00:00", slots = 24)
+        .orderBy(col("user_id"), col("slot"))),
+
     // trailing-1-hour rolling average per user: numeric range frame
     // over epoch micros, window partitioned on the high-card user id
     "q89_rolling_window" -> ((s, dir) =>
@@ -2236,6 +2244,28 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // same union + ordered rows-frame last_value(IGNORE NULLS); events
+    // order before slots at equal timestamps (pri 0 < 1)
+    "q98_resample_ffill" ->
+      """WITH grid AS (SELECT user_id, h AS slot,
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00') + h * 3600000000
+        |      AS us,
+        |    CAST(NULL AS DOUBLE) AS v, 1 AS pri
+        |  FROM (SELECT DISTINCT user_id FROM events),
+        |    generate_series(0, 23) AS g(h)),
+        |obs AS (SELECT user_id, NULL AS slot, epoch_us(ts) AS us,
+        |    CAST(value AS DOUBLE) AS v, 0 AS pri FROM events),
+        |u AS (SELECT * FROM grid UNION ALL SELECT * FROM obs),
+        |f AS (SELECT user_id, slot,
+        |    round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, pri
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + 1e-9, 4) AS value_ffill
+        |  FROM u)
+        |SELECT user_id, CAST(slot AS BIGINT) AS slot, value_ffill
+        |FROM f WHERE slot IS NOT NULL
+        |ORDER BY user_id, slot""".stripMargin,
 
     // same numeric micros range frame; DuckDB's RANGE frame over
     // epoch_us(ts) includes the identical row set, avg rounded 4dp

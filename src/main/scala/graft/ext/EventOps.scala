@@ -69,6 +69,46 @@ object EventOps {
       .drop("_us")
   }
 
+  /** Regular-grid resampling with forward fill: one row per (user,
+    * hourly slot) carrying the last observed value at or before the
+    * slot — the gap-filling step that turns irregular event streams
+    * into the fixed-interval series feature pipelines and joins
+    * expect. NULL until a user's first observation (no back-fill).
+    *
+    * Shape: the slot grid is generated IN the plan (`sequence` +
+    * explode over the distinct-user frame — |users|×slots rows, no
+    * driver loop); events and slots are unioned and forward-filled by
+    * ONE window partitioned on the high-cardinality user id with a
+    * rows-frame `last(ignoreNulls)`. An event landing exactly on a
+    * slot boundary fills that slot (events order before slots at equal
+    * timestamps).
+    */
+  def resampleHourlyFfill(events: DataFrame, userCol: String,
+                          tsCol: String, valueCol: String,
+                          startTs: String, slots: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val start = unix_micros(to_timestamp(lit(startTs)))
+    val grid = events.select(col(userCol)).distinct()
+      .select(col(userCol),
+        explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .select(col(userCol), col("slot"),
+        (start + col("slot").cast("long") * lit(3600L * 1000000L))
+          .as("_us"),
+        lit(null).cast("double").as("_v"), lit(1).as("_pri"))
+    val obs = events.select(col(userCol), lit(null).cast("int").as("slot"),
+      unix_micros(col(tsCol)).as("_us"), col(valueCol).cast("double").as("_v"),
+      lit(0).as("_pri"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col("_pri"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.unionByName(obs)
+      .withColumn("value_ffill",
+        round(last(col("_v"), ignoreNulls = true).over(w) + lit(1e-9), 4))
+      .filter(col("slot").isNotNull)
+      .select(col(userCol), col("slot").cast("long").as("slot"),
+        col("value_ffill"))
+  }
+
   /** Weekly cohort retention: bucket each user by their FIRST active
     * week (the cohort), then count distinct users per (cohort week,
     * weeks-since-cohort) — the retention triangle behind every growth

@@ -56,6 +56,31 @@ class EventOpsSpec extends SparkTestBase {
       201L -> 9.0))
   }
 
+  test("resampleHourlyFfill: forward fill, no back-fill, boundary event " +
+    "fills its own slot") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int) = new Timestamp(base.getTime + mins * 60000L)
+    val events = Seq(
+      (1L, at(30), 1.0),   // 00:30
+      (1L, at(135), 2.0),  // 02:15
+      (2L, at(60), 5.0))   // exactly 01:00 → fills slot 1
+      .toDF("user_id", "ts", "value")
+    val got = EventOps.resampleHourlyFfill(events, "user_id", "ts",
+        "value", "2024-01-01 00:00:00", slots = 4)
+      .select($"user_id", $"slot", $"value_ffill")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, None),        // before first observation: no back-fill
+      (1L, 1L, Some(1.0)),
+      (1L, 2L, Some(1.0)),   // gap carried forward
+      (1L, 3L, Some(2.0)),
+      (2L, 0L, None),
+      (2L, 1L, Some(5.0)),   // boundary event orders before its slot
+      (2L, 2L, Some(5.0)),
+      (2L, 3L, Some(5.0))))
+  }
+
   test("cohortRetention: first-week cohorts, week offsets, distinct users") {
     val week = 7 * 24 * 3600
     val events = Seq(
