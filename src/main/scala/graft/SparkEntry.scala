@@ -834,6 +834,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Efraimidis–Spirakis weighted sample: 5 lineitems per returnflag
+    // with inclusion probability ∝ quantity; deterministic hash u,
+    // ranked by the k-bounded aggregate (no window funnel)
+    "q99_weighted_sample" -> ((s, dir) =>
+      ext.Sampling.weightedGroupSample(
+          t(s, dir, "lineitem").withColumn("_rid",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+          k = 5, Seq("l_returnflag"), "_rid", col("l_quantity"),
+          seed = 42L)
+        .select(col("l_returnflag"), col("rank"),
+          col("_rid").cast("long").as("rid"), col("es_key"))
+        .orderBy(col("l_returnflag"), col("rank"))),
+
     // deterministic per-group sample: k smallest md5 hash scores per
     // (lang, source), ranked by the k-bounded partial aggregate (NOT a
     // window — |groups| is tiny vs corpus size). The hash is recomputed
@@ -2086,6 +2099,25 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // same 52-bit md5 hash u and the same Efraimidis–Spirakis key
+    // ln(u)/w; selection ordered by the exact key, display rounded
+    "q99_weighted_sample" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    l_orderkey * 10 + l_linenumber AS rid,
+        |    l_quantity AS w,
+        |    CAST(CAST(concat('0x', substr(md5(concat('42:',
+        |        CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))),
+        |      1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS u
+        |  FROM lineitem WHERE l_quantity > 0),
+        |r AS (SELECT l_returnflag, rid, ln(u) / w AS key,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY ln(u) / w DESC, rid) AS rank
+        |  FROM s)
+        |SELECT l_returnflag, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rid AS BIGINT) AS rid, round(key + 1e-9, 4) AS es_key
+        |FROM r WHERE rank <= 5
+        |ORDER BY l_returnflag, rank""".stripMargin,
 
     // same 52-bit md5 hash-score convention as q67/q68; the val cut is
     // written (0.8 + 0.1) to mirror the Spark side's cumulative-sum

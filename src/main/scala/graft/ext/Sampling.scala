@@ -51,6 +51,33 @@ object Sampling {
         "_neg_hash", idCol, rankCol)
       .select((groupCols :+ idCol :+ rankCol).map(col): _*)
 
+  /** WEIGHTED sample-without-replacement of k rows per group —
+    * Efraimidis–Spirakis A-ES: each row draws u = hash/2^52 and is
+    * ranked by u^(1/w), equivalently ln(u)/w (monotone for w > 0);
+    * the top-k per group is a weighted uniform sample where a row's
+    * inclusion probability is proportional to its weight. The
+    * textbook distributed formulation: keys are computed map-side from
+    * the deterministic hash, and the ranking is the same k-bounded
+    * partial aggregate as [[groupSample]] — no corpus-into-|groups|
+    * window funnel, and the sample is reproducible forever (pure
+    * function of the data + seed).
+    *
+    * Output: groupCols ++ (idCol, rank, es_key 4 dp). Rows with
+    * non-positive weight are excluded (they cannot be sampled).
+    */
+  def weightedGroupSample(df: DataFrame, k: Int, groupCols: Seq[String],
+                          idCol: String, weight: Column,
+                          seed: Long = 42L): DataFrame = {
+    val u = hashScore(col(idCol), seed).cast("double") /
+      lit(4503599627370496.0)
+    val scored = df.filter(weight > 0)
+      .withColumn("_es", log(u) / weight)
+    Relational.topKPerGroupAgg(scored, k, groupCols,
+        col("_es"), col(idCol), "es_key", idCol)
+      .select(groupCols.map(col) :+ col(idCol) :+ col("rank") :+
+        round(col("es_key") + lit(1e-9), 4).as("es_key"): _*)
+  }
+
   /** Weighted corpus mixture: per-source Bernoulli sampling at the
     * given rates (a training-mix staple — e.g. keep all of wikipedia,
     * 10% of common-crawl). A row survives iff its uniform hash

@@ -93,4 +93,23 @@ class SamplingSpec extends SparkTestBase {
       .select($"id").as[Long].collect().toSet
     assert(keptIds() === keptIds())
   }
+
+  test("weightedGroupSample: weight dominance, w<=0 excluded, " +
+    "repartition-stable") {
+    val df = ((0 until 200).map(i => (i.toLong, "g", 0.001)) ++
+      Seq((900L, "g", 1e9), (901L, "g", 0.0), (902L, "g", -5.0)))
+      .toDF("id", "grp", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedGroupSample(d, k = 3, Seq("grp"), "id", $"w", 42L)
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val got = sample(df)
+    // ln(u)/1e9 ≈ 0 beats ln(u)/0.001 by ~12 orders of magnitude: the
+    // heavy row must rank first
+    assert(got(900L) === 1L)
+    // zero/negative weights can never be sampled
+    assert(!got.contains(901L) && !got.contains(902L))
+    assert(got.size === 3)
+    // pure function of (data, seed): identical after repartition
+    assert(sample(df.repartition(7, $"id")) === got)
+  }
 }
