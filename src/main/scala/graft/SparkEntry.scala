@@ -999,6 +999,22 @@ object SparkEntry {
           k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // label-propagation communities over the item graph: 2 synchronous
+    // rounds of majority-label adoption (count desc, label asc
+    // tie-break), community size histogram out
+    "q100_label_communities" -> ((s, dir) => {
+      val pairs = operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L)
+      val edges = pairs
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pairs
+          .select(col("item_b").as("src"), col("item_a").as("dst")))
+      ext.Graph.labelPropagation(edges, iters = 2)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("community"))
+    }),
+
     // triangle count over the item-affinity graph: ordered wedge join
     // (a<b<c) counts each triangle once with hub-capped fan-out
     "q96_triangle_count" -> ((s, dir) =>
@@ -2225,6 +2241,40 @@ object SparkEntry {
         |FROM pairs JOIN ic ca ON ca.i = item_a
         |  JOIN ic cb ON cb.i = item_b CROSS JOIN tot
         |ORDER BY pair_cnt DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same symmetrized pairs and (count desc, label asc) adoption rule,
+    // two unrolled rounds; no-in-edge nodes keep their label (vacuous
+    // on the symmetric graph but part of the operator contract)
+    "q100_label_communities" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |pairs AS (SELECT x.i AS ia, y.i AS ib
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |          UNION ALL SELECT ib, ia FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst AS id FROM edges),
+        |l0 AS (SELECT id, id AS lbl FROM nodes),
+        |c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
+        |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1) a
+        |  ON a.id = nd.id),
+        |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
+        |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) a
+        |  ON a.id = nd.id)
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+        |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin,
 
     // same capped pair list and a<b<c wedge orientation
     "q96_triangle_count" ->

@@ -70,6 +70,44 @@ object Graph {
       .select(col("id"), col("pr"), (col("pr") * col("_n")).as("pr_scaled"))
   }
 
+  /** Synchronous label propagation over a directed edge list: start
+    * every node at its own id, then `iters` rounds of "adopt the most
+    * common label among in-neighbors" with a DETERMINISTIC tie-break
+    * (count desc, label asc) — community detection's cheapest member,
+    * and unlike [[Dedup.duplicateClusters]]' min-label closure it
+    * respects local density (a node bridging two cliques joins the
+    * bigger one, not whichever has the smaller id).
+    *
+    * Per round: one edge⋈label join (high-cardinality node keys), a
+    * (node, label) count with map-side combine, and the argmax via the
+    * k-bounded aggregate (tie-break = the aggregator's score-desc,
+    * id-asc order, which IS count desc + label asc). Edge frame cached
+    * across rounds. Fixed iterations for the same bounded-lineage
+    * reason as [[pageRank]]. Nodes with no in-edges keep their label.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src", dstCol: String = "dst")
+  : DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("_c"))
+      val adopted = graft.operators.Relational.topKPerGroupAgg(
+          counts, 1, Seq("dst"), col("_c").cast("double"), col("label"),
+          "_c", "label")
+        .select(col("dst").as("id"), col("label"))
+      labels = nodes.join(adopted, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("label"))
+    }
+    labels
+  }
+
   /** Global triangle count over a CANONICAL pair list (every undirected
     * edge once, `aCol < bCol`) — the clustering-coefficient numerator
     * and a standard graph benchmark. The a<b<c orientation counts each

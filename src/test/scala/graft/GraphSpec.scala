@@ -46,6 +46,22 @@ class GraphSpec extends SparkTestBase {
     assert(got(3L) > got(2L)) // chain end accumulates
   }
 
+  test("labelPropagation: triangle + pendant converges to one community; " +
+    "no-in-edge nodes keep their label") {
+    // symmetric triangle {1,2,3} with pendant 9—3; hand-simulated:
+    // l1 = (1→2, 2→1, 3→1, 9→3), l2 = all 1
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val l2 = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L))
+    // directed chain: node 1 has no in-edges → keeps its own label
+    val directed = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(directed, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("triangleCount: K4 has 4 triangles, a square has none") {
     // complete graph on {1,2,3,4}: C(4,3) = 4 triangles
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
