@@ -388,11 +388,14 @@ object Dedup {
     */
   def fuzzyNamePairs(df: DataFrame, strCol: String): DataFrame = {
     val names = df.select(col(strCol).as("_s")).distinct()
+    // both sides of the self-join read this frame — cached so the
+    // distinct + variant explode runs once (multi-reference rule)
     val keyed = names.select(col("_s"),
       explode(array_distinct(transform(
         sequence(lit(0), length(col("_s"))),
         i => concat(col("_s").substr(lit(1), i),
           col("_s").substr(i + 2, length(col("_s"))))))).as("_k"))
+      .cache()
     keyed
       .join(keyed.select(col("_k"), col("_s").as("name_b")),
         Seq("_k"))

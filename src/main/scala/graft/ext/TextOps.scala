@@ -337,7 +337,11 @@ object TextOps {
                      vocabSize: Int = 0): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("_tok"))
+    // |vocab|-sized and referenced by totals AND the vocabulary cut —
+    // cached so the corpus-sized explode+aggregate runs once (the
+    // round-5 multi-reference-derived-frame rule, see PLANS.md)
     val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+      .cache()
     val totals = counts.agg(sum(col("_c")).as("_n"),
       count(lit(1)).as("_v"))
     val vocab =
@@ -411,8 +415,10 @@ object TextOps {
       .select(col(idCol), col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
     val bigCnt = pairs.groupBy(col("_w1"), col("_w2"))
       .agg(count(lit(1)).as("_cb"))
+    // |vocab|-sized, referenced by the scoring join AND the V count —
+    // cached so the context explode+aggregate runs once
     val ctxCnt = staged.select(explode(col("_t")).as("_w1"))
-      .groupBy(col("_w1")).agg(count(lit(1)).as("_cu"))
+      .groupBy(col("_w1")).agg(count(lit(1)).as("_cu")).cache()
     val v = ctxCnt.agg(count(lit(1)).as("_v"))
     pairs.join(bigCnt, Seq("_w1", "_w2")).join(ctxCnt, Seq("_w1"))
       .join(broadcast(v))
