@@ -2117,7 +2117,9 @@ object SparkEntry {
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // same 52-bit md5 hash u and the same Efraimidis–Spirakis key
-    // ln(u)/w; selection ordered by the exact key, display rounded
+    // ln(u)/w; selection ordered by the exact key, display rounded;
+    // `+ 0.0` after the round normalizes IEEE -0.0 (DuckDB's round
+    // preserves the sign bit, Spark's BigDecimal round does not)
     "q99_weighted_sample" ->
       """WITH s AS (SELECT l_returnflag,
         |    l_orderkey * 10 + l_linenumber AS rid,
@@ -2131,7 +2133,7 @@ object SparkEntry {
         |      ORDER BY ln(u) / w DESC, rid) AS rank
         |  FROM s)
         |SELECT l_returnflag, CAST(rank AS BIGINT) AS rank,
-        |  CAST(rid AS BIGINT) AS rid, round(key + 1e-9, 4) AS es_key
+        |  CAST(rid AS BIGINT) AS rid, round(key + 1e-9, 4) + 0.0 AS es_key
         |FROM r WHERE rank <= 5
         |ORDER BY l_returnflag, rank""".stripMargin,
 

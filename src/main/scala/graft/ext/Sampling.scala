@@ -75,7 +75,11 @@ object Sampling {
     Relational.topKPerGroupAgg(scored, k, groupCols,
         col("_es"), col(idCol), "es_key", idCol)
       .select(groupCols.map(col) :+ col(idCol) :+ col("rank") :+
-        round(col("es_key") + lit(1e-9), 4).as("es_key"): _*)
+        // + 0.0 normalizes IEEE signed zero (-0.0 + 0.0 = +0.0): a key
+        // that rounds to zero is -0.0 in engines whose round preserves
+        // the sign bit (DuckDB) but +0.0 through Spark's BigDecimal
+        // round, and a bit-faithful comparator distinguishes them.
+        (round(col("es_key") + lit(1e-9), 4) + lit(0.0)).as("es_key"): _*)
   }
 
   /** Weighted corpus mixture: per-source Bernoulli sampling at the

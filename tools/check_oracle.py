@@ -12,6 +12,7 @@ Driver-side tooling only (python/duckdb are not available to the engine).
 """
 import json, sys, glob
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,21 +51,31 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: rows {len(got_n)} != {len(exp_n)}")
             bad += 1
             continue
-        # dtype-tolerant value compare
+        # dtype-tolerant value compare; floats are compared by BIT
+        # PATTERN (as float64), like the driver's hash — pandas `==`
+        # treats -0.0 == 0.0 and hides NaN-payload drift, which shipped
+        # q99 green locally while the driver's hash flagged it.
         diff_cols = []
+        masks = {}
         for c in exp_n.columns:
             a, b = exp_n[c], got_n[c]
-            try:
-                eq = (a == b) | (a.isna() & b.isna())
-            except Exception:
-                eq = a.astype(str) == b.astype(str)
+            if (np.issubdtype(a.dtype, np.floating)
+                    or np.issubdtype(b.dtype, np.floating)):
+                av = a.to_numpy(dtype="float64").view("uint64")
+                bv = b.to_numpy(dtype="float64").view("uint64")
+                eq = (av == bv)
+            else:
+                try:
+                    eq = ((a == b) | (a.isna() & b.isna())).to_numpy()
+                except Exception:
+                    eq = (a.astype(str) == b.astype(str)).to_numpy()
             if not eq.all():
                 diff_cols.append((c, int((~eq).sum())))
+                masks[c] = ~eq
         if diff_cols:
             print(f"FAIL {name}: value diffs {diff_cols}")
             for c, _ in diff_cols[:2]:
-                mask = ~((exp_n[c] == got_n[c]) |
-                         (exp_n[c].isna() & got_n[c].isna()))
+                mask = masks[c]
                 print("  oracle:", exp_n[mask][c].head(3).tolist(),
                       " spark:", got_n[mask][c].head(3).tolist())
             bad += 1
