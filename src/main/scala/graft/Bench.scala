@@ -46,12 +46,16 @@ object Bench {
     // overflows that window, truncating the line's head and defeating the
     // parse (BENCH_r03/r04 "parsed": null). Full names are recoverable —
     // the prefix is unique by construction (SparkEntry key convention)
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
+    // comma decimal separator (e.g. de_DE) would corrupt the JSON line
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.4f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + num(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // three channels so the driver can't miss it: stdout (sbt prefixes it
     // with [info] — parse-hostile), stderr (sbt passes it through
     // UNPREFIXED — grep '^{' to extract), and the SPARK_GRAFT_BENCH_OUT

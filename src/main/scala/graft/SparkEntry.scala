@@ -380,9 +380,12 @@ object SparkEntry {
     // the dedup pipeline a 100 TB user actually runs: MinHash-LSH
     // candidates (exact hash-Jaccard-verified in-bucket) → min-id
     // representative. Corpus is withNearDups so LSH has true positives
-    // to find; rows-only (xxhash64), soundness spec-pinned in DedupSpec
+    // to find; rows-only (xxhash64), soundness spec-pinned in DedupSpec.
+    // The derived corpus is cached here — this query IS the caller that
+    // owns persistence (PLANS.md measured ~10× re-derivation uncached:
+    // the signature build and the anti-join both walk it)
     "q63_dedup_corpus_lsh" -> ((s, dir) => {
-      val docs = withNearDups(s, dir)
+      val docs = withNearDups(s, dir).cache()
       val pairs = ext.Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5)
       ext.Dedup.dropNearDups(docs, pairs, "doc_id")
@@ -719,8 +722,14 @@ object SparkEntry {
       // new fingerprint → fresh staging, never a stale stream vs a live
       // oracle
       val srcParquet = new java.io.File(dir, "events.parquet")
+      // listFiles() order is unspecified (and null on IO error): sort by
+      // name so the same dataset always folds to the same fingerprint —
+      // otherwise identical data could re-stage under a fresh key per run
       val parts: Array[java.io.File] =
-        if (srcParquet.isDirectory) srcParquet.listFiles() else Array(srcParquet)
+        if (srcParquet.isDirectory)
+          Option(srcParquet.listFiles()).getOrElse(Array.empty)
+            .sortBy(_.getName)
+        else Array(srcParquet)
       val fp = java.lang.Long.toHexString(
         parts.foldLeft(parts.length.toLong) { (acc, f) =>
           31 * (31 * acc + f.length()) + f.lastModified()
@@ -1009,19 +1018,29 @@ object SparkEntry {
         .select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pairs
           .select(col("item_b").as("src"), col("item_a").as("dst")))
-      ext.Graph.labelPropagation(edges, iters = 2)
+      // labelPropagation materializes its output, so the persisted pair
+      // list (basketPairs' contract) can be released here
+      val labels = ext.Graph.labelPropagation(edges, iters = 2)
+      pairs.unpersist(blocking = false)
+      labels
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("community"))
     }),
 
     // triangle count over the item-affinity graph: ordered wedge join
-    // (a<b<c) counts each triangle once with hub-capped fan-out
-    "q96_triangle_count" -> ((s, dir) =>
-      ext.Graph.triangleCount(
-        operators.Recommend.basketPairs(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L),
-        "item_a", "item_b")),
+    // (a<b<c) counts each triangle once with hub-capped fan-out. The
+    // edge list's support threshold scales with corpus (basketPairs
+    // rowsPerSupport default) — the fix for the round-5 12×-at-10×
+    // densification: replicated facts inflate pair counts linearly, so
+    // a FIXED threshold admits the whole tail and Σ out-deg² explodes
+    "q96_triangle_count" -> ((s, dir) => {
+      val pairs = operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L)
+      val tri = ext.Graph.triangleCount(pairs, "item_a", "item_b")
+      pairs.unpersist(blocking = false)
+      tri
+    }),
 
     // the stream-stream join's shared transform in batch mode (same
     // code path StreamingSpec runs as a real watermarked stream) —
@@ -1122,8 +1141,11 @@ object SparkEntry {
         .select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pairs
           .select(col("item_b").as("src"), col("item_a").as("dst")))
-      ext.Graph.pageRank(edges, iters = 2)
-        .select(col("id").as("item"),
+      // pageRank materializes its output, so the persisted pair list
+      // (basketPairs' contract) can be released here
+      val pr = ext.Graph.pageRank(edges, iters = 2)
+      pairs.unpersist(blocking = false)
+      pr.select(col("id").as("item"),
           round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("item")).limit(20)
     }),
@@ -2225,7 +2247,10 @@ object SparkEntry {
         |FROM counts, tot GROUP BY na, nb""".stripMargin,
 
     // identical cap rule (row_number by item id, ≤ 64), lift over the
-    // CAPPED baskets; bigint/bigint division is double in both engines
+    // CAPPED baskets; bigint/bigint division is double in both engines.
+    // The pair-support threshold is the same corpus-scaled
+    // max(2, ⌊capped rows / 30000⌋) the Spark side computes (a scalar
+    // subquery here), so the edge set stays sparse under replication
     "q83_cooccurrence" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
@@ -2237,7 +2262,9 @@ object SparkEntry {
         |pairs AS (SELECT x.i AS item_a, y.i AS item_b,
         |    count(*) AS pair_cnt
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >=
+        |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |     FROM capped))
         |SELECT item_a, item_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
         |  round(pair_cnt * nb / (ca.c * cb.c) + 1e-9, 4) AS lift
         |FROM pairs JOIN ic ca ON ca.i = item_a
@@ -2255,7 +2282,9 @@ object SparkEntry {
         |      AS rn FROM items) WHERE rn <= 64),
         |pairs AS (SELECT x.i AS ia, y.i AS ib
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >=
+        |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |     FROM capped)),
         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
         |          UNION ALL SELECT ib, ia FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges
@@ -2287,7 +2316,9 @@ object SparkEntry {
         |      AS rn FROM items) WHERE rn <= 64),
         |pairs AS (SELECT x.i AS ia, y.i AS ib
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >=
+        |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |     FROM capped)),
         |w AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
         |  FROM pairs e1 JOIN pairs e2 ON e1.ib = e2.ia)
         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
@@ -2421,7 +2452,9 @@ object SparkEntry {
         |      AS rn FROM items) WHERE rn <= 64),
         |pairs AS (SELECT x.i AS ia, y.i AS ib
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >=
+        |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |     FROM capped)),
         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
         |          UNION ALL SELECT ib, ia FROM pairs),
         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache-lifecycle helper for iterative/multi-reference operators.
+  *
+  * The pattern (same as [[graft.ext.Dedup.duplicateClusters]]): an
+  * operator that caches helper frames (edge lists, capped baskets,
+  * vocabularies) referenced several times by its output plan must
+  * MATERIALIZE the output while those caches are live, then release
+  * them — otherwise every call leaks blocks into executor storage
+  * until LRU eviction, and in a long-lived session (a 100-query bench,
+  * a notebook) dead graph frames crowd out live working sets.
+  *
+  * `materialized` forces the full frame into its own cache (count, not
+  * isEmpty, so every partition lands) and returns the persisted handle;
+  * the caller then unpersists its helpers. Correctness never depends on
+  * the cache: if the result is later evicted, recomputation falls back
+  * to the (now uncached) lineage — slower, never wrong. The returned
+  * frame itself stays persisted; callers that are done with it may
+  * `unpersist()` it — operator results are small (scored/aggregated
+  * frames), so this is a deliberate, bounded hand-off, not a leak.
+  */
+object Caches {
+  def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+}

@@ -183,8 +183,15 @@ object Dedup {
     * Input: pairs with (id_a, id_b) columns (any generator above).
     * Output: (id, cluster_id) for every id that appears in a pair —
     * isolated docs aren't duplicated, so they're not in any cluster.
+    *
+    * If a component's diameter exceeds `maxIter` the loop exits with
+    * labels still moving and the transitive-closure contract does NOT
+    * hold; that is a data-shape surprise worth failing loudly on, so
+    * the exit path throws unless the caller opts into best-effort
+    * labels with `failOnNonConvergence = false` (which logs instead).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        failOnNonConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -216,6 +223,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      val msg = s"duplicateClusters did not converge in $maxIter rounds: " +
+        "a component's diameter exceeds maxIter and cluster_id is NOT the " +
+        "transitive-closure minimum. Raise maxIter (rounds scale with " +
+        "component diameter, not corpus size)."
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

@@ -31,13 +31,16 @@ object Graph {
     * simplification; on a symmetrized edge list (undirected graphs)
     * there are no dangling nodes and ranks sum to 1.
     *
-    * The projected edge list, out-degree, and node frames are CACHED:
-    * every iteration (and the caller's follow-up joins) re-reads them,
-    * and without persistence each reference would re-execute the
-    * edge-derivation plan — for a derived graph (q86's basket
-    * self-join) that multiplies the most expensive stage by
-    * 2·iters+2. Same policy as GraphX, which persists the graph before
-    * iterating; callers with a cheap edge scan can `unpersist` after.
+    * The projected edge list, out-degree, and node frames are cached
+    * while the rank plan executes (every iteration re-reads them;
+    * uncached, each reference would re-execute the edge-derivation
+    * plan — for a derived graph like q86's basket self-join that
+    * multiplies the most expensive stage by 2·iters+2), then RELEASED:
+    * the result is materialized via [[graft.core.Caches.materialized]]
+    * and the helpers unpersisted before returning, so repeated calls
+    * don't accumulate dead graph frames in executor storage. The
+    * returned (|V|-row) frame is the one persisted handle the caller
+    * owns.
     *
     * Returns (id, pr, pr_scaled = pr·N): pr for mass accounting,
     * pr_scaled (mean 1.0) as the display/threshold form — computed here
@@ -48,10 +51,10 @@ object Graph {
   : DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .cache()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d")).cache()
+      .persist()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d")).persist()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+      .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.agg(count(lit(1)).as("_n"))
     var ranks = nodes.join(broadcast(n))
       .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
@@ -66,8 +69,14 @@ object Graph {
           (lit(1.0 - damping) / col("_n") +
             lit(damping) * coalesce(col("_s"), lit(0.0))).as("pr"))
     }
-    ranks.join(broadcast(n))
-      .select(col("id"), col("pr"), (col("pr") * col("_n")).as("pr_scaled"))
+    val out = graft.core.Caches.materialized(
+      ranks.join(broadcast(n))
+        .select(col("id"), col("pr"),
+          (col("pr") * col("_n")).as("pr_scaled")))
+    e.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label propagation over a directed edge list: start
@@ -81,18 +90,20 @@ object Graph {
     * Per round: one edge⋈label join (high-cardinality node keys), a
     * (node, label) count with map-side combine, and the argmax via the
     * k-bounded aggregate (tie-break = the aggregator's score-desc,
-    * id-asc order, which IS count desc + label asc). Edge frame cached
-    * across rounds. Fixed iterations for the same bounded-lineage
-    * reason as [[pageRank]]. Nodes with no in-edges keep their label.
+    * id-asc order, which IS count desc + label asc). Edge/node frames
+    * are cached across rounds, then released once the final labels are
+    * materialized (same lifecycle as [[pageRank]]). Fixed iterations
+    * for the same bounded-lineage reason as [[pageRank]]. Nodes with
+    * no in-edges keep their label.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
                        srcCol: String = "src", dstCol: String = "dst")
   : DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .cache()
+      .persist()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+      .union(e.select(col("dst").as("id"))).distinct().persist()
     var labels = nodes.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val counts = e.join(labels, col("src") === col("id"))
@@ -105,7 +116,10 @@ object Graph {
         .select(col("id"),
           coalesce(col("label"), col("id")).as("label"))
     }
-    labels
+    val out = graft.core.Caches.materialized(labels)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Global triangle count over a CANONICAL pair list (every undirected
@@ -115,15 +129,27 @@ object Graph {
     * ordered edge list, the wedge join's cost is Σ out-degree² under
     * the degree-reducing canonical order — the classic mitigation for
     * hub nodes (a hub's edges mostly point INTO it from smaller ids,
-    * capping its out-fan). The pair list is cached: the plan references
-    * it three times.
+    * capping its out-fan). The pair list is cached while the (1-row)
+    * count materializes, then released.
+    *
+    * The orientation bounds the CONSTANT, not the growth law: if the
+    * edge list densifies with corpus (replicated facts over a fixed
+    * item vocabulary), Σ out-deg² still grows quadratically. The
+    * scale-safe input contract is therefore a SUPPORT THRESHOLD that
+    * scales with corpus on the edge generator — see
+    * [[graft.operators.Recommend.basketPairs]]'s `rowsPerSupport`,
+    * which q96 uses — keeping the graph's density, and this operator's
+    * wedge stream, roughly constant as the corpus replicates.
     */
   def triangleCount(pairs: DataFrame, aCol: String, bCol: String)
   : DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist()
     val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")),
       Seq("b"))
-    wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val out = graft.core.Caches.materialized(
+      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles")))
+    e.unpersist(blocking = false)
+    out
   }
 }

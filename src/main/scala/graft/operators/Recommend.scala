@@ -57,6 +57,16 @@ object Recommend {
     *    cardinality by construction.
     *  - `minPairCount` prunes the singleton-pair tail BEFORE the lift
     *    join, which at corpus scale is most of the pair stream.
+    *  - `rowsPerSupport` makes that pruning SCALE-SAFE: the effective
+    *    support threshold is max(minPairCount, ⌊rows/rowsPerSupport⌋)
+    *    over the capped basket rows, computed in-plan (one tiny
+    *    broadcast scalar, no driver collect). A replicated corpus over
+    *    a fixed item vocabulary inflates every pair count linearly; a
+    *    FIXED threshold then admits the whole pair tail and any
+    *    downstream graph densifies (the round-5 q96 12×-at-10× lesson).
+    *    With support ∝ corpus the surviving edge set — and the wedge
+    *    stream of a triangle count over it — stays roughly constant.
+    *    Set 0 to pin the absolute `minPairCount` instead.
     *
     * lift = pair_cnt · n_baskets / (cnt_a · cnt_b) over the CAPPED
     * baskets (consistent numerator and denominators). Output: top-k
@@ -64,24 +74,28 @@ object Recommend {
     */
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    maxBasket: Int = 64, minPairCount: Long = 2L,
-                   k: Int = 50): DataFrame = {
+                   k: Int = 50, rowsPerSupport: Long = 30000L): DataFrame = {
     // cached: referenced by the basket total, the item counts, and BOTH
     // sides of the pair self-join — uncached, the distinct+cap window
-    // would run four times
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).cache()
+    // would run four times. Released once the (k-row) result
+    // materializes, so repeated calls don't accumulate storage blocks.
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
     val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
     val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    pairsOf(capped, minPairCount)
-      .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
-        Seq("item_a"))
-      .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
-        Seq("item_b"))
-      .join(broadcast(totals))
-      .select(col("item_a"), col("item_b"), col("pair_cnt"),
-        round((col("pair_cnt") * col("_nb")) / (col("_ca") * col("_cb"))
-          + lit(1e-9), 4).as("lift"))
-      .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
-      .limit(k)
+    val out = graft.core.Caches.materialized(
+      pairsOf(capped, minPairCount, rowsPerSupport)
+        .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
+          Seq("item_a"))
+        .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
+          Seq("item_b"))
+        .join(broadcast(totals))
+        .select(col("item_a"), col("item_b"), col("pair_cnt"),
+          round((col("pair_cnt") * col("_nb")) / (col("_ca") * col("_cb"))
+            + lit(1e-9), 4).as("lift"))
+        .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
+        .limit(k))
+    capped.unpersist(blocking = false)
+    out
   }
 
   /** Distinct (basket `_b`, item `_i`) pairs with the deterministic
@@ -100,24 +114,47 @@ object Recommend {
       .filter(col("_rn") <= maxBasket).drop("_rn")
   }
 
-  /** The raw co-occurrence pair list (item_a < item_b, pair_cnt ≥
-    * minPairCount) over capped baskets — [[cooccurrence]] without the
-    * lift/top-k stage; also the edge list for graph analytics
-    * ([[graft.ext.Graph.pageRank]] over the item-affinity graph).
+  /** The raw co-occurrence pair list (item_a < item_b, pair_cnt ≥ the
+    * scaled support — see [[cooccurrence]]'s `rowsPerSupport`) over
+    * capped baskets — [[cooccurrence]] without the lift/top-k stage;
+    * also the edge list for graph analytics
+    * ([[graft.ext.Graph.pageRank]] over the item-affinity graph), where
+    * the corpus-scaled support is what keeps downstream wedge joins
+    * from densifying. Returns a MATERIALIZED (persisted) frame —
+    * graph callers reference it several times; they own the handle and
+    * may `unpersist()` when done.
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
-                  maxBasket: Int = 64, minPairCount: Long = 2L)
-  : DataFrame =
+                  maxBasket: Int = 64, minPairCount: Long = 2L,
+                  rowsPerSupport: Long = 30000L)
+  : DataFrame = {
     // cached for the same reason as in cooccurrence: the self-join
-    // references the capped frame twice
-    pairsOf(cappedBaskets(df, basketCol, itemCol, maxBasket).cache(),
-      minPairCount)
+    // references the capped frame twice; released once pairs land
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
+    val out = graft.core.Caches.materialized(
+      pairsOf(capped, minPairCount, rowsPerSupport))
+    capped.unpersist(blocking = false)
+    out
+  }
 
-  private def pairsOf(capped: DataFrame, minPairCount: Long): DataFrame =
-    capped
+  private def pairsOf(capped: DataFrame, minPairCount: Long,
+                      rowsPerSupport: Long): DataFrame = {
+    val raw = capped
       .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
         col("_b") === col("_b2") && col("_i") < col("item_b"))
       .groupBy(col("_i").as("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .filter(col("pair_cnt") >= minPairCount)
+    if (rowsPerSupport <= 0L) raw.filter(col("pair_cnt") >= minPairCount)
+    else {
+      // support = max(minPairCount, ⌊capped rows / rowsPerSupport⌋) as a
+      // one-row broadcast — the threshold rides the plan, not the driver
+      val support = capped.agg(
+        greatest(lit(minPairCount),
+          floor(count(lit(1)) / lit(rowsPerSupport.toDouble)))
+          .as("_support"))
+      raw.join(broadcast(support))
+        .filter(col("pair_cnt") >= col("_support"))
+        .drop("_support")
+    }
+  }
 }
