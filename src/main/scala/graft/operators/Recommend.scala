@@ -59,14 +59,17 @@ object Recommend {
     *    join, which at corpus scale is most of the pair stream.
     *  - `rowsPerSupport` makes that pruning SCALE-SAFE: the effective
     *    support threshold is max(minPairCount, ⌊rows/rowsPerSupport⌋)
-    *    over the capped basket rows, computed in-plan (one tiny
-    *    broadcast scalar, no driver collect). A replicated corpus over
-    *    a fixed item vocabulary inflates every pair count linearly; a
-    *    FIXED threshold then admits the whole pair tail and any
-    *    downstream graph densifies (the round-5 q96 12×-at-10× lesson).
-    *    With support ∝ corpus the surviving edge set — and the wedge
-    *    stream of a triangle count over it — stays roughly constant.
-    *    Set 0 to pin the absolute `minPairCount` instead.
+    *    over the capped basket rows. A replicated corpus over a fixed
+    *    item vocabulary inflates every pair count linearly; a FIXED
+    *    threshold then admits the whole pair tail and any downstream
+    *    graph densifies (the round-5 q96 12×-at-10× lesson). With
+    *    support ∝ corpus the surviving edge set — and the wedge stream
+    *    of a triangle count over it — stays roughly constant. The row
+    *    count comes from the `count()` that materializes the capped
+    *    cache anyway (one scalar, zero extra passes), so the threshold
+    *    lands in the plan as a LITERAL — the filter stays inside the
+    *    aggregate's codegen instead of adding a broadcast join. Set 0
+    *    to pin the absolute `minPairCount` instead.
     *
     * lift = pair_cnt · n_baskets / (cnt_a · cnt_b) over the CAPPED
     * baskets (consistent numerator and denominators). Output: top-k
@@ -75,15 +78,19 @@ object Recommend {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    maxBasket: Int = 64, minPairCount: Long = 2L,
                    k: Int = 50, rowsPerSupport: Long = 30000L): DataFrame = {
-    // cached: referenced by the basket total, the item counts, and BOTH
-    // sides of the pair self-join — uncached, the distinct+cap window
-    // would run four times. Released once the (k-row) result
-    // materializes, so repeated calls don't accumulate storage blocks.
+    // MATERIALIZED (not just persisted): the basket total and item
+    // counts ride broadcast exchanges, which execute BEFORE the main
+    // join scan would populate a lazy cache — each would re-run the
+    // distinct+cap window. Forcing the cache first makes all four
+    // references cache reads; its count() doubles as the support
+    // scalar. Released once the (k-row) result materializes, so
+    // repeated calls don't accumulate storage blocks.
     val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
+    val support = supportOf(capped.count(), minPairCount, rowsPerSupport)
     val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
     val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
     val out = graft.core.Caches.materialized(
-      pairsOf(capped, minPairCount, rowsPerSupport)
+      pairsOf(capped, support)
         .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
           Seq("item_a"))
         .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("_cb")),
@@ -128,33 +135,30 @@ object Recommend {
                   maxBasket: Int = 64, minPairCount: Long = 2L,
                   rowsPerSupport: Long = 30000L)
   : DataFrame = {
-    // cached for the same reason as in cooccurrence: the self-join
-    // references the capped frame twice; released once pairs land
+    // persisted: the self-join references the capped frame twice; its
+    // materializing count() doubles as the support scalar. Released
+    // once pairs land.
     val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
-    val out = graft.core.Caches.materialized(
-      pairsOf(capped, minPairCount, rowsPerSupport))
+    val support = supportOf(capped.count(), minPairCount, rowsPerSupport)
+    val out = graft.core.Caches.materialized(pairsOf(capped, support))
     capped.unpersist(blocking = false)
     out
   }
 
-  private def pairsOf(capped: DataFrame, minPairCount: Long,
-                      rowsPerSupport: Long): DataFrame = {
-    val raw = capped
+  /** max(minPairCount, ⌊cappedRows/rowsPerSupport⌋) — the corpus-scaled
+    * support threshold ([[cooccurrence]] doc). A plain literal: the one
+    * scalar it needs is the count that builds the capped cache anyway.
+    */
+  private def supportOf(cappedRows: Long, minPairCount: Long,
+                        rowsPerSupport: Long): Long =
+    if (rowsPerSupport <= 0L) minPairCount
+    else math.max(minPairCount, cappedRows / rowsPerSupport)
+
+  private def pairsOf(capped: DataFrame, support: Long): DataFrame =
+    capped
       .join(capped.select(col("_b").as("_b2"), col("_i").as("item_b")),
         col("_b") === col("_b2") && col("_i") < col("item_b"))
       .groupBy(col("_i").as("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
-    if (rowsPerSupport <= 0L) raw.filter(col("pair_cnt") >= minPairCount)
-    else {
-      // support = max(minPairCount, ⌊capped rows / rowsPerSupport⌋) as a
-      // one-row broadcast — the threshold rides the plan, not the driver
-      val support = capped.agg(
-        greatest(lit(minPairCount),
-          floor(count(lit(1)) / lit(rowsPerSupport.toDouble)))
-          .as("_support"))
-      raw.join(broadcast(support))
-        .filter(col("pair_cnt") >= col("_support"))
-        .drop("_support")
-    }
-  }
+      .filter(col("pair_cnt") >= support)
 }
