@@ -385,7 +385,7 @@ object SparkEntry {
     // owns persistence (PLANS.md measured ~10× re-derivation uncached:
     // the signature build and the anti-join both walk it)
     "q63_dedup_corpus_lsh" -> ((s, dir) => {
-      val docs = withNearDups(s, dir).cache()
+      val docs = core.Caches.cached(withNearDups(s, dir))
       val pairs = ext.Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5)
       ext.Dedup.dropNearDups(docs, pairs, "doc_id")
@@ -428,10 +428,10 @@ object SparkEntry {
 
     "q35_als_recommend" -> ((s, dir) => {
       // cached: feeds the split, training iterations, and the user list
-      val ratings = t(s, dir, "events").select(
+      val ratings = core.Caches.cached(t(s, dir, "events").select(
         col("user_id").cast("int").as("user_id"),
         (col("event_id") % 50).cast("int").as("item_id"),
-        (col("value") / lit(20.0)).as("rating")).cache()
+        (col("value") / lit(20.0)).as("rating")))
       val cfg = ml.Als.Config(rank = 8, maxIter = 5, userCol = "user_id",
         itemCol = "item_id", seed = 42L, numBlocks = 4)
       val (model, _) = ml.Als.trainEval(ratings, cfg)

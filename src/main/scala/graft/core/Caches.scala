@@ -23,8 +23,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   def materialized(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = cached(df)
     p.count()
     p
+  }
+
+  /** persist() unless an identical (canonicalized) plan is already in
+    * the cache — in which case the existing entry serves this frame's
+    * scans too and re-persisting would only log "Asked to cache already
+    * cached data". The second declaration of the same query in one
+    * session (Bench's two passes, a spec re-running an operator) then
+    * becomes a silent cache HIT instead of a warning.
+    */
+  def cached(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
   }
 }

@@ -405,12 +405,12 @@ object Dedup {
     val names = df.select(col(strCol).as("_s")).distinct()
     // both sides of the self-join read this frame — cached so the
     // distinct + variant explode runs once (multi-reference rule)
-    val keyed = names.select(col("_s"),
-      explode(array_distinct(transform(
-        sequence(lit(0), length(col("_s"))),
-        i => concat(col("_s").substr(lit(1), i),
-          col("_s").substr(i + 2, length(col("_s"))))))).as("_k"))
-      .cache()
+    val keyed = graft.core.Caches.cached(
+      names.select(col("_s"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("_s"))),
+          i => concat(col("_s").substr(lit(1), i),
+            col("_s").substr(i + 2, length(col("_s"))))))).as("_k")))
     keyed
       .join(keyed.select(col("_k"), col("_s").as("name_b")),
         Seq("_k"))

@@ -340,8 +340,8 @@ object TextOps {
     // |vocab|-sized and referenced by totals AND the vocabulary cut —
     // cached so the corpus-sized explode+aggregate runs once (the
     // round-5 multi-reference-derived-frame rule, see PLANS.md)
-    val counts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
-      .cache()
+    val counts = graft.core.Caches.cached(
+      toks.groupBy(col("_tok")).agg(count(lit(1)).as("_c")))
     val totals = counts.agg(sum(col("_c")).as("_n"),
       count(lit(1)).as("_v"))
     val vocab =
@@ -417,8 +417,9 @@ object TextOps {
       .agg(count(lit(1)).as("_cb"))
     // |vocab|-sized, referenced by the scoring join AND the V count —
     // cached so the context explode+aggregate runs once
-    val ctxCnt = staged.select(explode(col("_t")).as("_w1"))
-      .groupBy(col("_w1")).agg(count(lit(1)).as("_cu")).cache()
+    val ctxCnt = graft.core.Caches.cached(
+      staged.select(explode(col("_t")).as("_w1"))
+        .groupBy(col("_w1")).agg(count(lit(1)).as("_cu")))
     val v = ctxCnt.agg(count(lit(1)).as("_v"))
     pairs.join(bigCnt, Seq("_w1", "_w2")).join(ctxCnt, Seq("_w1"))
       .join(broadcast(v))

@@ -92,7 +92,7 @@ object Als {
         struct(col(c.ratingCol).as("r"), col(c.itemCol).as("i"))))).as("s"))
       .select(col(c.userCol),
         transform(col("s"), s => s.getField("i").cast("double")).as("label"))
-    val joined = pred.join(truth, c.userCol).cache()
+    val joined = graft.core.Caches.cached(pred.join(truth, c.userCol))
     try {
       def metric(name: String): Double = new RankingEvaluator()
         .setMetricName(name).setK(k)

@@ -45,8 +45,9 @@ object Recommender {
 
     // ratings spine (model-als.py:107-109); cached — it feeds the split,
     // training, and (optionally) the community average
-    val combined = Relational.unionDedup(Seq(ratings, personal),
-      Seq("user_id", "anime_id")).cache()
+    val combined = graft.core.Caches.cached(
+      Relational.unionDedup(Seq(ratings, personal),
+        Seq("user_id", "anime_id")))
 
     val (model, rmse) = Als.trainEval(combined, cfg.als)
 
