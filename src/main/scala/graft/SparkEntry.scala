@@ -1001,11 +1001,9 @@ object SparkEntry {
         .select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pairs
           .select(col("item_b").as("src"), col("item_a").as("dst")))
-      // labelPropagation materializes its output, so the persisted pair
-      // list (basketPairs' contract) can be released here
-      val labels = ext.Graph.labelPropagation(edges, iters = 2)
-      pairs.unpersist(blocking = false)
-      labels
+      // the pair list stays cached (basketPairs' memo contract): q86,
+      // q96, and a second pass of this query all reuse it
+      ext.Graph.labelPropagation(edges, iters = 2)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("community"))
@@ -1017,13 +1015,11 @@ object SparkEntry {
     // rowsPerSupport default) — the fix for the round-5 12×-at-10×
     // densification: replicated facts inflate pair counts linearly, so
     // a FIXED threshold admits the whole tail and Σ out-deg² explodes
-    "q96_triangle_count" -> ((s, dir) => {
-      val pairs = operators.Recommend.basketPairs(t(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L)
-      val tri = ext.Graph.triangleCount(pairs, "item_a", "item_b")
-      pairs.unpersist(blocking = false)
-      tri
-    }),
+    "q96_triangle_count" -> ((s, dir) =>
+      ext.Graph.triangleCount(
+        operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L),
+        "item_a", "item_b")),
 
     // the layout path end-to-end, driver-checked: stage lineitem
     // Z-ORDERED by (l_partkey, l_suppkey) — Morton interleave, range-
@@ -1159,11 +1155,10 @@ object SparkEntry {
         .select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pairs
           .select(col("item_b").as("src"), col("item_a").as("dst")))
-      // pageRank materializes its output, so the persisted pair list
-      // (basketPairs' contract) can be released here
-      val pr = ext.Graph.pageRank(edges, iters = 2)
-      pairs.unpersist(blocking = false)
-      pr.select(col("id").as("item"),
+      // the pair list stays cached (basketPairs' memo contract): q96,
+      // q100, and a second pass of this query all reuse it
+      ext.Graph.pageRank(edges, iters = 2)
+        .select(col("id").as("item"),
           round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("item")).limit(20)
     }),
@@ -2296,7 +2291,7 @@ object SparkEntry {
     // identical cap rule (row_number by item id, ≤ 64), lift over the
     // CAPPED baskets; bigint/bigint division is double in both engines.
     // The pair-support threshold is the same corpus-scaled
-    // max(2, ⌊capped rows / 30000⌋) the Spark side computes (a scalar
+    // max(2, ⌊input rows / 30000⌋) the Spark side computes (a scalar
     // subquery here), so the edge set stays sparse under replication
     "q83_cooccurrence" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
@@ -2311,7 +2306,7 @@ object SparkEntry {
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >=
         |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
-        |     FROM capped))
+        |     FROM lineitem))
         |SELECT item_a, item_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
         |  round(pair_cnt * nb / (ca.c * cb.c) + 1e-9, 4) AS lift
         |FROM pairs JOIN ic ca ON ca.i = item_a
@@ -2331,7 +2326,7 @@ object SparkEntry {
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >=
         |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
-        |     FROM capped)),
+        |     FROM lineitem)),
         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
         |          UNION ALL SELECT ib, ia FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges
@@ -2379,7 +2374,7 @@ object SparkEntry {
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >=
         |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
-        |     FROM capped)),
+        |     FROM lineitem)),
         |w AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
         |  FROM pairs e1 JOIN pairs e2 ON e1.ib = e2.ia)
         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
@@ -2515,7 +2510,7 @@ object SparkEntry {
         |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
         |  GROUP BY 1, 2 HAVING count(*) >=
         |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
-        |     FROM capped)),
+        |     FROM lineitem)),
         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
         |          UNION ALL SELECT ib, ia FROM pairs),
         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),

@@ -36,8 +36,14 @@ object Caches {
     * becomes a silent cache HIT instead of a warning.
     */
   def cached(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
+    if (!isCached(df)) df.persist()
     df
   }
+
+  /** Whether an identical (canonicalized) plan is already cached —
+    * lets an operator skip straight to its memoized result instead of
+    * re-running setup work whose only purpose is building that frame.
+    */
+  def isCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 }

@@ -58,18 +58,19 @@ object Recommend {
     *  - `minPairCount` prunes the singleton-pair tail BEFORE the lift
     *    join, which at corpus scale is most of the pair stream.
     *  - `rowsPerSupport` makes that pruning SCALE-SAFE: the effective
-    *    support threshold is max(minPairCount, ⌊rows/rowsPerSupport⌋)
-    *    over the capped basket rows. A replicated corpus over a fixed
-    *    item vocabulary inflates every pair count linearly; a FIXED
+    *    support threshold is max(minPairCount, ⌊input rows /
+    *    rowsPerSupport⌋). A replicated corpus over a fixed item
+    *    vocabulary inflates every pair count linearly; a FIXED
     *    threshold then admits the whole pair tail and any downstream
     *    graph densifies (the round-5 q96 12×-at-10× lesson). With
     *    support ∝ corpus the surviving edge set — and the wedge stream
     *    of a triangle count over it — stays roughly constant. The row
-    *    count comes from the `count()` that materializes the capped
-    *    cache anyway (one scalar, zero extra passes), so the threshold
-    *    lands in the plan as a LITERAL — the filter stays inside the
-    *    aggregate's codegen instead of adding a broadcast join. Set 0
-    *    to pin the absolute `minPairCount` instead.
+    *    count is a metadata-cheap `df.count()` (parquet row-group
+    *    stats; no column reads) and the threshold lands in the plan as
+    *    a LITERAL — the filter stays inside the pair aggregate's
+    *    codegen, and the pair plan is fully determined up front, so a
+    *    repeated call cache-hits the materialized pair list instead of
+    *    rebuilding it. Set 0 to pin the absolute `minPairCount`.
     *
     * lift = pair_cnt · n_baskets / (cnt_a · cnt_b) over the CAPPED
     * baskets (consistent numerator and denominators). Output: top-k
@@ -78,18 +79,10 @@ object Recommend {
   def cooccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    maxBasket: Int = 64, minPairCount: Long = 2L,
                    k: Int = 50, rowsPerSupport: Long = 30000L): DataFrame = {
-    // MATERIALIZED (not just persisted): the basket total and item
-    // counts ride broadcast exchanges, which execute BEFORE the main
-    // join scan would populate a lazy cache — each would re-run the
-    // distinct+cap window. Forcing the cache first makes all four
-    // references cache reads; its count() doubles as the support
-    // scalar. Released once the (k-row) result materializes, so
-    // repeated calls don't accumulate storage blocks.
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
-    val support = supportOf(capped.count(), minPairCount, rowsPerSupport)
-    val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
-    val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    val out = graft.core.Caches.materialized(
+    val support = supportOf(df.count(), minPairCount, rowsPerSupport)
+    def plan(capped: DataFrame): DataFrame = {
+      val totals = capped.agg(count_distinct(col("_b")).as("_nb"))
+      val itemCnt = capped.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
       pairsOf(capped, support)
         .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("_ca")),
           Seq("item_a"))
@@ -100,7 +93,23 @@ object Recommend {
           round((col("pair_cnt") * col("_nb")) / (col("_ca") * col("_cb"))
             + lit(1e-9), 4).as("lift"))
         .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
-        .limit(k))
+        .limit(k)
+    }
+    // memo hit: the support literal is knowable before any heavy work,
+    // so when this exact lift table was already built this session the
+    // capped build below never runs
+    val lazyPlan = plan(cappedBaskets(df, basketCol, itemCol, maxBasket))
+    if (graft.core.Caches.isCached(lazyPlan))
+      return graft.core.Caches.materialized(lazyPlan)
+    // MATERIALIZED (not just persisted): the basket total and item
+    // counts ride broadcast exchanges, which execute BEFORE the main
+    // join scan would populate a lazy cache — each would re-run the
+    // distinct+cap window. Forcing the cache first makes all four
+    // references cache reads. Released once the (k-row) result
+    // materializes, so repeated calls don't accumulate storage blocks.
+    val capped = graft.core.Caches.materialized(
+      cappedBaskets(df, basketCol, itemCol, maxBasket))
+    val out = graft.core.Caches.materialized(plan(capped))
     capped.unpersist(blocking = false)
     out
   }
@@ -127,32 +136,44 @@ object Recommend {
     * also the edge list for graph analytics
     * ([[graft.ext.Graph.pageRank]] over the item-affinity graph), where
     * the corpus-scaled support is what keeps downstream wedge joins
-    * from densifying. Returns a MATERIALIZED (persisted) frame —
-    * graph callers reference it several times; they own the handle and
-    * may `unpersist()` when done.
+    * from densifying. Returns a MATERIALIZED (persisted) frame — graph
+    * callers reference it several times, and the thresholded list is
+    * SMALL (support-pruned), so it stays cached as this operator's
+    * memo: a repeated call (another graph query over the same basket
+    * table, a re-run of the same one) skips the distinct+cap window and
+    * the self-join entirely and reads the cache. Heavyweight
+    * intermediates (the capped basket rows) are always released.
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
                   maxBasket: Int = 64, minPairCount: Long = 2L,
                   rowsPerSupport: Long = 30000L)
   : DataFrame = {
-    // persisted: the self-join references the capped frame twice; its
-    // materializing count() doubles as the support scalar. Released
-    // once pairs land.
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket).persist()
-    val support = supportOf(capped.count(), minPairCount, rowsPerSupport)
+    // the support literal is knowable BEFORE any heavy work (one
+    // metadata-cheap count), so when the same pair list was already
+    // built this session, materialized() is a pure cache hit and the
+    // capped build below never runs a job
+    val support = supportOf(df.count(), minPairCount, rowsPerSupport)
+    val pairsPlan = pairsOf(
+      cappedBaskets(df, basketCol, itemCol, maxBasket), support)
+    if (graft.core.Caches.isCached(pairsPlan))
+      return graft.core.Caches.materialized(pairsPlan)
+    // persisted: the self-join references the capped frame twice.
+    // Released once pairs land — the SMALL thresholded pair list is the
+    // one retained artifact (caller-owned; repeated calls reuse it)
+    val capped = graft.core.Caches.materialized(
+      cappedBaskets(df, basketCol, itemCol, maxBasket))
     val out = graft.core.Caches.materialized(pairsOf(capped, support))
     capped.unpersist(blocking = false)
     out
   }
 
-  /** max(minPairCount, ⌊cappedRows/rowsPerSupport⌋) — the corpus-scaled
-    * support threshold ([[cooccurrence]] doc). A plain literal: the one
-    * scalar it needs is the count that builds the capped cache anyway.
+  /** max(minPairCount, ⌊inputRows/rowsPerSupport⌋) — the corpus-scaled
+    * support threshold ([[cooccurrence]] doc), a plain plan literal.
     */
-  private def supportOf(cappedRows: Long, minPairCount: Long,
+  private def supportOf(inputRows: Long, minPairCount: Long,
                         rowsPerSupport: Long): Long =
     if (rowsPerSupport <= 0L) minPairCount
-    else math.max(minPairCount, cappedRows / rowsPerSupport)
+    else math.max(minPairCount, inputRows / rowsPerSupport)
 
   private def pairsOf(capped: DataFrame, support: Long): DataFrame =
     capped
