@@ -1056,6 +1056,75 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // first-order Markov transition matrix over per-user event
+    // sequences: ONE user-keyed lag window → |types|² aggregate; the
+    // normalizing window runs over that tiny frame only. Probabilities
+    // are exact integer ratios, so the 4-dp round is engine-stable
+    "q102_markov_transitions" -> ((s, dir) =>
+      ext.EventOps.markovTransitions(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("prev_type"), col("next_type"))),
+
+    // gap-based batch sessionization (30-min gap), one row per
+    // session — the batch twin of q37's streaming session window,
+    // both windows partitioned on the high-cardinality user id
+    "q103_sessionize" -> ((s, dir) =>
+      ext.EventOps.sessionize(t(s, dir, "events"), "user_id", "ts",
+          "event_id", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // coverage union: 5-minute activity intervals per user, merged
+    // wherever they overlap or touch (gaps-and-islands running max —
+    // integer micros end-to-end)
+    "q104_merge_intervals" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("end_us"))
+      ext.EventOps.mergeIntervals(iv, "user_id", "start_us", "end_us")
+        .orderBy(col("user_id"), col("island_seq"))
+    }),
+
+    // SCD-2 validity ranges from the append-only event log: collapse
+    // consecutive same-type runs per user, close each run with the
+    // next run's start (open runs get -1, keeping the column
+    // hash-stable)
+    "q105_status_runs" -> ((s, dir) =>
+      ext.EventOps.collapseRuns(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("run_seq"))),
+
+    // 2-D Pareto frontier of the part catalog (minimize price,
+    // maximize size): sort + hierarchical prefix max, never
+    // all-pairs — the oracle IS the corpus² NOT-EXISTS formulation
+    // the operator must reproduce exactly
+    "q106_skyline" -> ((s, dir) =>
+      operators.Relational.skyline2D(
+        t(s, dir, "part").select(col("p_retailprice").as("price"),
+          col("p_size").cast("double").as("psize")),
+        "price", "psize", bucketWidth = 100.0)
+        .orderBy(col("price"), col("psize"))),
+
+    // robust z-score outlier counts per event type: median/MAD from
+    // EXACT interpolated percentiles (the engine-exact arithmetic q45
+    // pins — unlike mean/stddev, no order-dependent float summation
+    // can flip a boundary row between engines; the 100 TB swap is
+    // approx_percentile) → broadcast stats back, one map-side count
+    "q107_anomaly_robust" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("_med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("_dev", abs(col("value") - col("_med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("_dev"), lit(0.5)).as("_mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_dev") > lit(3.0) * col("_mad"), 1L)
+            .otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
+
     // the stream-stream join's shared transform in batch mode (same
     // code path StreamingSpec runs as a real watermarked stream) —
     // gives the event-time-bounded join a driver-checked oracle row
@@ -2362,6 +2431,113 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN pm // 4 AND pm // 2
         |  AND l_suppkey BETWEEN sm // 5 AND 3 * sm // 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // same lag pairing (ts, event_id tie-break) and integer-ratio
+    // probabilities
+    "q102_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev)
+        |    AS DOUBLE) + 1e-9, 4) AS p
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+
+    // same two-window gaps-and-islands over integer micros, 30-min gap
+    "q103_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // same strictly-preceding running max; touching intervals merge
+    // (s > pm starts an island, s = pm does not)
+    "q104_merge_intervals" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ns
+        |  FROM m),
+        |g AS (SELECT user_id, s, e,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island_seq,
+        |  CAST(min(s) AS BIGINT) AS start_us,
+        |  CAST(max(e) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island_seq""".stripMargin,
+
+    // same run numbering; open runs close with -1
+    "q105_status_runs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS us FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |      END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+        |  FROM c),
+        |g AS (SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+        |    min(event_type) AS status, min(us) AS vf,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, run_seq)
+        |SELECT user_id, run_seq, status,
+        |  CAST(vf AS BIGINT) AS valid_from_us,
+        |  CAST(coalesce(lead(vf) OVER (PARTITION BY user_id
+        |    ORDER BY run_seq), -1) AS BIGINT) AS valid_to_us, n_events
+        |FROM g ORDER BY user_id, run_seq""".stripMargin,
+
+    // the naive corpus² dominance test the sort+prefix-max operator
+    // must reproduce exactly
+    "q106_skyline" ->
+      """WITH p AS (SELECT DISTINCT p_retailprice AS price,
+        |    CAST(p_size AS DOUBLE) AS psize FROM part)
+        |SELECT price, psize FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.psize >= a.psize
+        |    AND (b.price < a.price OR b.psize > a.psize))
+        |ORDER BY price, psize""".stripMargin,
+
+    // same exact interpolated median/MAD (quantile_cont ≡ Spark
+    // percentile, the q45-pinned pair)
+    "q107_anomaly_robust" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5)
+        |    AS med FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // same capped pair list and a<b<c wedge orientation
     "q96_triangle_count" ->

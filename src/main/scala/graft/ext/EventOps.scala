@@ -109,6 +109,149 @@ object EventOps {
         col("value_ffill"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | previous event type), the
+    * behavioral model behind next-action prediction and funnel
+    * drop-off analysis.
+    *
+    * Shape: ONE window partitioned on the high-cardinality user id
+    * pairs each event with its predecessor (`lag`, ordered by ts with
+    * the unique event id as tie-break so the sequence is
+    * deterministic), then a map-side-combined aggregate shrinks the
+    * corpus to the |types|² transition-count frame. The probability
+    * normalization runs a second window over THAT tiny frame —
+    * unpartitioned cost never touches full-size data. Probabilities
+    * are exact integer ratios (n / row-count), so the 4-dp round is
+    * engine-stable.
+    *
+    * Output: (prev_type, next_type, n, p), p = n / Σ n over prev_type.
+    */
+  def markovTransitions(events: DataFrame, userCol: String,
+                        typeCol: String, tsCol: String, idCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("prev_type"))
+    trans.withColumn("p",
+      round(col("n") / sum(col("n")).over(tot) + lit(1e-9), 4))
+  }
+
+  /** Gap-based batch sessionization: split each user's event stream
+    * into sessions wherever the inter-event gap exceeds `gapMinutes`,
+    * and aggregate one row per session — the batch twin of the
+    * streaming session window (q37), and the form every
+    * clickstream-analytics warehouse materializes.
+    *
+    * Shape: the classic two-window gaps-and-islands, BOTH partitioned
+    * on the high-cardinality user id (never a global sort): `lag`
+    * flags session starts, a running sum over the same ordering turns
+    * flags into session ids, and a user+session aggregate collapses
+    * events to sessions. Integer micros end-to-end; ordering
+    * tie-breaks on the unique event id.
+    *
+    * Output: (userCol, session_seq 1-based, n_events, duration_us).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"))
+  }
+
+  /** Merge overlapping-or-touching intervals per key (gaps-and-islands
+    * coverage union) — the dedup step for time-range data: on-call
+    * windows, ad impressions, maintenance windows, sensor coverage.
+    * Intervals are `[startCol, endCol]` in integer micros; an interval
+    * starting exactly at the running max end MERGES (touching counts
+    * as overlap).
+    *
+    * Shape: one window partitioned on the key computes the running
+    * max end over STRICTLY preceding rows (ordered by start, end — the
+    * island flag is tie-order-insensitive for identical intervals), a
+    * second identical-keyed window turns new-island flags into island
+    * ids, and a key+island aggregate emits the merged spans. All
+    * windows stay partitioned on the (high-cardinality) key.
+    *
+    * Output: (keyCol, island_seq 1-based, start_us, end_us, n_merged).
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("_pm", prevMax)
+      .withColumn("_new",
+        when(col("_pm").isNull || col(startCol) > col("_pm"), 1L)
+          .otherwise(0L))
+      .withColumn("island_seq", sum(col("_new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island_seq"))
+      .agg(min(col(startCol)).as("start_us"), max(col(endCol)).as("end_us"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /** Run-length collapse of per-user status streams into SCD-2-style
+    * validity ranges: consecutive events with the SAME type merge into
+    * one run carrying `[valid_from, valid_to)` — the change-data shape
+    * warehouses keep for slowly-changing attributes, built here from
+    * an append-only event log.
+    *
+    * Shape: gaps-and-islands again — a user-keyed `lag` flags type
+    * changes, a running sum numbers the runs, a user+run aggregate
+    * collapses events, and one LAST user-keyed window (`lead` over the
+    * already-collapsed run frame, strictly smaller than the input)
+    * closes each run with the next run's start. Integer micros;
+    * ordering tie-breaks on the unique event id; the open run's
+    * valid_to is -1 (not NULL, keeping the column hash-stable).
+    *
+    * Output: (userCol, run_seq, status, valid_from_us, valid_to_us,
+    * n_events).
+    */
+  def collapseRuns(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+    val runs = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col(typeCol), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("run_seq"))
+      .agg(min(col(typeCol)).as("status"),
+        min(col("_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col(userCol)).orderBy(col("run_seq"))
+    runs.withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(w2), lit(-1L)))
+      .select(col(userCol), col("run_seq"), col("status"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
   /** Weekly cohort retention: bucket each user by their FIRST active
     * week (the cohort), then count distinct users per (cohort week,
     * weeks-since-cohort) — the retention triangle behind every growth

@@ -194,4 +194,50 @@ object Relational {
           col("__salt_b") === col("__salt_s"))
       .drop("__salt_b", "__salt_s")
   }
+
+  /** 2-D skyline (Pareto frontier): the distinct (x, y) points not
+    * DOMINATED by any other — q dominates p iff q.x ≤ p.x, q.y ≥ p.y,
+    * and q ≠ p (minimize x, maximize y; e.g. cheapest-per-size parts,
+    * best cost/quality corpora). The naive formulation is an all-pairs
+    * NOT EXISTS — corpus² and unusable at scale; the 2-D structure
+    * admits a sort + running-max instead: ordered by (x asc, y desc),
+    * a point is on the skyline iff every strictly-preceding point has
+    * smaller y.
+    *
+    * The running max is the HIERARCHICAL prefix pattern (packSequences'
+    * trick, ext/TextOps.scala): bucket points by x range, aggregate
+    * per-bucket y maxima, prefix-max the BUCKET SUMMARIES with one
+    * unpartitioned window (|buckets| rows — the only single-reducer
+    * step, never full-size data), broadcast the offsets back, and add
+    * the within-bucket prefix max via a bucket-partitioned window. A
+    * strictly-smaller bucket implies strictly smaller x, so the
+    * cross-bucket max only ever carries true dominators; within a
+    * bucket, (x asc, y desc) ordering makes the strict prefix max
+    * exactly the dominance test (equal-x ties resolve because a
+    * same-x higher-y point precedes and raises the max).
+    *
+    * Output: the skyline points, original column names, distinct.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pts = df.select(col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y")).distinct()
+      .withColumn("_bucket", floor(col("_x") / bucketWidth).cast("long"))
+    val bucketMax = pts.groupBy(col("_bucket"))
+      .agg(max(col("_y")).as("_bmax"))
+      .withColumn("_prevmax",
+        max(col("_bmax")).over(Window.orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_bucket"), col("_prevmax"))
+    val w = Window.partitionBy(col("_bucket"))
+      .orderBy(col("_x"), col("_y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.join(broadcast(bucketMax), Seq("_bucket"))
+      .withColumn("_pm",
+        greatest(coalesce(max(col("_y")).over(w), lit(Double.MinValue)),
+          coalesce(col("_prevmax"), lit(Double.MinValue))))
+      .filter(col("_pm") < col("_y"))
+      .select(col("_x").as(xCol), col("_y").as(yCol))
+  }
 }

@@ -101,4 +101,72 @@ class EventOpsSpec extends SparkTestBase {
     assert(got((weeks.last, 0L)) === 1L) // u3's own cohort
     assert(got.size === 3)
   }
+
+  test("markovTransitions: per-user lag pairs, integer-ratio probs") {
+    val events = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(10), "B"),
+      (1L, 3L, ts(20), "A"), (1L, 4L, ts(30), "B"),
+      (2L, 5L, ts(0), "A"), (2L, 6L, ts(10), "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.markovTransitions(events, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // prev A: A→B twice (u1), A→A once (u2); prev B: B→A once
+    assert(got(("A", "B")) === (2L, 0.6667))
+    assert(got(("A", "A")) === (1L, 0.3333))
+    assert(got(("B", "A")) === (1L, 1.0))
+    assert(got.size === 3)
+  }
+
+  test("sessionize: strict gap threshold, per-user sessions, durations") {
+    val events = Seq(
+      // u1: 0, 10min | gap 40min | 50min, 60min → two sessions
+      (1L, 1L, ts(0)), (1L, 2L, ts(600)),
+      (1L, 3L, ts(3000)), (1L, 4L, ts(3600)),
+      // u2: gap EXACTLY 30min stays one session (strict >)
+      (2L, 5L, ts(0)), (2L, 6L, ts(1800)))
+      .toDF("user_id", "event_id", "ts")
+    val got = EventOps.sessionize(events, "user_id", "ts", "event_id",
+        gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 1L)) === (2L, 600000000L))
+    assert(got((1L, 2L)) === (2L, 600000000L))
+    assert(got((2L, 1L)) === (2L, 1800000000L))
+    assert(got.size === 3)
+  }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, per key") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // overlap → merge
+      (1L, 15L, 20L),                 // touches the running end → merge
+      (1L, 25L, 30L),                 // gap → new island
+      (2L, 0L, 1L))
+      .toDF("k", "s", "e")
+    val got = EventOps.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got((1L, 1L)) === (0L, 20L, 3L))
+    assert(got((1L, 2L)) === (25L, 30L, 1L))
+    assert(got((2L, 1L)) === (0L, 1L, 1L))
+    assert(got.size === 3)
+  }
+
+  test("collapseRuns: consecutive same-type runs, SCD-2 validity ranges") {
+    val events = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(1), "A"),
+      (1L, 3L, ts(2), "B"), (1L, 4L, ts(3), "A"),
+      (2L, 5L, ts(0), "C"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.collapseRuns(events, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got((1L, 1L)) === ("A", 0L, 2000000L, 2L))
+    assert(got((1L, 2L)) === ("B", 2000000L, 3000000L, 1L))
+    assert(got((1L, 3L)) === ("A", 3000000L, -1L, 1L)) // open run
+    assert(got((2L, 1L)) === ("C", 0L, -1L, 1L))
+    assert(got.size === 4)
+  }
 }

@@ -139,4 +139,27 @@ class RelationalSpec extends SparkTestBase {
     assert(agg.reduce(Seq(9.0), 9.5) === Seq(9.5, 9.0))
     assert(agg.merge(Seq(9.0, 7.0), Seq(8.0, 6.0)) === Seq(9.0, 8.0, 7.0))
   }
+
+  test("skyline2D matches the naive dominance test, across buckets " +
+    "and equal-x ties") {
+    val pts = Seq(
+      (1.0, 1.0),            // dominated by (1, 5)
+      (1.0, 5.0),            // skyline (nothing cheaper or equal-higher)
+      (2.0, 7.0), (2.0, 7.0), // skyline once (duplicate collapses)
+      (2.0, 6.0),            // equal-x tie: (2, 7) dominates
+      (3.0, 7.0),            // (2, 7) is cheaper at the same y
+      (3.0, 3.0), (4.0, 2.0), // dominated by (2, 7)
+      (5.0, 9.0))            // skyline (highest y)
+      .toDF("x", "y")
+    // bucketWidth 1.5 splits the points across 4 buckets, so the
+    // cross-bucket prefix max path is exercised, not just the window
+    val got = Relational.skyline2D(pts, "x", "y", bucketWidth = 1.5)
+      .as[(Double, Double)].collect().sorted.toSeq
+    assert(got === Seq((1.0, 5.0), (2.0, 7.0), (5.0, 9.0)))
+    // naive quadratic cross-check on the same points
+    val d = pts.distinct().as[(Double, Double)].collect()
+    val naive = d.filter { case (x, y) => !d.exists { case (qx, qy) =>
+      qx <= x && qy >= y && (qx < x || qy > y) } }.sorted.toSeq
+    assert(got === naive)
+  }
 }
