@@ -26,6 +26,12 @@ object GraftSession {
       // harness events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos
       // long, normalized in Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // restore the sorted-bucket scan ordering (off by default since
+      // 3.1): Spark still guards it with one-file-per-bucket, which
+      // bucketedStaged guarantees by pre-repartitioning on the bucket
+      // hash — so a bucketed+sorted fact-fact join elides the SORT as
+      // well as the exchange (BucketingSpec pins both)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -39,6 +39,22 @@ object Relational {
       .drop("__rn")
   }
 
+  /** CDC apply-changes: collapse an append-only change log into the
+    * latest-wins snapshot, honoring delete tombstones — the batch MERGE
+    * every lakehouse table format implements. Keep the LAST change per
+    * key under `order` (pass descending columns), then drop keys whose
+    * final change `isDelete` — a tombstone hides the key entirely, it
+    * does not resurrect an earlier version.
+    *
+    * Shape: [[dedupFirst]]'s one key-shuffle + per-group window; the
+    * tombstone filter is map-side after the window. At 100 TB the log
+    * shuffles once on the (high-cardinality) key — the same cost class
+    * as any dedup — and nothing else is corpus-sized.
+    */
+  def cdcSnapshot(log: DataFrame, keys: Seq[String], order: Seq[Column],
+                  isDelete: Column): DataFrame =
+    dedupFirst(log, keys, order).filter(!isDelete)
+
   /** Per-key average (reference `model-als.py:145`). Partial (map-side)
     * aggregation before the shuffle is automatic for avg.
     */

@@ -75,6 +75,32 @@ class BucketingSpec extends SparkTestBase {
     } finally spark.conf.set(key, prior)
   }
 
+  test("q108 staged bucketed tables: SMJ with zero exchanges AND zero " +
+    "sorts (one file per bucket, sorted buckets)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val li = SparkEntry.bucketedStaged(spark, sf, "lineitem",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey", buckets = 8, tag = "q108li")
+      val ord = SparkEntry.bucketedStaged(spark, sf, "orders",
+        Seq("o_orderkey", "o_orderpriority"),
+        "o_orderkey", buckets = 8, tag = "q108ord")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"still shuffles:\n$plan")
+      // one sorted file per bucket → the SMJ's sort requirement is
+      // satisfied by the storage layout, no Sort operator at all
+      assert(!plan.contains("+- Sort "), s"still sorts:\n$plan")
+      assert(joined.count() ===
+        Tables.load(spark, sf, "lineitem")
+          .join(Tables.load(spark, sf, "orders"),
+            col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set(key, prior)
+  }
+
   test("clustered write: one file per partition dir, rows sorted in-file") {
     val out = "target/clustered-events"
     Tables.writeClustered(

@@ -140,6 +140,19 @@ class RelationalSpec extends SparkTestBase {
     assert(agg.merge(Seq(9.0, 7.0), Seq(8.0, 6.0)) === Seq(9.0, 8.0, 7.0))
   }
 
+  test("cdcSnapshot: latest change wins, tombstone hides the key") {
+    val log = Seq(
+      (1L, 1L, "upsert", 10.0), (1L, 2L, "upsert", 20.0), // latest wins
+      (2L, 3L, "upsert", 30.0), (2L, 4L, "delete", 0.0),  // tombstoned
+      (3L, 5L, "delete", 0.0), (3L, 6L, "upsert", 60.0))  // resurrected
+      .toDF("k", "seq", "op", "v")
+    val got = Relational.cdcSnapshot(log, Seq("k"),
+        Seq(col("seq").desc), col("op") === "delete")
+      .select($"k", $"seq", $"v").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 20.0), (3L, 6L, 60.0)))
+  }
+
   test("skyline2D matches the naive dominance test, across buckets " +
     "and equal-x ties") {
     val pts = Seq(
