@@ -930,6 +930,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME duplicate-cluster semantics via the alternating
+    // large-star/small-star algorithm — O(log diameter) rounds where
+    // q78's min-label propagation pays O(diameter); both must land on
+    // the identical transitive-closure minimum, so the oracle SQL is
+    // shared verbatim with q78 (DedupSpec additionally pins the two
+    // operators equal on path graphs the propagation cannot finish)
+    "q112_clusters_altstar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      def prefixCopy(offset: Int, num: Int, den: Int): DataFrame = {
+        val toks = split(col("text"), "\\s+")
+        docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + offset).as("doc_id"),
+            col("lang"), col("source"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(floor(size(toks) * num / den), lit(1)).cast("int")))
+              .as("text"))
+      }
+      val corpus = docs
+        .unionByName(prefixCopy(100000, 3, 4))
+        .unionByName(prefixCopy(200000, 1, 2))
+      val pairs = ext.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          shingleN = 3, partitionCols = Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.6)
+      ext.Dedup.duplicateClustersAltStar(
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: hash-of-id cut against
     // cumulative fractions — map-side CASE, stable under repartitioning
     // and engine changes (the oracle recomputes the identical hash)
@@ -1124,6 +1154,31 @@ object SparkEntry {
           .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // video-style frame sampling, decode AFTER sample: treat each
+    // document's bytes as a frame stream (16-byte frames, stride 2 —
+    // every second frame), slice the sampled windows out of the binary
+    // WITHOUT decoding (sampleFrames), then run the per-frame feature
+    // on the sampled frames only — the IDR-frame pattern of a real
+    // video pipeline, where decode cost dominates and must never run
+    // on skipped frames. The oracle recomputes the same windows
+    // arithmetically (docs are ASCII, so byte and char offsets agree)
+    "q111_frame_sample" -> ((s, dir) => {
+      val sampled = ext.Multimodal.sampleFrames(
+        ext.Multimodal.asBlob(col("text")), frameBytes = 16, stride = 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(sampled).as(Seq("frame_idx", "_fb")))
+        .withColumn("_fs", decode(col("_fb"), "UTF-8"))
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("_fs")).cast("long").as("frame_len"),
+          aggregate(
+            transform(sequence(lit(1), length(col("_fs"))),
+              i => ascii(col("_fs").substr(i, lit(1))).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("byte_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Gram (second-moment) matrix of the embedding corpus in ONE
@@ -2333,6 +2388,47 @@ object SparkEntry {
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // identical ground truth: the algorithm differs, the transitive
+    // closure must not (oracle shared verbatim with q78)
+    "q112_clusters_altstar" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // same 52-bit md5 hash u and the same Efraimidis–Spirakis key
     // ln(u)/w; selection ordered by the exact key, display rounded;
     // `+ 0.0` after the round normalizes IEEE -0.0 (DuckDB's round
@@ -2617,6 +2713,24 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // same stride-2 16-byte windows recomputed arithmetically; empty
+    // frames sum to 0 (Spark's descending sequence(1,0) folds ascii('')
+    // = 0 twice; DuckDB's empty list_sum is NULL → coalesce)
+    "q111_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      greatest(CAST(floor(length(text) / 32) AS BIGINT) - 1, 0)))
+        |      AS k
+        |  FROM documents),
+        |fr AS (SELECT doc_id, k,
+        |    substring(text, CAST(k * 32 + 1 AS INT), 16) AS s FROM f)
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |  CAST(length(s) AS BIGINT) AS frame_len,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(1, length(s)),
+        |    i -> ascii(substring(s, i, 1)))), 0) AS BIGINT) AS byte_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the declarative n·d² formulation the aggregator replaces — same
     // double-precision products, 0-based indices, 4-dp round

@@ -171,8 +171,14 @@ object Dedup {
     *
     * Each round: newLabel(v) = min(label(v), min over neighbors'
     * labels) — one shuffle on the edge key and one on the node id per
-    * round, each frame persisted and the previous unpersisted so the
-    * lineage stays flat. Converges in O(component diameter) rounds, NOT
+    * round, each round's frame run through an eager `localCheckpoint`
+    * so the logical plan stays ONE round deep (the round function
+    * references its predecessor twice — nbrMin and the join back — so
+    * a cache-only loop doubles the plan per round and a long
+    * non-convergent run OOMs the DRIVER in analysis before the
+    * convergence guard can fire; checkpointing truncates that, see
+    * [[duplicateClustersAltStar]]'s lineage note and the 64-node-path
+    * DedupSpec case). Converges in O(component diameter) rounds, NOT
     * corpus size: near-dup chains are short (a 100 TB corpus has
     * billions of SMALL clusters, not one long path), so 3–5 rounds is
     * typical; `maxIter` bounds the pathological path-graph. (At extreme
@@ -194,10 +200,10 @@ object Dedup {
                         failOnNonConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -214,15 +220,11 @@ object Dedup {
             coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("_nbr_min"), col("cluster_id"))
             < col("cluster_id")).as("_changed"))
-        .persist()
-      // full count (not isEmpty) so the WHOLE next frame materializes in
-      // cache before the previous labels frame is released
+        .localCheckpoint()
       converged = next.filter(col("_changed")).count() == 0L
-      labels.unpersist()
       labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
-    edges.unpersist()
     if (!converged) {
       val msg = s"duplicateClusters did not converge in $maxIter rounds: " +
         "a component's diameter exceeds maxIter and cluster_id is NOT the " +
@@ -232,6 +234,91 @@ object Dedup {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels
+  }
+
+  /** Connected components via the ALTERNATING large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log d) twin of [[duplicateClusters]]'s
+    * O(diameter) min-label propagation, for the pathological corpus
+    * whose near-dup chains are LONG (crawl rings, template drift):
+    * path lengths halve per round instead of shrinking by one.
+    *
+    * Edges are kept canonical (hi > lo). Per round:
+    *   - large-star: every neighbor v > u re-points to
+    *     m(u) = min(Γ(u) ∪ {u}) — hubs collapse toward their minimum;
+    *   - small-star: every neighbor v ≤ u (and u itself) re-points to
+    *     the minimum of that set — local stars flatten.
+    * Both are one groupBy(min) + one equi-join on the node id, the
+    * same shuffle class as a propagation round.
+    *
+    * Lineage: unlike the propagation loop (whose round function
+    * references its predecessor ONCE — linear plan growth, caching
+    * suffices), each star round references the previous edge set ~12
+    * times (two union branches × the min-join × both star phases), so
+    * a cached-only loop builds an EXPONENTIALLY growing logical plan —
+    * measured 36k parquet-scan nodes by round 2, with driver-side
+    * analysis dwarfing execution. Every round therefore runs through
+    * `localCheckpoint` (eager): the frame materializes and its plan is
+    * TRUNCATED to the stored blocks, keeping each round's plan one
+    * round deep. The trade (documented Spark semantics): local
+    * checkpoints are not fault-tolerant — on a cluster that must
+    * survive executor loss, set a checkpoint dir and swap in reliable
+    * `checkpoint()`; the algorithm is unchanged.
+    *
+    * Same input/output contract as [[duplicateClusters]]: (id,
+    * cluster_id = component min) for every id appearing in a pair.
+    */
+  def duplicateClustersAltStar(pairs: DataFrame, maxIter: Int = 12,
+                               failOnNonConvergence: Boolean = true)
+  : DataFrame = {
+    val init = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    val nodes = init.select(col("hi").as("id"))
+      .union(init.select(col("lo").as("id"))).distinct()
+      .localCheckpoint()
+    var edges = init
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor v > u re-points to min(Γ(u) ∪ {u})
+      val nb = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mL = nb.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("_m"))
+      val ls = nb.join(mL, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("_m").as("lo"))
+        .distinct().localCheckpoint()
+      // small-star over the canonical (hi > lo) edges: every lo-side
+      // neighbor (and hi itself) re-points to the neighborhood minimum
+      val mS = ls.groupBy(col("hi")).agg(min(col("lo")).as("_m"))
+      val withM = ls.join(mS, Seq("hi"))
+      val next = withM.filter(col("lo") =!= col("_m"))
+        .select(col("lo").as("hi"), col("_m").as("lo"))
+        .union(withM.select(col("hi"), col("_m").as("lo")))
+        .distinct().localCheckpoint()
+      // fixpoint test: set equality via count + one-sided except (both
+      // sides are checkpointed, so the except plan is two block scans)
+      converged = next.count() == edges.count() &&
+        next.except(edges).count() == 0L
+      edges = next
+      iter += 1
+    }
+    val out = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("_cl")),
+        Seq("id"), "left")
+      .groupBy(col("id")).agg(min(col("_cl")).as("_cl"))
+      .select(col("id"), coalesce(col("_cl"), col("id")).as("cluster_id"))
+    if (!converged) {
+      val msg = s"duplicateClustersAltStar did not converge in $maxIter " +
+        "rounds (log-diameter bound exceeded — astronomically unlikely " +
+        "on real graphs). Raise maxIter."
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    out
   }
 
   /** Exact pairwise shingle-Jaccard via an inverted index: explode each

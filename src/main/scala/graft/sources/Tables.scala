@@ -53,6 +53,12 @@ object Tables {
     * microsecond TimestampType (`ts div 1000` — integer division, exact;
     * a double division would lose precision above 2^53). DuckDB's
     * CAST(ts AS TIMESTAMP) truncates identically.
+    *
+    * A `ts` arriving as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false —
+    * what DuckDB and many writers emit) is cast to TimestampType too:
+    * the session is pinned to UTC, so the cast relabels the same
+    * micros value and every downstream `unix_micros`/`window` call
+    * sees one type regardless of which engine wrote the file.
     */
   def normalizeNanoTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
@@ -60,6 +66,9 @@ object Tables {
         acc.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (acc, StructField("ts",
+          org.apache.spark.sql.types.TimestampNTZType, _, _)) =>
+        acc.withColumn("ts", df.col("ts").cast("timestamp"))
       case (acc, _) => acc
     }
 

@@ -282,4 +282,34 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
   }
+
+  test("altStar equals min-label propagation on mixed components") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),         // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),   // triangle
+      (20L, 21L),                           // pair
+      (31L, 30L), (30L, 32L))               // star, reversed orientation
+      .toDF("id_a", "id_b")
+    val prop = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.duplicateClustersAltStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star(4L) === 1L && star(12L) === 10L && star(32L) === 30L)
+  }
+
+  test("altStar converges in O(log d) where propagation's O(d) budget " +
+    "throws: a 64-node path") {
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // min-label propagation moves the label one hop per round: a
+    // 63-hop path cannot finish in 20 rounds and must fail loudly
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(path, maxIter = 20).count()
+    }
+    // alternating star halves path lengths per round
+    val got = Dedup.duplicateClustersAltStar(path, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length === 64)
+    assert(got.forall(_._2 == 1L))
+  }
 }
