@@ -1156,6 +1156,48 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // mergeable count-min sketch, q93's pattern for frequencies: per-
+    // type CMS of the user stream (kilobytes per partial buffer under
+    // any partitioning), candidates from the k-bounded exact top-3,
+    // then the sketch SCORES each candidate — emit the exact count
+    // only when the estimate respects the CMS contract (est ≥ exact,
+    // est ≤ exact + 2·eps·N), so the oracle certifies sketch accuracy
+    // without engine-identical sketch internals
+    "q113_cms_heavy_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val eps = 0.001
+      val sk = ev.groupBy(col("event_type"))
+        .agg(functions.CountMinAggregator.cms(eps, 0.99, 42)(
+          col("user_id")).as("_sk"),
+          count(lit(1)).as("_n"))
+      val exact = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("_exact"))
+      val cand = operators.Relational.topKPerGroupAgg(exact, 3,
+        Seq("event_type"), col("_exact").cast("double"), col("user_id"),
+        "_score", "user")
+      val est = udf((b: Array[Byte], k: Long) =>
+        functions.CountMinAggregator.estimate(b, k))
+      cand.join(broadcast(sk), Seq("event_type"))
+        .join(exact.withColumnRenamed("user_id", "user"),
+          Seq("event_type", "user"))
+        .withColumn("_est", est(col("_sk"), col("user")))
+        .select(col("event_type"), col("rank"), col("user"),
+          when(col("_est") >= col("_exact") &&
+            col("_est") <= col("_exact") + lit(2 * eps) * col("_n"),
+            col("_exact")).otherwise(lit(-1L)).as("n_events"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // recency-weighted per-user EWMA over the trailing 16 events:
+    // decay 0.5 makes every weight a power of two, so the fixed-order
+    // HOF fold is bit-identical across engines and a 16-term float
+    // recurrence can be hash-checked
+    "q114_ewma" -> ((s, dir) =>
+      ext.EventOps.ewma(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "value", frameRows = 16, decay = 0.5)
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // video-style frame sampling, decode AFTER sample: treat each
     // document's bytes as a frame stream (16-byte frames, stride 2 —
     // every second frame), slice the sampled windows out of the binary
@@ -2713,6 +2755,37 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the gate emits the exact per-user counts (or -1 on a sketch
+    // contract violation), so the oracle is the exact top-3
+    "q113_cms_heavy_users" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rank,
+        |  user_id AS user, CAST(n AS BIGINT) AS n_events
+        |FROM r WHERE rn <= 3
+        |ORDER BY event_type, rank""".stripMargin,
+
+    // same frame list and the same fixed-order weighted fold; decay
+    // 0.5 keeps every product an exact IEEE scaling in both engines
+    "q114_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(vals)),
+        |      i -> vals[i] * pow(0.5, len(vals) - i)))
+        |    / list_sum(list_transform(generate_series(1, len(vals)),
+        |      i -> pow(0.5, len(vals) - i))) + 1e-9, 4) AS ewma
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     // same stride-2 16-byte windows recomputed arithmetically; empty
     // frames sum to 0 (Spark's descending sequence(1,0) folds ascii('')

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch event-stream analytics (the streaming variants live in
@@ -250,6 +250,45 @@ object EventOps {
         coalesce(lead(col("valid_from_us"), 1).over(w2), lit(-1L)))
       .select(col(userCol), col("run_seq"), col("status"),
         col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
+  /** Exponentially-weighted moving average per user over the trailing
+    * `frameRows` events — recency-weighted features where the flat
+    * rolling mean ([[rollingUserAvg]]) over-weights stale activity.
+    * EWMA_t = Σ vᵢ·decay^(age_i) / Σ decay^(age_i) over the frame
+    * (age 0 = current row), normalized so partial frames at a user's
+    * start are unbiased.
+    *
+    * Shape: one user-keyed window collects the bounded frame
+    * (`collect_list` over a rows frame preserves frame order; ≤
+    * `frameRows` doubles per row), and the weighted fold runs as
+    * `aggregate`/`transform` HOFs inside codegen — no second window,
+    * no self-join. With the default decay 0.5 every weight is a power
+    * of two, so products are exact IEEE scalings and the fixed-order
+    * fold is bit-identical across engines — the reason the oracle can
+    * hash-match a 16-term float recurrence.
+    */
+  def ewma(events: DataFrame, userCol: String, tsCol: String,
+           idCol: String, valueCol: String, frameRows: Int = 16,
+           decay: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frameRows >= 1, "frameRows must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us"), col(idCol))
+      .rowsBetween(-(frameRows - 1), 0)
+    val vals = col("_vals")
+    val n = size(vals)
+    def fold(term: Column => Column): Column =
+      aggregate(sequence(lit(0), n - 1), lit(0.0),
+        (acc, i) => acc + term(i))
+    val num = fold(i => element_at(vals, i + 1) *
+      pow(lit(decay), (n - 1 - i).cast("double")))
+    val den = fold(i => pow(lit(decay), (n - 1 - i).cast("double")))
+    events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_vals", collect_list(col(valueCol)).over(w))
+      .withColumn("ewma", round(num / den + lit(1e-9), 4))
+      .drop("_us", "_vals")
   }
 
   /** Weekly cohort retention: bucket each user by their FIRST active

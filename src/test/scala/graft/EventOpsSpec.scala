@@ -153,6 +153,21 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.size === 3)
   }
 
+  test("ewma: recency weighting, partial-frame normalization, frame " +
+    "bound") {
+    val events = Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 2.0), (1L, 3L, ts(20), 4.0),
+      (2L, 4L, ts(0), 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventOps.ewma(events, "user_id", "ts", "event_id",
+        "value", frameRows = 2, decay = 0.5)
+      .select($"event_id", $"ewma").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)               // frame [1]
+    assert(got(2L) === 1.6667)            // (0.5·1 + 2) / 1.5
+    assert(got(3L) === 3.3333)            // frame bound: (0.5·2 + 4) / 1.5
+    assert(got(4L) === 9.0)               // other user untouched
+  }
+
   test("collapseRuns: consecutive same-type runs, SCD-2 validity ranges") {
     val events = Seq(
       (1L, 1L, ts(0), "A"), (1L, 2L, ts(1), "A"),
