@@ -224,4 +224,64 @@ class PlanSpec extends SparkTestBase {
     // "*(1) Project" = the projection runs inside whole-stage codegen
     assert(p.contains("*(1) Project"), s"label CASE fell out of codegen:\n$p")
   }
+
+  test("q103/q104/q105 gaps-and-islands windows all partition on the " +
+    "high-card user id — never one global partition") {
+    Seq("q103_sessionize", "q104_merge_intervals", "q105_status_runs")
+      .foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, sf))
+        assert(p.contains("Window"), s"$q: no window node:\n$p")
+        assert(p.contains("hashpartitioning(user_id"),
+          s"$q: window not keyed on user:\n$p")
+        assert(!"windowspecdefinition\\((_us|start_us)".r
+            .findAllIn(p).hasNext,
+          s"$q: a window ordered over corpus columns with no user " +
+            s"partition:\n$p")
+      }
+  }
+
+  test("q106 skyline: full-size points flow only through the " +
+    "bucket-partitioned window (q69's hierarchical contract)") {
+    val p = plan(SparkEntry.queries("q106_skyline")(spark, sf))
+    assert(p.contains("windowspecdefinition(_bucket"),
+      s"within-bucket prefix max should partition by _bucket:\n$p")
+    // the unpartitioned prefix-max may only order over the bucket
+    // SUMMARY frame (_bucket rows), never raw point columns
+    assert(!"windowspecdefinition\\(_x".r.findAllIn(p).hasNext,
+      s"a window ordered over raw points without bucket partition:\n$p")
+  }
+
+  test("q109 gram matrix is ONE aggregator pass — no explode below " +
+    "the aggregate, partial buffers map-side") {
+    val p = plan(SparkEntry.queries("q109_gram_matrix")(spark, sf))
+    assert(p.contains("partial_gramaggregator"),
+      s"no map-side partial gram buffer:\n$p")
+    // the only Generate is the d^2 unpack ABOVE the aggregate; the
+    // n*d^2 explode-below-aggregate formulation must never come back
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("partial_gramaggregator")
+    assert(gen >= 0 && gen < agg,
+      s"expected the unpack Generate above the aggregate:\n$p")
+  }
+
+  test("q113 CMS candidates rank via the k-bounded aggregate, and the " +
+    "sketch is a partial-buffered aggregate too") {
+    val p = plan(SparkEntry.queries("q113_cms_heavy_users")(spark, sf))
+    assert(!p.contains("Window"), s"candidate ranking regressed to a " +
+      s"window funnel:\n$p")
+    assert(p.contains("partial_topkscoredaggregator"),
+      s"no k-bounded candidate buffer:\n$p")
+    assert(p.contains("partial_countminaggregator"),
+      s"no map-side partial CMS buffer:\n$p")
+  }
+
+  test("q114 EWMA is one user-keyed window + in-codegen HOF fold — no " +
+    "self-join, no second window") {
+    val p = plan(SparkEntry.queries("q114_ewma")(spark, sf))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"frame window not keyed on user:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected exactly one window:\n$p")
+    assert(!p.contains("Join"), s"EWMA joined:\n$p")
+  }
 }
