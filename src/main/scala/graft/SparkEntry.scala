@@ -1156,6 +1156,26 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // point-in-time feature lookup — the feature-store correctness
+    // pattern: each purchase joins the SCD-2 status run (q105's
+    // operator) valid AT ITS OWN event time, never a later one (no
+    // feature leakage). Composition of collapseRuns + the as-of join;
+    // one user-keyed shuffle each, no range-candidate explosion
+    "q115_pit_status" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val runs = ext.EventOps.collapseRuns(ev, "user_id", "event_type",
+        "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("_pus"))
+      operators.Relational.asofJoin(purchases, runs, Seq("user_id"),
+          "_pus", "valid_from_us",
+          Seq(("run_seq", "run_seq"), ("status", "status_at")))
+        .select(col("user_id"), col("event_id"), col("run_seq"),
+          col("status_at"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // mergeable count-min sketch, q93's pattern for frequencies: per-
     // type CMS of the user stream (kilobytes per partial buffer under
     // any partitioning), candidates from the k-bounded exact top-3,
@@ -2755,6 +2775,30 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB's native ASOF JOIN against the same run table (q105's
+    // CTE chain); both sides inclusive at equal timestamps
+    "q115_pit_status" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS us FROM events),
+        |c AS (SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |      END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+        |  FROM c),
+        |g AS (SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+        |    min(event_type) AS status, min(us) AS vf
+        |  FROM r GROUP BY user_id, run_seq),
+        |p AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, g.run_seq, g.status AS status_at
+        |FROM p ASOF JOIN g
+        |  ON p.user_id = g.user_id AND p.us >= g.vf
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     // the gate emits the exact per-user counts (or -1 on a sketch
     // contract violation), so the oracle is the exact top-3

@@ -84,4 +84,69 @@ class PropertySpec extends SparkTestBase {
       assert(n === expected)
     }
   }
+
+  private val intervalsGen: Gen[List[(Int, Long, Long)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0, 2)
+      s <- Gen.choose(0L, 60L)
+      len <- Gen.choose(1L, 15L)
+    } yield (k, s, s + len))
+
+  test("mergeIntervals: islands are disjoint with gaps, cover the " +
+    "input union exactly, and merge counts add up") {
+    for (iv <- samples(intervalsGen, 5)) {
+      val got = graft.ext.EventOps.mergeIntervals(
+          iv.toDF("k", "s", "e"), "k", "s", "e")
+        .as[(Int, Long, Long, Long, Long)].collect()
+      iv.groupBy(_._1).foreach { case (k, grp) =>
+        val islands = got.filter(_._1 == k).sortBy(_._2)
+        // counts partition the inputs
+        assert(islands.map(_._5).sum === grp.size)
+        // strictly separated: next start > previous end (touch merges)
+        islands.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 > a._4)
+          case _ =>
+        }
+        // exact coverage: every covered point is in an island and
+        // island bounds are realized by inputs
+        val covered = grp.flatMap(t => t._2 until t._3).toSet
+        val islandPoints = islands.flatMap(i => i._3 until i._4).toSet
+        assert(covered === islandPoints)
+      }
+    }
+  }
+
+  private val eventsGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(40, for {
+      u <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 500L)
+    } yield (u, t))
+
+  test("sessionize matches a sequential reference model: session " +
+    "count, sizes, and durations per user") {
+    for (ev0 <- samples(eventsGen, 5)) {
+      val ev = ev0.zipWithIndex.map { case ((u, t), i) =>
+        (u.toLong, (i + 1).toLong, new java.sql.Timestamp(t * 1000L))
+      }
+      val got = graft.ext.EventOps.sessionize(
+          ev.toDF("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", gapMinutes = 1)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(s => (s._3, s._4)))
+      // sequential reference: split each user's sorted seconds at >60s
+      ev.groupBy(_._1).foreach { case (u, grp) =>
+        val times = grp.map(_._3.getTime / 1000L).sorted
+        val sessions = times.tail.foldLeft(List(List(times.head))) {
+          case (cur :: done, t) =>
+            if (t - cur.head > 60L) List(t) :: cur :: done
+            else (t :: cur) :: done
+          case (Nil, _) => Nil
+        }.reverse.map(_.reverse)
+        val expect = sessions.map(s =>
+          (s.size.toLong, (s.last - s.head) * 1000000L))
+        assert(got(u).toSeq === expect,
+          s"user $u: got ${got(u).toSeq}, expect $expect")
+      }
+    }
+  }
 }
