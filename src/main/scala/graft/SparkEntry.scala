@@ -1156,6 +1156,33 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // chi-square independence audit between event type and hour of
+    // day — the drift/association test a feature pipeline runs before
+    // trusting a categorical split. One contingency aggregate
+    // (|types|×24 cells), margins via windows over THAT tiny frame,
+    // closed-form statistic; counts are exact integers so the 2-dp
+    // rounded statistic is engine-stable (q05's float-sum precedent)
+    "q116_chi_square" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("_o"))
+      val rowT = Window.partitionBy(col("event_type"))
+      val colT = Window.partitionBy(col("hr"))
+      val withE = cells
+        .withColumn("_rt", sum(col("_o")).over(rowT))
+        .withColumn("_ct", sum(col("_o")).over(colT))
+        .withColumn("_n", sum(col("_o")).over(
+          Window.partitionBy()))
+        .withColumn("_e",
+          col("_rt") * col("_ct") / col("_n").cast("double"))
+      val dev = col("_o") - col("_e")
+      withE.agg(
+          count(lit(1)).as("n_cells"),
+          round(sum(dev * dev / col("_e")), 2).as("chi2"))
+        .select(col("n_cells"), col("chi2"))
+    }),
+
     // point-in-time feature lookup — the feature-store correctness
     // pattern: each purchase joins the SCD-2 status run (q105's
     // operator) valid AT ITS OWN event time, never a later one (no
@@ -2775,6 +2802,24 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // same contingency cells and closed form; squared deviations as
+    // explicit products (pow can differ by an ulp across engines),
+    // counts exact integers, statistic rounded 2 dp
+    "q116_chi_square" ->
+      """WITH c AS (SELECT event_type, extract(hour FROM ts) AS hr,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY hr) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(sum((o - rt * ct / CAST(n AS DOUBLE))
+        |    * (o - rt * ct / CAST(n AS DOUBLE))
+        |    / (rt * ct / CAST(n AS DOUBLE))), 2) AS chi2
+        |FROM m""".stripMargin,
 
     // DuckDB's native ASOF JOIN against the same run table (q105's
     // CTE chain); both sides inclusive at equal timestamps
