@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench/verify sandbox has 128 GiB, and an 8g heap's
+  // ~2.4 GB storage pool cannot hold a 116-query session's memoized result
+  // frames — LRU evicts them mid-run and every multi-reference plan
+  // recomputes per reference, inflating reported times 2-6x (round-6
+  // finding: BENCH_r06 131.9s vs 68.8s of real work). -Xmx reserves
+  // virtual address space only, so the larger cap costs nothing when the
+  // working set is small.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

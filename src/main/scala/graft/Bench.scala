@@ -37,6 +37,17 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val first = pass()
+    // Sweep ALL cached frames between passes: pass 2 then re-pays each
+    // query's real compute on a warm JVM (JIT + codegen compiled, parquet
+    // footers in page cache) but a cold cache — the same steady-state a
+    // fresh-JVM isolation run measures, and the honest per-query number.
+    // Without the sweep, min-of-2 reports either a ~0s memo-read (cache
+    // fits) or, worse, a 2-6x inflated recompute when the storage pool
+    // overflows and LRU evicts frames that plans reference more than once
+    // (the round-6 8g-heap failure mode). Intra-pass memo hits (q78/q112
+    // shared pair list, profile summaries) are intentionally kept — both
+    // passes benefit equally, so the min stays comparable.
+    spark.catalog.clearCache()
     System.gc()
     val second = pass()
     val results = first.zip(second).map { case ((n, a), (_, b)) => n -> math.min(a, b) }

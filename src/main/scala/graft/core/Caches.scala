@@ -28,6 +28,22 @@ object Caches {
     p
   }
 
+  /** Materialize `out`, then release the helper frames its construction
+    * cached: helper blocks are only needed while `out`'s plan computes
+    * (they are referenced >1× inside it); once the result is persisted
+    * they are dead weight in the storage pool — in a 116-query session
+    * dozens of small leaked vocab/pair frames add up to real eviction
+    * pressure on the frames that memoization depends on. If `out` was
+    * already memoized (cache hit), the helpers were never populated this
+    * call and the unpersists are no-ops.
+    */
+  def materializedThenRelease(out: DataFrame, helpers: DataFrame*)
+  : DataFrame = {
+    val p = materialized(out)
+    helpers.foreach(_.unpersist(false))
+    p
+  }
+
   /** persist() unless an identical (canonicalized) plan is already in
     * the cache — in which case the existing entry serves this frame's
     * scans too and re-persisting would only log "Asked to cache already

@@ -195,15 +195,41 @@ object Dedup {
     * hold; that is a data-shape surprise worth failing loudly on, so
     * the exit path throws unless the caller opts into best-effort
     * labels with `failOnNonConvergence = false` (which logs instead).
+    *
+    * `checkpointDir`: when set, rounds truncate through FAULT-TOLERANT
+    * `checkpoint()` into that directory (the cluster choice — blocks
+    * survive executor loss); when None, eager `localCheckpoint()`
+    * (fast, executor-local — fine for local/driver-resilient runs).
+    * Either way each round's storage is RELEASED as soon as the next
+    * round has materialized, so a high-maxIter run holds one round of
+    * labels, not O(iterations) of them.
     */
+  /** Eager plan-truncating checkpoint for the component loops: reliable
+    * `checkpoint()` into `checkpointDir` when set (fault-tolerant — the
+    * multi-executor-cluster choice), eager `localCheckpoint()` otherwise
+    * (fast, executor-local). Both truncate the logical plan to the
+    * stored blocks, which is what the loops need; the context checkpoint
+    * dir is set once if unset (Spark qualifies and sub-dirs it, so a
+    * string compare against getCheckpointDir would never match).
+    */
+  private def truncated(df: DataFrame, checkpointDir: Option[String])
+  : DataFrame = checkpointDir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-                        failOnNonConvergence: Boolean = true): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+                        failOnNonConvergence: Boolean = true,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val edges = truncated(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      checkpointDir)
+    var labelsCkpt = truncated(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")), checkpointDir)
+    var labels = labelsCkpt
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -214,17 +240,24 @@ object Dedup {
         .join(labels.select(col("id").as("src"),
           col("cluster_id").as("_lbl")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("_lbl")).as("_nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = truncated(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"),
             coalesce(col("_nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("_nbr_min"), col("cluster_id"))
-            < col("cluster_id")).as("_changed"))
-        .localCheckpoint()
+            < col("cluster_id")).as("_changed")),
+        checkpointDir)
       converged = next.filter(col("_changed")).count() == 0L
+      // next is materialized (eager checkpoint) and the convergence test
+      // is done — the previous round's blocks are dead, release them
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
+    // the returned labels frame reads only the FINAL round's blocks —
+    // the edge list is loop-internal, release it
+    org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(edges)
     if (!converged) {
       val msg = s"duplicateClusters did not converge in $maxIter rounds: " +
         "a component's diameter exceeds maxIter and cluster_id is NOT the " +
@@ -262,23 +295,27 @@ object Dedup {
     * TRUNCATED to the stored blocks, keeping each round's plan one
     * round deep. The trade (documented Spark semantics): local
     * checkpoints are not fault-tolerant — on a cluster that must
-    * survive executor loss, set a checkpoint dir and swap in reliable
-    * `checkpoint()`; the algorithm is unchanged.
+    * survive executor loss, pass `checkpointDir` and every round runs
+    * through reliable `checkpoint()` instead; the algorithm is
+    * unchanged. Each round's storage (both star phases) is RELEASED
+    * once the next round has materialized — the loop holds one round
+    * of edges, not O(iterations) of them.
     *
     * Same input/output contract as [[duplicateClusters]]: (id,
     * cluster_id = component min) for every id appearing in a pair.
     */
   def duplicateClustersAltStar(pairs: DataFrame, maxIter: Int = 12,
-                               failOnNonConvergence: Boolean = true)
+                               failOnNonConvergence: Boolean = true,
+                               checkpointDir: Option[String] = None)
   : DataFrame = {
-    val init = pairs
+    val init = truncated(pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
-    val nodes = init.select(col("hi").as("id"))
-      .union(init.select(col("lo").as("id"))).distinct()
-      .localCheckpoint()
+      .filter(col("hi") =!= col("lo")).distinct(),
+      checkpointDir)
+    val nodes = truncated(init.select(col("hi").as("id"))
+      .union(init.select(col("lo").as("id"))).distinct(),
+      checkpointDir)
     var edges = init
     var iter = 0
     var converged = false
@@ -288,21 +325,27 @@ object Dedup {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mL = nb.groupBy(col("u")).agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("_m"))
-      val ls = nb.join(mL, Seq("u")).filter(col("v") > col("u"))
+      val ls = truncated(nb.join(mL, Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("_m").as("lo"))
-        .distinct().localCheckpoint()
+        .distinct(), checkpointDir)
       // small-star over the canonical (hi > lo) edges: every lo-side
       // neighbor (and hi itself) re-points to the neighborhood minimum
       val mS = ls.groupBy(col("hi")).agg(min(col("lo")).as("_m"))
       val withM = ls.join(mS, Seq("hi"))
-      val next = withM.filter(col("lo") =!= col("_m"))
+      val next = truncated(withM.filter(col("lo") =!= col("_m"))
         .select(col("lo").as("hi"), col("_m").as("lo"))
         .union(withM.select(col("hi"), col("_m").as("lo")))
-        .distinct().localCheckpoint()
+        .distinct(), checkpointDir)
       // fixpoint test: set equality via count + one-sided except (both
       // sides are checkpointed, so the except plan is two block scans)
       converged = next.count() == edges.count() &&
         next.except(edges).count() == 0L
+      // next is materialized and the fixpoint test has read the previous
+      // round — release the round's scratch (large-star intermediate)
+      // and the predecessor edge set (round 0's `init` has already
+      // seeded `nodes`, itself checkpointed, so it is safe to drop too)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(ls)
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(edges)
       edges = next
       iter += 1
     }
@@ -498,15 +541,18 @@ object Dedup {
           sequence(lit(0), length(col("_s"))),
           i => concat(col("_s").substr(lit(1), i),
             col("_s").substr(i + 2, length(col("_s"))))))).as("_k")))
-    keyed
-      .join(keyed.select(col("_k"), col("_s").as("name_b")),
-        Seq("_k"))
-      .filter(col("_s") < col("name_b"))
-      .select(col("_s").as("name_a"), col("name_b"))
-      .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+    // persist the (small) verified pair list, release the posting frame
+    graft.core.Caches.materializedThenRelease(
+      keyed
+        .join(keyed.select(col("_k"), col("_s").as("name_b")),
+          Seq("_k"))
+        .filter(col("_s") < col("name_b"))
+        .select(col("_s").as("name_a"), col("name_b"))
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist")),
+      keyed)
   }
 
   /** Line-level boilerplate removal (the C4-style cleanup): drop every

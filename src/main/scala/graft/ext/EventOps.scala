@@ -267,6 +267,12 @@ object EventOps {
     * of two, so products are exact IEEE scalings and the fixed-order
     * fold is bit-identical across engines — the reason the oracle can
     * hash-match a 16-term float recurrence.
+    *
+    * NULL semantics: rows with a NULL `valueCol` are dropped up front
+    * (no output row, no weight position). This is enforced, not
+    * assumed: Spark's `collect_list` skips NULLs while e.g. DuckDB's
+    * `list()` keeps them as weight positions — filtering first pins ONE
+    * semantic that any oracle can reproduce with the same WHERE clause.
     */
   def ewma(events: DataFrame, userCol: String, tsCol: String,
            idCol: String, valueCol: String, frameRows: Int = 16,
@@ -285,6 +291,7 @@ object EventOps {
       pow(lit(decay), (n - 1 - i).cast("double")))
     val den = fold(i => pow(lit(decay), (n - 1 - i).cast("double")))
     events
+      .filter(col(valueCol).isNotNull)
       .withColumn("_us", unix_micros(col(tsCol)))
       .withColumn("_vals", collect_list(col(valueCol)).over(w))
       .withColumn("ewma", round(num / den + lit(1e-9), 4))

@@ -349,12 +349,17 @@ object TextOps {
         broadcast(counts.orderBy(col("_c").desc, col("_tok"))
           .limit(vocabSize))
       else counts
-    toks.join(vocab, Seq("_tok"), "left")
-      .join(broadcast(totals))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        r4(avg(log((coalesce(col("_c"), lit(0L)) + lit(1.0)) /
-          (col("_n") + col("_v"))))).as("avg_logprob"))
+    // materialize the per-doc scores while the vocab counts are live,
+    // then RELEASE the counts (they are plan-internal); the persisted
+    // result is the memo a re-declaration hits
+    graft.core.Caches.materializedThenRelease(
+      toks.join(vocab, Seq("_tok"), "left")
+        .join(broadcast(totals))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          r4(avg(log((coalesce(col("_c"), lit(0L)) + lit(1.0)) /
+            (col("_n") + col("_v"))))).as("avg_logprob")),
+      counts)
   }
 
   /** Per-document characteristic terms: top-k distinct tokens by
@@ -421,12 +426,16 @@ object TextOps {
       staged.select(explode(col("_t")).as("_w1"))
         .groupBy(col("_w1")).agg(count(lit(1)).as("_cu")))
     val v = ctxCnt.agg(count(lit(1)).as("_v"))
-    pairs.join(bigCnt, Seq("_w1", "_w2")).join(ctxCnt, Seq("_w1"))
-      .join(broadcast(v))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        r4(avg(log((col("_cb") + lit(1.0)) / (col("_cu") + col("_v")))))
-          .as("avg_logprob"))
+    // same lifecycle as unigramLogProb: persist the result, release the
+    // plan-internal context counts
+    graft.core.Caches.materializedThenRelease(
+      pairs.join(bigCnt, Seq("_w1", "_w2")).join(ctxCnt, Seq("_w1"))
+        .join(broadcast(v))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          r4(avg(log((col("_cb") + lit(1.0)) / (col("_cu") + col("_v")))))
+            .as("avg_logprob")),
+      ctxCnt)
   }
 
   /** Jensen-Shannon divergence between the token distributions of two

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   */
 class AlsPinnedSpec extends SparkTestBase {
 
+  private def md5(rows: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
   test("q35 recommendations on sf0.001 hash to the pinned fixture") {
     val rows = SparkEntry.queries("q35_als_recommend")(spark, sf)
       .select(col("user_id").cast("long"), col("item_id").cast("long"),
@@ -23,12 +28,33 @@ class AlsPinnedSpec extends SparkTestBase {
       .collect()
       .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getDouble(2)}")
       .mkString("\n")
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(rows.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
+    val hash = md5(rows)
     assert(hash === PINNED, s"q35 output drifted: hash=$hash\n$rows")
   }
 
   // captured from two independent JVM runs on 2026-08-12; both agreed
   private val PINNED = "f6599a3d3b309040373a3b3faf5f9ba6"
+
+  test("q117 implicit-ALS similar items on sf0.001 hash to the pinned " +
+    "fixture") {
+    // q117's regression gate (same rationale as q35: implicit ALS item
+    // factors have no DuckDB-expressible oracle; a seeded model on fixed
+    // data with fixed blocks is deterministic). Cosines are re-rounded
+    // to 3 dp before hashing — factor floats carry more run-to-run ulp
+    // noise than prediction scores; rank (exact-compare ordering) plus
+    // 3-dp cosine still cannot hide a real model or ranking change.
+    val rows = SparkEntry.queries("q117_similar_items_implicit")(spark, sf)
+      .select(col("item_id").cast("long"),
+        col("similar_item_id").cast("long"),
+        col("rank").cast("long"), round(col("cos"), 3).as("cos"))
+      .orderBy(col("item_id"), col("rank"))
+      .collect()
+      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getDouble(3)}")
+      .mkString("\n")
+    val hash = md5(rows)
+    assert(hash === PINNED_Q117, s"q117 output drifted: hash=$hash\n$rows")
+  }
+
+  // captured from two independent JVM runs on 2026-08-13; both agreed
+  private val PINNED_Q117 = "970d648a03f1af0fdd7c60f2a9f52521"
 }

@@ -312,4 +312,26 @@ class DedupSpec extends SparkTestBase {
     assert(got.length === 64)
     assert(got.forall(_._2 == 1L))
   }
+
+  test("both component loops produce identical labels under reliable " +
+    "checkpointing (checkpointDir set)") {
+    // the fault-tolerant path a multi-executor cluster runs: every round
+    // truncates through checkpoint() into a real directory instead of
+    // executor-local blocks — same algorithm, same labels
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),       // chain
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L))                         // pair
+      .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val prop = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.duplicateClustersAltStar(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(prop === expected)
+    assert(star === expected)
+  }
 }
