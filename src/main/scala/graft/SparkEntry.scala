@@ -467,7 +467,12 @@ object SparkEntry {
       val cfg = ml.Als.Config(rank = 8, maxIter = 5, userCol = "user_id",
         itemCol = "item_id", seed = 42L, numBlocks = 4,
         implicitPrefs = true, alpha = 10.0)
+      // nonnegative implicit ALS can collapse an item's factor to the
+      // exact zero vector (regularization wins when the item's signal is
+      // weak) — cosine is undefined there (0-norm ⇒ ANSI divide-by-zero),
+      // and a zero factor has no similarity ranking to give: drop them
       val factors = ml.Als.estimator(cfg).fit(ratings).itemFactors
+        .filter(ext.Similarity.l2Norm(col("features")) > lit(0.0))
       ext.Similarity.bruteForceKnn(factors, factors.filter(col("id") < 3),
           k = 5, idCol = "id", vecCol = "features")
         .select(col("query_id").cast("long").as("item_id"),
@@ -955,6 +960,33 @@ object SparkEntry {
       ext.Dedup.duplicateClustersAltStar(chainPairList(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
+
+    // per-source one-vs-rest JS drift — the re-mixing report (q82 is
+    // the 2-slice case): one (source, token) shuffle, vocab-sized
+    // derivations, |sources|-bounded expansion. Every source scored in
+    // ONE plan, no per-source corpus passes
+    "q118_source_drift" -> ((s, dir) =>
+      ext.TextOps.sourceDrift(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
+    // the retention policy a production dedup actually ships: within
+    // each near-dup CLUSTER (q78's transitive closure over the chained
+    // corpus) keep the highest-QUALITY member (q27's scorer), not the
+    // min-id one — composition of clustering + scoring, argmax via ONE
+    // struct-max aggregate (quality desc, id asc tie-break encoded as
+    // max(struct(quality, -id)) — no window over the member stream)
+    "q119_dedup_keep_best" -> ((s, dir) => {
+      val members = ext.Dedup.duplicateClusters(chainPairList(s, dir))
+        .join(ext.TextOps.qualityScore(chainedCorpus(s, dir), "text")
+          .select(col("doc_id").as("id"), col("quality")), Seq("id"))
+      members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"), (-col("id")).as("_nid"))).as("_b"))
+        .select(col("cluster_id"),
+          (-col("_b._nid")).cast("long").as("kept_doc_id"),
+          col("_b.quality").as("quality"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
 
     // deterministic train/val/test split: hash-of-id cut against
     // cumulative fractions — map-side CASE, stable under repartitioning
@@ -1603,7 +1635,20 @@ object SparkEntry {
     * blocks. Cheap to hold: the thresholded pair list is O(duplicate
     * pairs), not corpus-sized.
     */
-  private[graft] def chainPairList(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chainPairList(s: SparkSession, dir: String): DataFrame =
+    core.Caches.cached(
+      ext.Dedup.ngramJaccardPairs(chainedCorpus(s, dir), "doc_id", "text",
+          shingleN = 3, partitionCols = Seq("lang", "source"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b")))
+
+  /** The chained corpus under [[chainPairList]] — documents plus the two
+    * prefix-copy generations (75% of 100%, 50% of 100%); q119 re-reads
+    * it to score cluster members, so it is factored out of the pair
+    * builder (both construct the IDENTICAL plan — no extra scan, and
+    * the oracle SQLs reproduce it with the same three CTEs).
+    */
+  private[graft] def chainedCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     def prefixCopy(offset: Int, num: Int, den: Int): DataFrame = {
@@ -1615,14 +1660,9 @@ object SparkEntry {
             greatest(floor(size(toks) * num / den), lit(1)).cast("int")))
             .as("text"))
     }
-    val corpus = docs
+    docs
       .unionByName(prefixCopy(100000, 3, 4))
       .unionByName(prefixCopy(200000, 1, 2))
-    core.Caches.cached(
-      ext.Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
-          shingleN = 3, partitionCols = Seq("lang", "source"))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("id_a"), col("id_b")))
   }
 
   private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -2616,6 +2656,111 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // one-vs-rest JS per source: same (group, token) counts, global
+    // vocab expanded against EVERY source (absent tokens contribute on
+    // the rest side), natural log, 4 dp with the +1e-9 nudge
+    "q118_source_drift" ->
+      """WITH st AS (SELECT source AS g,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |gt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS cg
+        |  FROM st GROUP BY 1, 2),
+        |gl AS (SELECT tok, CAST(sum(cg) AS BIGINT) AS ct
+        |  FROM gt GROUP BY 1),
+        |ngt AS (SELECT g, CAST(sum(cg) AS BIGINT) AS ng
+        |  FROM gt GROUP BY 1),
+        |ntt AS (SELECT CAST(sum(cg) AS BIGINT) AS nt FROM gt),
+        |ex AS (SELECT ngt.g, gl.tok, gl.ct, ngt.ng, ntt.nt,
+        |    COALESCE(gt.cg, 0) AS cg
+        |  FROM gl CROSS JOIN ngt CROSS JOIN ntt
+        |  LEFT JOIN gt ON gt.g = ngt.g AND gt.tok = gl.tok),
+        |terms AS (SELECT g, cg, ct,
+        |    cg / CAST(ng AS DOUBLE) AS p,
+        |    (ct - cg) / CAST(nt - ng AS DOUBLE) AS q
+        |  FROM ex)
+        |SELECT g AS source,
+        |  CAST(sum(cg) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_terms,
+        |  round(sum(
+        |    CASE WHEN cg > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+        |         ELSE 0 END +
+        |    CASE WHEN ct > cg THEN q * ln(q / ((p + q) / 2)) / 2
+        |         ELSE 0 END) + 1e-9, 4) AS js_div
+        |FROM terms GROUP BY g ORDER BY source""".stripMargin,
+
+    // q78's recursive-CTE closure + q27's quality battery over the SAME
+    // chained corpus; argmax via row_number (quality desc, id asc) —
+    // identical tie-break to the Spark side's max(struct(quality, -id))
+    "q119_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for')))
+        |      / greatest(len(toks), 1) + 1e-9, 4) AS stopword_ratio,
+        |    round(list_unique(toks) / greatest(len(toks), 1) + 1e-9, 4)
+        |      AS distinct_ratio,
+        |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |      / greatest(length(text), 1) + 1e-9, 4) AS punct_ratio
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM corpus)),
+        |qual AS (SELECT doc_id,
+        |    round(CASE WHEN n_tokens BETWEEN 5 AND 10000
+        |               THEN 0.4 ELSE 0.0 END
+        |      + 0.3 * distinct_ratio
+        |      + 0.2 * least(stopword_ratio * 2, 1.0)
+        |      + CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END
+        |      + 1e-9, 4) AS quality
+        |  FROM f),
+        |mem AS (SELECT cl.cluster_id, cl.id, qual.quality
+        |  FROM cl JOIN qual ON qual.doc_id = cl.id),
+        |sel AS (SELECT cluster_id, id, quality,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM mem)
+        |SELECT cluster_id, CAST(id AS BIGINT) AS kept_doc_id, quality,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM sel WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // same 52-bit md5 hash u and the same Efraimidis–Spirakis key
     // ln(u)/w; selection ordered by the exact key, display rounded;

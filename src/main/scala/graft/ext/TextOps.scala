@@ -480,6 +480,58 @@ object TextOps {
         r4(sum(contrib)).as("js_div"))
   }
 
+  /** Per-group one-vs-rest token-distribution drift: for every value of
+    * `groupCol`, the Jensen-Shannon divergence between that group's
+    * token distribution and the REST of the corpus — the per-source
+    * drift table behind re-mixing decisions
+    * ([[tokenDistributionDivergence]] is the two-slice special case;
+    * this produces the full one-vs-rest report in one plan instead of
+    * |groups| passes).
+    *
+    * Shape at 100 TB: ONE (group, token)-keyed corpus shuffle builds
+    * the conditional counts (map-side combined; output = Σ per-group
+    * vocab rows); the global per-token counts derive from THAT frame
+    * (vocab-sized aggregate — no second corpus scan), group totals are
+    * a |groups|-row broadcast. The one-vs-rest expansion is
+    * vocab × |groups| rows — tokens ABSENT from a group still
+    * contribute on the rest side (q = ct/(nt−ng) with p = 0), so the
+    * expansion joins the global vocab against every group rather than
+    * only observed (group, token) pairs; |groups| is small (sources,
+    * shards, snapshots), so the blowup is bounded and never touches
+    * corpus rows. Zero-count sides contribute 0 (lim p→0 of p·ln(p/m)).
+    *
+    * Output per group: (groupCol, n_tokens, vocab_terms, js_div) —
+    * natural log, 4 dp.
+    */
+  def sourceDrift(df: DataFrame, groupCol: String, textCol: String)
+  : DataFrame = {
+    // (group, token) conditional counts — the one corpus-sized shuffle;
+    // cached: the global vocab AND the group totals both derive from it
+    val gt = graft.core.Caches.cached(
+      df.select(col(groupCol).as("_g"),
+          explode(tokens(col(textCol))).as("_tok"))
+        .groupBy(col("_g"), col("_tok")).agg(count(lit(1)).as("_cg")))
+    val glob = gt.groupBy(col("_tok")).agg(sum(col("_cg")).as("_ct"))
+    val ng = gt.groupBy(col("_g")).agg(sum(col("_cg")).as("_ng"))
+    val nt = ng.agg(sum(col("_ng")).as("_nt"))
+    val p = col("_cg").cast("double") / col("_ng")
+    val q = (col("_ct") - col("_cg")).cast("double") / (col("_nt") - col("_ng"))
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      when(col("_cg") > 0L, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
+      when(col("_ct") > col("_cg"), q * log(q / m) / lit(2.0))
+        .otherwise(lit(0.0))
+    graft.core.Caches.materializedThenRelease(
+      glob.join(broadcast(ng)).join(broadcast(nt))
+        .join(gt, Seq("_g", "_tok"), "left")
+        .withColumn("_cg", coalesce(col("_cg"), lit(0L)))
+        .groupBy(col("_g").as(groupCol))
+        .agg(sum(col("_cg")).as("n_tokens"),
+          sum(when(col("_cg") > 0L, 1L).otherwise(0L)).as("vocab_terms"),
+          r4(sum(contrib)).as("js_div")),
+      gt)
+  }
+
   /** Concat-and-chunk sequence packing: assign every document its token
     * interval in the id-ordered concatenation of the corpus, and the
     * fixed-size chunk ids that interval lands in — the packing step of

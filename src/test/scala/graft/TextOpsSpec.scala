@@ -260,6 +260,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(d1._3 - math.log(2.0)) < 1e-4)
   }
 
+  test("sourceDrift: 0 when a group matches the rest, ln2 when disjoint, " +
+    "2-group case agrees with tokenDistributionDivergence") {
+    // three groups, a and b identical distributions, c disjoint: a-vs-rest
+    // still drifts (rest = b + c mixes in c's vocabulary), c-vs-rest = ln2
+    val df = Seq(
+      (1L, "a", "x y z"), (2L, "b", "x y z"), (3L, "c", "u v w"))
+      .toDF("doc_id", "src", "text")
+    val got = graft.ext.TextOps.sourceDrift(df, "src", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("c")._2 === 3L && got("c")._3 === 3L)
+    assert(math.abs(got("c")._4 - math.log(2.0)) < 1e-4) // disjoint rest
+    assert(got("a")._4 > 0.0 && got("a")._4 === got("b")._4) // symmetric mix
+    // 2-group corpus: one-vs-rest must equal the pairwise divergence
+    val two = Seq((1L, "a", "x x y"), (2L, "b", "u v w w"))
+      .toDF("doc_id", "src", "text")
+    val pair = graft.ext.TextOps.tokenDistributionDivergence(
+        two, "text", $"src" === "a")
+      .select($"js_div").as[Double].head()
+    val drift = graft.ext.TextOps.sourceDrift(two, "src", "text")
+      .filter($"src" === "a").select($"js_div").as[Double].head()
+    assert(drift === pair)
+  }
+
   test("tfidfTopTerms: smoothed idf, tf weighting, deterministic rank") {
     val df = Seq(
       (1L, "apple apple banana"),
