@@ -284,4 +284,30 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one window:\n$p")
     assert(!p.contains("Join"), s"EWMA joined:\n$p")
   }
+
+  test("q118 source drift: memoized result, broadcast expansion, no window") {
+    val p = plan(SparkEntry.queries("q118_source_drift")(spark, sf))
+    // the operator materializes its (tiny) result and the query reads the
+    // memo — the top of the plan must be a cache scan, not a recompute
+    assert(p.contains("InMemoryTableScan"),
+      s"drift result not served from the memo:\n$p")
+    assert(!p.contains("Window"), s"drift needs no window:\n$p")
+    // the group/total expansions ride broadcast cross joins (|sources|-
+    // and 1-row frames); the embedded cached-plan dump shows them — a
+    // shuffle-based expansion would print SortMergeJoin/ShuffledHashJoin
+    // around the vocab frame instead
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expansion not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab expansion fell back to a sort-merge join:\n$p")
+  }
+
+  test("q119 keep-best argmax is ONE struct-max aggregate — no window " +
+    "over cluster members") {
+    val p = plan(SparkEntry.queries("q119_dedup_keep_best")(spark, sf))
+    assert(!p.contains("Window"),
+      s"member argmax should be max(struct), not a window:\n$p")
+    assert(p.contains("max(_b") || p.contains("partial_max"),
+      s"no partial struct-max aggregate:\n$p")
+  }
 }
