@@ -961,6 +961,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // privacy-compliance audit: quasi-identifier group sizes — a group
+    // below k is a re-identification risk that must be suppressed or
+    // generalized before the table ships as training data. ONE
+    // map-side-combined aggregate on the QI tuple; the suppression
+    // anti-join would reuse this aggregate's exchange
+    "q120_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("at_risk", (col("group_size") < 5L).cast("long"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"))),
+
+    // verbatim shared-span pairs over the constructed near-dup corpus:
+    // content-defined md5 anchors make window selection alignment-
+    // invariant AND engine-exact (oracle-checked, unlike the xxhash64
+    // LSH family) — the exact-substring contamination signal that
+    // whole-doc Jaccard misses
+    "q121_shared_spans" -> ((s, dir) =>
+      ext.Dedup.sharedSpanPairs(withNearDups(s, dir), "doc_id", "text",
+          window = 32, minShared = 2L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -2656,6 +2680,41 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q120_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(*) < 5 AS BIGINT) AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // same corpus construction as the near-dup fixtures (docs ∪ last-
+    // token-dropped copies at +100000); per-position 32-char windows,
+    // kept iff md5 starts with '0' (the content-defined anchor), hot
+    // windows over df 1000 dropped on both sides
+    "q121_shared_spans" ->
+      """WITH m AS (SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_slice(regexp_split_to_array(text, '\s+'),
+        |      1, greatest(len(regexp_split_to_array(text, '\s+')) - 1, 1)),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id < 50),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM m),
+        |w AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, length(text) - 31),
+        |    i -> substring(text, CAST(i AS INT), 32))) AS win
+        |  FROM corpus WHERE length(text) >= 32),
+        |sel AS (SELECT DISTINCT doc_id, win FROM w
+        |  WHERE md5(win) LIKE '0%'),
+        |keep AS (SELECT win FROM sel GROUP BY win
+        |  HAVING count(*) <= 1000),
+        |p AS (SELECT s.doc_id, s.win FROM sel s JOIN keep USING (win))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p a JOIN p b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

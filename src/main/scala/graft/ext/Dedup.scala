@@ -435,6 +435,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Verbatim shared-SPAN detection: pairs of documents sharing at
+    * least `minShared` identical `window`-character substrings — the
+    * contamination/quotation/boilerplate signal whole-doc similarity
+    * misses: two long documents sharing ONE 300-char verbatim block
+    * have near-zero shingle Jaccard (q32's statistic) yet are exactly
+    * what an exact-substring dedup pass must catch. Char-level and
+    * tokenizer-free, so it also catches markup/code spans.
+    *
+    * Alignment: fixed-stride window sampling is offset-sensitive (a
+    * span shifted by 1 char samples disjoint windows on the two
+    * sides), so selection is CONTENT-DEFINED — every position's
+    * window is a candidate, and a window is kept iff its md5 starts
+    * with '0' (1/16 of positions, in expectation every ~16 chars of a
+    * shared span). Both documents then anchor the SAME windows inside
+    * any shared region regardless of offset — the winnowing/
+    * fingerprinting family (Schleimer et al., SIGMOD'03), with the
+    * deterministic-hash anchor making the result engine-exact (md5 is
+    * identical in Spark and any SQL oracle; a production run swaps a
+    * rolling polynomial hash for the per-position digest and hashes
+    * the posting key to 64-bit — same plan, cheaper per char, at the
+    * cost of oracle-exactness).
+    *
+    * Shape at 100 TB: the posting stream is |corpus chars|/16 rows;
+    * pair generation is the inverted-index join — Σ posting² with the
+    * same hot-window cap as [[ngramJaccardPairs]] (`maxPostingDf`
+    * bounds the boilerplate blowup; the cap rides the SAME exchange
+    * the pair join needs, via the window-over-repartition pattern).
+    * Docs shorter than `window` yield no postings (both engines'
+    * empty position range).
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b,
+    * n_shared ≥ `minShared` anchored windows in common.
+    */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 32, minShared: Long = 2L,
+                      maxPostingDf: Int = 1000): DataFrame = {
+    // stage text as an attribute before the HOF touches it (the
+    // lambda-capture trap: outer EXPRESSIONS re-evaluate per element)
+    val staged = df.select(col(idCol), col(textCol).as("_txt"))
+      .filter(length(col("_txt")) >= window)
+    val wins = staged
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(col("_txt")) - (window - 1)),
+        i => col("_txt").substr(i, lit(window)))).as("_win"))
+      .filter(md5(col("_win")).startsWith("0"))
+      .distinct()
+    val postings = {
+      import org.apache.spark.sql.expressions.Window
+      wins.repartition(col("_win"))
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_win")))
+        .filter(col("_df") <= maxPostingDf)
+        .drop("_df")
+    }
+    val a = postings.select(col("_win"), col(idCol).as("id_a"))
+    val b = postings.select(col("_win").as("_win_b"), col(idCol).as("id_b"))
+    a.join(b, col("_win") === col("_win_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Train/eval decontamination: for every corpus document, count the
     * distinct token n-gram shingles it shares with an evaluation set —
     * the benchmark-leakage audit every serious training pipeline runs

@@ -313,6 +313,28 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("sharedSpanPairs finds OFFSET-SHIFTED verbatim spans (the case " +
+    "fixed-stride sampling misses), not unrelated docs") {
+    // the shared block sits at different offsets in docs 1 and 2: a
+    // stride-aligned sampler would pick disjoint windows, the content-
+    // defined md5 anchor picks the same in-span windows on both sides
+    val span = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "left pad " + span),
+      (2L, "a much longer and different prefix before the block " + span),
+      (3L, (1 to 200).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), got.toSeq)
+    assert(got.head._3 >= 2L)
+  }
+
+  test("sharedSpanPairs: docs shorter than the window yield no postings") {
+    val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(docs, "doc_id", "text").count() === 0L)
+  }
+
   test("both component loops produce identical labels under reliable " +
     "checkpointing (checkpointDir set)") {
     // the fault-tolerant path a multi-executor cluster runs: every round
