@@ -985,6 +985,64 @@ object SparkEntry {
           window = 32, minShared = 2L)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // hybrid lexical+dense retrieval, reciprocal-rank fusion: BM25
+    // candidates + embedding-cosine candidates (query = doc 0's vector,
+    // excluded from its own dense list) fused on RANK only — each
+    // retriever ends in a k-bounded top-k, so fusion joins 2×50 rows,
+    // never the corpus (two corpus scans total, both map-side folds)
+    "q122_hybrid_rrf" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      ext.Retrieval.hybridRrf(t(s, dir, "documents"),
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0), qv,
+          "doc_id", "text", "vec_id", "embedding",
+          terms = Seq("spark", "vector", "customer", "merge"),
+          candidates = 50, k = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // DSIR importance weights: score every doc by how 'en'-like its
+    // hashed-bigram profile is — the distribution-matched pretraining
+    // selection signal; weights feed the A-ES weighted sampler (q99).
+    // Closed 256-bucket feature space → both LMs broadcast; the only
+    // corpus-sized shuffle is the (doc, bucket) count
+    "q123_importance_weights" -> ((s, dir) =>
+      ext.TextOps.importanceWeights(t(s, dir, "documents"), "doc_id",
+          "text", isTarget = col("lang") === "en", buckets = 256,
+          seed = 42L)
+        .orderBy(col("doc_id"))),
+
+    // MMR diversified top-5 from the 20 nearest neighbors of doc 0's
+    // vector: greedy λ·relevance − (1−λ)·max-redundancy selection —
+    // corpus-sized work is ONE k-bounded candidate cut; the greedy loop
+    // runs on candidates² driver-side doubles (parameter-bounded, the
+    // documented k×dim class)
+    "q124_mmr_diverse" -> ((s, dir) => {
+      val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      ext.Similarity.mmrSelect(
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0), qv,
+          lambdaRel = 0.7, candidates = 20, select = 5)
+        .select(col("rank"), col("vec_id"),
+          (round(col("mmr") + lit(1e-9), 4) + lit(0.0)).as("mmr"))
+        .orderBy(col("rank"))
+    }),
+
+    // cluster-balanced sampling: nearest-centroid cells (q38's argmax
+    // assignment) × per-cell deterministic hash quota (q67's k-bounded
+    // sampler) — the topic-balanced subset a curriculum/eval pipeline
+    // draws so no embedding cluster monopolizes the mix
+    "q125_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      ext.Sampling.groupSample(
+          ext.Similarity.ivfAssign(emb, centroids), k = 10,
+          Seq("centroid_id"), "vec_id", seed = 42L)
+        .orderBy(col("centroid_id"), col("rank"))
+    }),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -2715,6 +2773,144 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.win = b.win AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q77's BM25 CTEs cut to 50 with ranks, a dense cosine-vs-doc-0 list
+    // (q33's DOUBLE[] cast), full-outer fused on 1/(60+rank); 6 dp —
+    // adjacent deep ranks differ by ~8e-5, inside 4-dp aliasing
+    "q122_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len,
+        |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'customer')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf3
+        |  FROM d),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+        |  FROM m),
+        |sc AS (SELECT doc_id, round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1))
+        |      / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1))
+        |      / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1))
+        |      / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * (1.2 + 1))
+        |      / (tf3 + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+        |  + 1e-9, 4) AS score FROM m, s),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM (SELECT doc_id, score FROM sc
+        |        ORDER BY score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |den0 AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY cos DESC, e.vec_id LIMIT 50),
+        |den AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank FROM den0)
+        |SELECT doc_id, lex_rank, dense_rank, rrf FROM (
+        |  SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id, l.lex_rank,
+        |    de.dense_rank,
+        |    round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+        |        + COALESCE(1.0 / (60.0 + de.dense_rank), 0.0)
+        |        + 1e-9, 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN den de ON l.doc_id = de.doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // same md5-bucket currency as q67/q79 (first 13 hex digits as
+    // BIGINT), 256 hashed-bigram buckets, add-one smoothing over the
+    // bucket space, ln natural; sum order differs between engines →
+    // 4 dp + nudge; + 0.0 normalizes IEEE signed zero
+    "q123_importance_weights" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS tgt,
+        |    regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |    CAST(concat('0x', substr(md5(concat('42:', bg)), 1, 13))
+        |      AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, tgt, unnest(list_transform(
+        |      generate_series(1, len(t) - 1),
+        |      i -> concat(t[i], ' ', t[i + 1]))) AS bg
+        |    FROM d WHERE len(t) >= 2)),
+        |db AS (SELECT doc_id, tgt, b, CAST(count(*) AS DOUBLE) AS c
+        |  FROM f GROUP BY 1, 2, 3),
+        |dist AS (SELECT b, sum(CASE WHEN tgt THEN c ELSE 0.0 END) AS ct,
+        |    sum(c) AS cr FROM db GROUP BY b),
+        |tot AS (SELECT sum(CASE WHEN tgt THEN c ELSE 0.0 END) AS nt,
+        |    sum(c) AS nr FROM db)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |  round(sum(c * (ln((ct + 1.0) / (nt + 256.0))
+        |    - ln((cr + 1.0) / (nr + 256.0)))) + 1e-9, 4) + 0.0
+        |    AS log_weight
+        |FROM db JOIN dist USING (b) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // greedy MMR unrolled as 5 chained argmax CTEs (LIMIT 1 each, id
+    // tie-break); sims in DOUBLE[] precision (q33), penalty = max over
+    // the selected set; (1 - 0.7) spelled out so both engines derive
+    // the identical IEEE 0.30000000000000004
+    "q124_mmr_diverse" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |      AS simq
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY simq DESC, e.vec_id LIMIT 20),
+        |p1 AS (SELECT id, v, 0.7 * simq - (1 - 0.7) * 0.0 AS mmr
+        |  FROM cand ORDER BY mmr DESC, id LIMIT 1),
+        |s1 AS (SELECT id, v FROM p1),
+        |p2 AS (SELECT c.id, c.v, 0.7 * c.simq - (1 - 0.7) *
+        |    (SELECT max(list_cosine_similarity(c.v, p.v)) FROM s1 p) AS mmr
+        |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s1)
+        |  ORDER BY mmr DESC, c.id LIMIT 1),
+        |s2 AS (SELECT id, v FROM s1 UNION ALL SELECT id, v FROM p2),
+        |p3 AS (SELECT c.id, c.v, 0.7 * c.simq - (1 - 0.7) *
+        |    (SELECT max(list_cosine_similarity(c.v, p.v)) FROM s2 p) AS mmr
+        |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s2)
+        |  ORDER BY mmr DESC, c.id LIMIT 1),
+        |s3 AS (SELECT id, v FROM s2 UNION ALL SELECT id, v FROM p3),
+        |p4 AS (SELECT c.id, c.v, 0.7 * c.simq - (1 - 0.7) *
+        |    (SELECT max(list_cosine_similarity(c.v, p.v)) FROM s3 p) AS mmr
+        |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s3)
+        |  ORDER BY mmr DESC, c.id LIMIT 1),
+        |s4 AS (SELECT id, v FROM s3 UNION ALL SELECT id, v FROM p4),
+        |p5 AS (SELECT c.id, c.v, 0.7 * c.simq - (1 - 0.7) *
+        |    (SELECT max(list_cosine_similarity(c.v, p.v)) FROM s4 p) AS mmr
+        |  FROM cand c WHERE c.id NOT IN (SELECT id FROM s4)
+        |  ORDER BY mmr DESC, c.id LIMIT 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+        |  round(mmr + 1e-9, 4) + 0.0 AS mmr
+        |FROM (SELECT 1 AS rank, id, mmr FROM p1
+        |  UNION ALL SELECT 2, id, mmr FROM p2
+        |  UNION ALL SELECT 3, id, mmr FROM p3
+        |  UNION ALL SELECT 4, id, mmr FROM p4
+        |  UNION ALL SELECT 5, id, mmr FROM p5)
+        |ORDER BY rank""".stripMargin,
+
+    // q38's argmax assignment + q67's md5 hash-rank quota per cell
+    "q125_cluster_sample" ->
+      """WITH a AS (SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.vec_id AS centroid_id,
+        |      CAST(row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.embedding)
+        |          DESC, c.vec_id) AS BIGINT) AS rn
+        |    FROM embeddings e JOIN embeddings c ON c.vec_id < 8)
+        |  WHERE rn = 1)
+        |SELECT centroid_id, vec_id, rank FROM (
+        |  SELECT centroid_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY CAST(concat('0x', substr(
+        |          md5(concat('42:', CAST(vec_id AS VARCHAR))), 1, 13))
+        |        AS BIGINT), vec_id) AS BIGINT) AS rank
+        |  FROM a)
+        |WHERE rank <= 10 ORDER BY centroid_id, rank""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

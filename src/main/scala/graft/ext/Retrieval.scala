@@ -64,4 +64,62 @@ object Retrieval {
       .select(col(idCol), col("score"))
       .limit(k)
   }
+
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    * standard two-tower serving shape (Cormack/Clarke/Büttcher RRF,
+    * SIGIR'09): a BM25 candidate list and an embedding-cosine candidate
+    * list are each cut to `candidates` and fused by
+    *
+    *   rrf(d) = Σ_lists 1 / (c + rank_list(d))
+    *
+    * with a document absent from a list contributing 0. RRF needs only
+    * RANKS, never comparable scores, which is why it survives mixing
+    * retrievers with incommensurable scales.
+    *
+    * Shuffle shape at 100 TB: each retriever ends in a k-bounded top-k
+    * (BM25's TakeOrderedAndProject; the dense side's broadcast-query
+    * scan + the same top-k), so the fusion join touches 2×`candidates`
+    * rows, never the corpus — both rank windows and the full-outer
+    * fusion join run on candidate lists of literal, bounded size. The
+    * corpus is scanned exactly twice (once per retriever), each scan a
+    * map-side fold with no per-term or per-dim shuffle.
+    *
+    * `queryVec` must be a single-row frame `(q_vec array<float>)` —
+    * broadcast into the corpus scan. Returns top `k` of
+    * (idCol, lex_rank, dense_rank, rrf), rrf descending, id ascending;
+    * absent ranks are null.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryVec: DataFrame,
+                idCol: String, textCol: String, embIdCol: String,
+                vecCol: String, terms: Seq[String],
+                candidates: Int = 50, k: Int = 10, c: Int = 60)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank windows are unpartitioned BY CONSTRUCTION over ≤candidates
+    // rows (post-top-k) — bounded, not a corpus funnel
+    val lex = bm25(docs, idCol, textCol, terms, k = candidates)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol).as("_id"), col("lex_rank"))
+    val dense = emb
+      .select(col(embIdCol).as("_id"), col(vecCol).as("_v"))
+      .join(broadcast(queryVec))
+      .withColumn("cos", Similarity.cosine(col("_v"), col("q_vec")))
+      .orderBy(col("cos").desc, col("_id"))
+      .limit(candidates)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("_id"))).cast("long"))
+      .select(col("_id"), col("dense_rank"))
+    // 6 dp, not the module's 4: adjacent deep ranks differ by
+    // ~1/(c+k)² ≈ 8e-5, inside 4-dp aliasing
+    lex.join(dense, Seq("_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("dense_rank")), lit(0.0))
+        + lit(1e-9), 6))
+      .orderBy(col("rrf").desc, col("_id"))
+      .select(col("_id").as(idCol), col("lex_rank"), col("dense_rank"),
+        col("rrf"))
+      .limit(k)
+  }
 }

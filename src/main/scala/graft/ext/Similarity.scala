@@ -447,4 +447,71 @@ object Similarity {
         col("cos"), col("neighbor_id"), "cos", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) — greedy diversified top-`select` from the `candidates`
+    * nearest neighbors of a query:
+    *
+    *   next = argmax_d  λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)
+    *
+    * the retrieval-diversification step a RAG / training-data pipeline
+    * runs so a near-duplicate cluster cannot monopolize a context
+    * window or a sampled subset.
+    *
+    * Distribution contract: the corpus-sized work is the candidate cut
+    * — ONE broadcast-query scan ending in a k-bounded top-k (exactly
+    * [[bruteForceKnn]]'s shape, never a corpus² pair join). The greedy
+    * selection then runs on the driver over the candidates'
+    * `candidates²` pairwise cosines — bounded by LITERAL parameters
+    * (20² doubles here), independent of corpus size, the same
+    * documented k×dim-driver-read class as [[kmeans]]'s fixpoint. A
+    * distributed formulation would run `select` argmax jobs over ≤20
+    * rows — strictly more cluster round-trips for the same answer.
+    *
+    * Returns (rank, idCol, mmr) — selection order, raw (unrounded)
+    * mmr score at selection time; λ·sim(q,·) for the first pick.
+    */
+  def mmrSelect(corpus: DataFrame, queryVec: DataFrame, lambdaRel: Double,
+                candidates: Int, select: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val spark = corpus.sparkSession
+    val cand = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .join(broadcast(queryVec))
+      .withColumn("_simq", cosine(col("_v"), col("q_vec")))
+      .orderBy(col("_simq").desc, col("_id"))
+      .limit(candidates)
+      .select(col("_id"), col("_v"), col("_simq"))
+    val c = graft.core.Caches.cached(cand)
+    val simq = c.select(col("_id"), col("_simq")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = c.select(col("_id").as("_ia"), col("_v").as("_va"))
+    val b = c.select(col("_id").as("_ib"), col("_v").as("_vb"))
+    val pair = a.join(b, col("_ia") < col("_ib"))
+      .select(col("_ia"), col("_ib"), cosine(col("_va"), col("_vb")).as("_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    c.unpersist(false)
+    def sim(x: Long, y: Long): Double =
+      if (x < y) pair((x, y)) else pair((y, x))
+    // greedy: scala mirrors the oracle's IEEE op order exactly
+    // (λ·simq − (1−λ)·maxSim, both literal doubles)
+    val oneMinus = 1.0 - lambdaRel
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet(simq.keys.toSeq: _*)
+    for (step <- 1 to math.min(select, remaining.size)) {
+      val best = remaining.map { d =>
+        val penalty =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => sim(d, p._2)).max
+        (d, lambdaRel * simq(d) - oneMinus * penalty)
+      }.maxBy { case (d, s) => (s, -d) }
+      picked += ((step, best._1, best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", idCol, "mmr")
+      .select(col("rank").cast("long"), col(idCol), col("mmr"))
+  }
 }

@@ -579,4 +579,65 @@ object TextOps {
         floor((col("start_off") + greatest(col("n_tokens"), lit(1L)) - 1)
           / budget).cast("long").as("chunk_last"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-n-gram profile is,
+    *
+    *   log w(d) = Σ_b c_d(b) · (ln p̂_target(b) − ln p̂_raw(b))
+    *
+    * where b ranges over `buckets` hashed bigram features (feature =
+    * md5-hash of "w₁ w₂" mod buckets — the same cross-engine md5
+    * currency as [[Sampling.hashScore]]) and both distributions are
+    * add-one smoothed over the bucket space. Sampling raw docs with
+    * probability ∝ w(d) yields a target-distribution-matched subset —
+    * the pretraining-mix selection step this engine's sampling
+    * operators (weighted A-ES) then execute.
+    *
+    * Shape at 100 TB: the feature space is CLOSED (buckets is a
+    * literal, e.g. 256–64k) so both distributions reduce to one
+    * bucket-keyed aggregate of bounded output (map-side combined),
+    * broadcast back over the per-doc bucket counts; the only
+    * corpus-sized shuffle is the (doc, bucket)-keyed count — high
+    * cardinality, no skew by construction of the hash. Target
+    * membership is a Column predicate evaluated in the same scan, so
+    * target and raw counts come out of ONE pass.
+    *
+    * Output: (idCol, n_feats, log_weight 4 dp) for docs with ≥1 bigram.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 256,
+                        seed: Long = 42L): DataFrame = {
+    val staged = df.select(col(idCol), isTarget.as("_tgt"),
+        tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_tgt"), col("_t"), size(col("_t")).as("_n"))
+    val feats = staged.filter(col("_n") >= 2)
+      .select(col(idCol), col("_tgt"),
+        explode(transform(sequence(lit(1), col("_n") - 1),
+          i => pmod(Sampling.hashScore(
+            concat_ws(" ", element_at(col("_t"), i),
+              element_at(col("_t"), i + 1)), seed),
+            lit(buckets.toLong)))).as("_b"))
+    // one corpus pass → per-(doc, bucket) counts; the two global
+    // distributions derive from it (≤buckets rows each)
+    val docBucket = graft.core.Caches.cached(
+      feats.groupBy(col(idCol), col("_tgt"), col("_b"))
+        .agg(count(lit(1)).cast("double").as("_c")))
+    val dist = docBucket.groupBy(col("_b"))
+      .agg(sum(when(col("_tgt"), col("_c")).otherwise(0.0)).as("_ct"),
+        sum(col("_c")).as("_cr"))
+    val totals = docBucket.agg(
+      sum(when(col("_tgt"), col("_c")).otherwise(0.0)).as("_nt"),
+      sum(col("_c")).as("_nr"))
+    val b = lit(buckets.toDouble)
+    graft.core.Caches.materializedThenRelease(
+      docBucket.join(broadcast(dist), Seq("_b")).join(broadcast(totals))
+        .groupBy(col(idCol))
+        .agg(sum(col("_c")).cast("long").as("n_feats"),
+          (round(sum(col("_c") *
+            (log((col("_ct") + lit(1.0)) / (col("_nt") + b)) -
+             log((col("_cr") + lit(1.0)) / (col("_nr") + b))))
+            + lit(1e-9), 4) + lit(0.0)).as("log_weight")),
+      docBucket)
+  }
 }

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build the 10× scale-smoke dataset PLANS.md's growth tables use:
+  * replicate the sf0.1 fact tables 10× with offset PRIMARY keys into
+  * /tmp/sf1 (dims copied as-is, foreign keys untouched — the dims stay
+  * shared, per-entity streams get 10× deeper). documents/embeddings
+  * replicate as EXACT content copies under offset ids, which makes
+  * every doc/vector a member of a 10-way duplicate group — the
+  * worst-case dedup workload the near-dup family is smoked against.
+  *
+  * Usage: `runMain graft.tools.MakeTenX [srcDir] [destDir] [copies]`
+  * (defaults /root/testdata/sf0.1 → /tmp/sf1 × 10). Offsets are
+  * `i * 10^ceil(log10(max_key + 1))` — decimal-aligned so replica ids
+  * are recognizable and never collide.
+  */
+object MakeTenX {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dest = if (args.length > 1) args(1) else "/tmp/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-10x"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+    def save(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+
+    // dims: shared (copied so the dest dir is self-contained)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => save(load(t), t))
+
+    def decimalOffset(maxKey: Long): Long = {
+      var off = 1L
+      while (off <= maxKey) off *= 10
+      off
+    }
+    /** Replicate with `keys` offset per copy; all other columns
+      * verbatim. Returns the per-copy offset so FK-sharing tables can
+      * reuse it.
+      */
+    def replicate(t: String, keys: Seq[String],
+                  sharedOff: Option[Long] = None): Long = {
+      val df = load(t)
+      val off = sharedOff.getOrElse {
+        val maxKey = df.agg(
+          greatest(keys.map(k => max(col(k)).cast("long")): _*).as("m"))
+          .head().getLong(0)
+        decimalOffset(maxKey)
+      }
+      val out = (0 until copies).map { i =>
+        keys.foldLeft(df)((acc, k) =>
+          acc.withColumn(k, (col(k) + lit(i * off)).cast(df.schema(k).dataType)))
+      }.reduce(_ unionByName _)
+      save(out, t)
+      off
+    }
+    // lineitem reuses orders' offset so replica i's l_orderkey FK still
+    // lands on replica i's o_orderkey
+    val orderOff = replicate("orders", Seq("o_orderkey"))
+    replicate("lineitem", Seq("l_orderkey"), Some(orderOff))
+    replicate("events", Seq("event_id"))
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    println(s"[make10x] wrote $dest at ${copies}x of $src")
+    spark.stop()
+  }
+}

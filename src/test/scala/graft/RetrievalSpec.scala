@@ -54,4 +54,30 @@ class RetrievalSpec extends SparkTestBase {
       s"expected top-k fusion, no global sort:\n$plan")
     assert(!plan.contains("Window"), s"no window allowed in bm25:\n$plan")
   }
+
+  test("hybridRrf fuses ranks, handles single-list docs, breaks ties by id") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),     // cos 1.0 → dense rank 1
+      (2L, Array(0.9f, 0.1f)),     // cos ~0.994 → dense rank 3
+      (3L, Array(0.95f, 0.05f)),   // cos ~0.999 → dense rank 2
+      (4L, Array(0.5f, 0.5f)))     // cos ~0.707 → cut at candidates=3
+      .toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    // lex (terms=spark): 1 → rank 1, 4 → rank 2, 2 → rank 3; so doc 4
+    // is lex-only and doc 3 dense-only (null rank on the other side)
+    val got = Retrieval.hybridRrf(docs, emb, qv, "doc_id", "text",
+        "vec_id", "embedding", Seq("spark"), candidates = 3, k = 4)
+      .orderBy($"rrf".desc, $"doc_id")
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    def rrf(l: Option[Int], d: Option[Int]): Double =
+      math.round((l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        d.map(r => 1.0 / (60 + r)).getOrElse(0.0) + 1e-9) * 1e6) / 1e6
+    // doc3 (dense 2 only) and doc4 (lex 2 only) fuse to the IDENTICAL
+    // score — id ascending breaks the tie
+    assert(got.toSeq === Seq(
+      (1L, Some(1L), Some(1L), rrf(Some(1), Some(1))),
+      (2L, Some(3L), Some(3L), rrf(Some(3), Some(3))),
+      (3L, None, Some(2L), rrf(None, Some(2))),
+      (4L, Some(2L), None, rrf(Some(2), None))))
+  }
 }

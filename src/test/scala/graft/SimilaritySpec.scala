@@ -222,4 +222,29 @@ class SimilaritySpec extends SparkTestBase {
     info(f"IVF-PQ recall@10 vs IVF-exact at nprobe=3: $mean%.2f")
     assert(mean >= 0.5, f"IVF-PQ recall $mean%.2f below 0.5")
   }
+
+  test("mmrSelect penalizes redundancy: diverse pick beats exact duplicate") {
+    // a and b are IDENTICAL (cos(q,·)=0.9); c is equally relevant but
+    // diverse (cos(c,a)=0.81); d is irrelevant
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.4359f, 0.0f)),   // a
+      (2L, Array(0.9f, 0.4359f, 0.0f)),   // b = exact dup of a
+      (3L, Array(0.9f, 0.0f, 0.4359f)),   // c diverse, same relevance
+      (4L, Array(0.0f, 1.0f, 0.0f)))      // d irrelevant
+      .toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f))).toDF("q_vec")
+    val got = Similarity.mmrSelect(corpus, qv, lambdaRel = 0.7,
+        candidates = 4, select = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // pick 1: a (relevance tie a/b/c → smallest id); pick 2: c (0.387)
+    // beats the duplicate b (0.7·0.9 − 0.3·1 = 0.33); pick 3: b (0.33)
+    // still beats irrelevant d (negative mmr)
+    assert(got.map(_._2) === Seq(1L, 3L, 2L))
+    val mmr = got.map(_._3)
+    assert(math.abs(mmr(0) - 0.63) < 1e-3)
+    assert(math.abs(mmr(1) - 0.387) < 1e-3)
+    assert(math.abs(mmr(2) - 0.33) < 1e-3)
+    // selection-order scores are non-increasing by construction
+    assert(mmr(0) >= mmr(1) && mmr(1) >= mmr(2))
+  }
 }

@@ -301,4 +301,28 @@ class TextOpsSpec extends SparkTestBase {
       (2L, "cherry", 2L, r4(1 * idf(2))),
       (3L, "cherry", 1L, r4(3 * idf(2)))))
   }
+
+  test("importanceWeights: text-determined, target-like ranks above off-target") {
+    // target profile = "the cat sat" bigrams; probes carry the same /
+    // a disjoint profile but are NOT target members themselves
+    val df = Seq(
+      (1L, "en", "the cat sat"), (2L, "en", "the cat sat"),
+      (3L, "en", "the cat sat on the mat"),
+      (4L, "de", "xyzzy quux blorp"), (5L, "de", "xyzzy quux blorp"),
+      (10L, "de", "the cat sat"),       // target-like text, raw-only doc
+      (11L, "de", "xyzzy quux blorp"),  // off-target text
+      (12L, "de", "solo"))              // <2 tokens → no features
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ext.TextOps.importanceWeights(df, "doc_id", "text",
+        isTarget = $"lang" === "en", buckets = 256, seed = 42L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(12L), "doc with <2 tokens has no features")
+    assert(got(10L)._1 === 2L && got(3L)._1 === 5L, "n_feats = bigram count")
+    // the weight is a pure function of the TEXT given fixed corpus
+    // distributions: doc 10 (lang de) scores exactly like docs 1-2 (en)
+    assert(got(10L)._2 === got(1L)._2 && got(1L)._2 === got(2L)._2)
+    // target-profile text scores strictly above off-target text
+    assert(got(10L)._2 > got(11L)._2)
+    assert(got(11L)._2 === got(4L)._2)
+  }
 }
