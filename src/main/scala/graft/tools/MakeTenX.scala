@@ -51,7 +51,8 @@ object MakeTenX {
       val df = load(t)
       val off = sharedOff.getOrElse {
         val maxKey = df.agg(
-          greatest(keys.map(k => max(col(k)).cast("long")): _*).as("m"))
+          keys.map(k => max(col(k)).cast("long")).reduce((a, b) =>
+            when(a >= b, a).otherwise(b)).as("m"))
           .head().getLong(0)
         decimalOffset(maxKey)
       }
