@@ -1043,6 +1043,61 @@ object SparkEntry {
         .orderBy(col("centroid_id"), col("rank"))
     }),
 
+    // offline ranking-quality report: P@10 / MRR / NDCG@10 of the
+    // dense retriever (q33's kNN) against the embeddings' class
+    // labels — metric math runs on the ALREADY k-bounded ranked
+    // frame, so the retriever stays the only corpus-sized stage
+    "q126_retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val ranked = ext.Similarity
+        .bruteForceKnn(emb, emb.filter(col("vec_id") < 5), 10)
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("_ql")), "query_id")
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl")), "neighbor_id")
+        .withColumn("rel", (col("_ql") === col("_nl")).cast("long"))
+      ext.Retrieval.rankingMetrics(ranked, "query_id", "rank", "rel",
+          k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    // temperature-flattened mixture (UniMax family, τ=2): per-source
+    // keep-rates DERIVED from the data — shares ∝ ⌊√n_chars⌋ cut to a
+    // 20k-char budget; integer-sqrt flattening keeps the whole rate
+    // table bit-identical cross-engine (see Sampling.temperatureMix)
+    "q127_temperature_mix" -> ((s, dir) =>
+      ext.Sampling.temperatureMix(t(s, dir, "documents"), "source",
+          "doc_id", weight = col("n_chars"), budget = 20000.0,
+          seed = 42L)
+        .select(col("source"), col("doc_id"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Kaplan-Meier signup→purchase conversion curve with right
+    // censoring at the study end (max ts) — the time-to-event report
+    // behind churn dashboards; corpus-sized work is per-user
+    // aggregates, the curve math runs on the duration-distinct frame
+    "q128_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_t0"))
+      val endTs = ev.agg(max(col("ts")).as("_end"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("_t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_te"))
+      val durations = signup.join(purchase, Seq("user_id"), "left")
+        .join(broadcast(endTs))
+        .select(col("user_id"),
+          floor((unix_micros(coalesce(col("_te"), col("_end"))) -
+            unix_micros(col("_t0"))) / lit(86400000000.0))
+            .cast("long").as("duration_days"),
+          col("_te").isNotNull.cast("long").as("event"))
+      ext.EventOps.kaplanMeier(durations, "duration_days", "event")
+        .orderBy(col("duration_days"))
+    }),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -2911,6 +2966,93 @@ object SparkEntry {
         |        AS BIGINT), vec_id) AS BIGINT) AS rank
         |  FROM a)
         |WHERE rank <= 10 ORDER BY centroid_id, rank""".stripMargin,
+
+    // q33's ranked kNN joined against labels; p@k and MRR are exact
+    // rationals, DCG/IDCG go through log2 (written ln/ln to mirror the
+    // op structure) and round at 4 dp — sum order is engine-dependent
+    "q126_retrieval_eval" ->
+      """WITH r AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                 CAST(b.embedding AS DOUBLE[])) DESC,
+        |                 b.vec_id) AS BIGINT) AS rank
+        |    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |    WHERE a.vec_id < 5) WHERE rank <= 10),
+        |j AS (SELECT r.query_id, r.rank,
+        |    CAST(ql.label = nl.label AS BIGINT) AS rel
+        |  FROM r JOIN embeddings ql ON ql.vec_id = r.query_id
+        |         JOIN embeddings nl ON nl.vec_id = r.neighbor_id),
+        |a AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    sum(rel) / 10.0 AS p_at_k,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |    sum(CASE WHEN rel = 1
+        |        THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+        |  FROM j GROUP BY query_id)
+        |SELECT query_id, n_rel, p_at_k,
+        |  COALESCE(1.0 / first_rel, 0.0) AS mrr,
+        |  CASE WHEN n_rel = 0 THEN 0.0 ELSE
+        |    round(dcg / list_sum(list_transform(
+        |      generate_series(1, n_rel),
+        |      i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) + 1e-9, 4)
+        |  END AS ndcg
+        |FROM a ORDER BY query_id""".stripMargin,
+
+    // the rate table re-derived exactly: n_s and ⌊√n_s⌋ are exact
+    // integers, the rate chain ((B·s)/tot)/n is correctly-rounded ops
+    // on exact inputs — bit-identical cross-engine; md5 keep as q68/q79
+    "q127_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS sq FROM n),
+        |t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM s),
+        |r AS (SELECT source,
+        |    least(1.0, 20000.0 * sq / tot / n) AS rate FROM s, t)
+        |SELECT d.source, d.doc_id, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(CAST(concat('0x', substr(
+        |    md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 13))
+        |  AS BIGINT) AS DOUBLE) / 4503599627370496.0 < r.rate
+        |ORDER BY d.source, d.doc_id""".stripMargin,
+
+    // same micros currency as q37/q39 (CAST AS TIMESTAMP + epoch_us);
+    // n from the descending cumulative count, S via exp of the
+    // ASCENDING-ordered ln sum — both windows evaluate in the same
+    // sequence in both engines; ln(1-0)=0 rows contribute exactly 0
+    "q128_survival" ->
+      """WITH s0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |e AS (SELECT max(CAST(ts AS TIMESTAMP)) AS tend FROM events),
+        |p AS (SELECT ev.user_id, min(CAST(ev.ts AS TIMESTAMP)) AS te
+        |  FROM events ev JOIN s0 ON ev.user_id = s0.user_id
+        |  WHERE ev.event_type = 'purchase'
+        |    AND CAST(ev.ts AS TIMESTAMP) >= s0.t0
+        |  GROUP BY ev.user_id),
+        |d AS (SELECT s0.user_id,
+        |    CAST(floor((epoch_us(COALESCE(p.te, e.tend)) - epoch_us(s0.t0))
+        |      / 86400000000.0) AS BIGINT) AS duration_days,
+        |    CAST(p.te IS NOT NULL AS BIGINT) AS event
+        |  FROM s0 LEFT JOIN p ON s0.user_id = p.user_id CROSS JOIN e),
+        |per AS (SELECT duration_days, count(*) AS m,
+        |    CAST(sum(event) AS BIGINT) AS dd
+        |  FROM d GROUP BY duration_days),
+        |c1 AS (SELECT duration_days, m, dd,
+        |    CAST(sum(m) OVER (ORDER BY duration_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_risk
+        |  FROM per),
+        |c2 AS (SELECT duration_days, n_risk, dd,
+        |    sum(CASE WHEN dd < n_risk
+        |        THEN ln(1.0 - dd / CAST(n_risk AS DOUBLE))
+        |        ELSE 0.0 END)
+        |      OVER (ORDER BY duration_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+        |  FROM c1)
+        |SELECT duration_days, n_risk, dd AS n_event,
+        |  CASE WHEN dd = n_risk THEN 0.0
+        |       ELSE round(exp(lnsum) + 1e-9, 4) END AS survival
+        |FROM c2 WHERE dd > 0 ORDER BY duration_days""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

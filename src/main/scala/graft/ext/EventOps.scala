@@ -321,4 +321,55 @@ object EventOps {
           .as("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Kaplan-Meier survival curve over right-censored durations — the
+    * time-to-event analysis behind churn ("how long until a signup
+    * converts / a user lapses") on an event log:
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+    *
+    * with dᵢ = events at duration tᵢ and nᵢ = subjects still at risk
+    * (duration ≥ tᵢ; censored subjects leave the risk set without an
+    * event). Input: one row per subject, an integer `durationCol` and
+    * a 0/1 `eventCol` (0 = censored at that duration).
+    *
+    * Shapes at 100 TB: the subject stream collapses FIRST through one
+    * map-side-combined per-duration aggregate (d, m per distinct
+    * duration) — the only corpus-sized exchange. The curve math then
+    * runs on the curve-sized frame: n from a descending cumulative sum,
+    * S via exp(Σ ln(1−d/n)) over an ASCENDING-ordered window — the
+    * product becomes an ordered sum, which both engines evaluate in
+    * the identical sequence. Those windows are unpartitioned BY
+    * CONSTRUCTION over |distinct durations| rows (study length, not
+    * corpus size) — the q106-margins class, documented.
+    *
+    * Output (event durations only, the standard KM table):
+    * (durationCol, n_risk, n_event, survival 4 dp), ascending.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(durationCol))
+      .agg(count(lit(1)).as("_m"), sum(col(eventCol)).cast("long").as("_d"))
+    val asc = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col(durationCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    per
+      .withColumn("n_risk", sum(col("_m")).over(desc))
+      // d = n can only happen on the LAST row (n is a suffix count):
+      // its factor is an exact 0, which must not enter the log —
+      // Spark's log would yield null (silently dropped by the window
+      // sum) and DuckDB's ln(0) errors. Excluded here, restored below.
+      .withColumn("_lnterm",
+        when(col("_d") < col("n_risk"),
+          log(lit(1.0) - col("_d") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("_d") === col("n_risk"), lit(0.0)).otherwise(
+          round(exp(sum(col("_lnterm")).over(asc)) + lit(1e-9), 4)))
+      .filter(col("_d") > 0)
+      .select(col(durationCol), col("n_risk"), col("_d").as("n_event"),
+        col("survival"))
+  }
 }

@@ -122,4 +122,40 @@ object Retrieval {
         col("rrf"))
       .limit(k)
   }
+
+  /** Offline ranking-quality evaluation — the metrics a retrieval /
+    * recommendation pipeline reports per query before shipping an index
+    * or a model: precision@k, MRR, and binary NDCG@k
+    * (DCG = Σ rel_i / log₂(i+1), ideal DCG = the same sum over the
+    * first n_rel positions).
+    *
+    * Input contract: `ranked` holds one row per (query, result) with a
+    * 1-based rank ≤ k and a 0/1 relevance — i.e. the output of any of
+    * this module's retrievers joined against ground-truth labels.
+    * Shape at 100 TB: the input is ALREADY k-bounded per query (the
+    * retriever's top-k did that), so this is one query-keyed partial
+    * aggregate over ≤k rows per query plus a literal-length IDCG fold —
+    * metric computation can never become the bottleneck; the retriever
+    * is the corpus-sized stage.
+    *
+    * Output: (queryCol, n_rel, p_at_k, mrr, ndcg) — exact rationals for
+    * p@k and MRR; DCG/IDCG rounded (4 dp) since their sum order is
+    * engine-dependent.
+    */
+  def rankingMetrics(ranked: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame = {
+    val agg = ranked.groupBy(col(queryCol)).agg(
+      sum(col(relCol)).cast("long").as("n_rel"),
+      (sum(col(relCol)) / lit(k.toDouble)).as("p_at_k"),
+      min(when(col(relCol) === 1, col(rankCol))).as("_first"),
+      sum(when(col(relCol) === 1,
+        lit(1.0) / log2(col(rankCol) + lit(1.0))).otherwise(lit(0.0)))
+        .as("_dcg"))
+    agg.select(col(queryCol), col("n_rel"), col("p_at_k"),
+        coalesce(lit(1.0) / col("_first"), lit(0.0)).as("mrr"),
+        when(col("n_rel") === 0L, lit(0.0)).otherwise(
+          round(col("_dcg") / aggregate(sequence(lit(1L), col("n_rel")),
+            lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + lit(1.0)))
+            + lit(1e-9), 4)).as("ndcg"))
+  }
 }

@@ -128,4 +128,44 @@ object Sampling {
       hashScore(col(idCol), seed).cast("double") / lit(4503599627370496.0)
         < rate)
   }
+
+  /** Temperature-flattened corpus mixture (the UniMax/mT5 re-balancing
+    * family, τ = 2): per-source sampling shares ∝ √n_s instead of n_s,
+    * so dominant sources shrink and small sources survive, cut to a
+    * total size `budget`:
+    *
+    *   share_s = isqrt(n_s) / Σ isqrt(n),  rate_s = min(1, budget·share_s/n_s)
+    *
+    * where n_s = Σ `weight` per source and isqrt = ⌊√·⌋. Unlike
+    * [[weightedMix]] the rate table is DERIVED FROM THE DATA — one
+    * tiny per-source aggregate, broadcast back, keep decided map-side
+    * by the deterministic md5 hash.
+    *
+    * Engine-exactness: the flattening uses the INTEGER sqrt — n_s is an
+    * exact integer, √ is IEEE correctly-rounded so ⌊√n_s⌋ is the same
+    * integer in every engine, the share denominator is an exact integer
+    * sum, and the rate expression is a fixed chain of correctly-rounded
+    * ops on exact integers — bit-identical cross-engine, so the kept
+    * set (hash < rate) is reproducible forever. A real-valued
+    * temperature would go through pow/exp/ln, which are NOT correctly
+    * rounded and could flip a boundary row between engines.
+    *
+    * Output: df's rows that survive, plus their source's `rate`.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     weight: Column, budget: Double, seed: Long = 42L)
+  : DataFrame = {
+    val perSrc = df.groupBy(col(sourceCol))
+      .agg(sum(weight).cast("long").as("_n"))
+      .withColumn("_s", floor(sqrt(col("_n"))).cast("long"))
+    val tot = perSrc.agg(sum(col("_s")).as("_tot"))
+    val rates = perSrc.join(broadcast(tot))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(budget) * col("_s") / col("_tot") / col("_n")).as("rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(
+        hashScore(col(idCol), seed).cast("double") / lit(4503599627370496.0)
+          < col("rate"))
+  }
 }

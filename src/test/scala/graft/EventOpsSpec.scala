@@ -184,4 +184,22 @@ class EventOpsSpec extends SparkTestBase {
     assert(got((2L, 1L)) === ("C", 0L, -1L, 1L))
     assert(got.size === 4)
   }
+
+  test("kaplanMeier matches the textbook estimator; censoring shrinks risk only") {
+    // classic 7-subject example: events at 6 (×2), 7, 13; censored at
+    // 6, 10, 16 — S = 5/7, ×3/4, ×1/2
+    val df = Seq((6L, 1L), (6L, 1L), (6L, 0L), (7L, 1L), (10L, 0L),
+      (13L, 1L), (16L, 0L)).toDF("duration", "event")
+    val got = EventOps.kaplanMeier(df, "duration", "event")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((6L, 7L, 2L, 0.7143), (7L, 4L, 1L, 0.5357),
+      (13L, 2L, 1L, 0.2679)))
+  }
+
+  test("kaplanMeier terminal row where everyone at risk converts hits S=0") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 1L)).toDF("duration", "event")
+    val got = EventOps.kaplanMeier(df, "duration", "event")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 3L, 1L, 0.6667), (2L, 2L, 2L, 0.0)))
+  }
 }

@@ -80,4 +80,25 @@ class RetrievalSpec extends SparkTestBase {
       (3L, None, Some(2L), rrf(None, Some(2))),
       (4L, Some(2L), None, rrf(Some(2), None))))
   }
+
+  test("rankingMetrics: hand-computed P@k, MRR, NDCG; zero-relevant query") {
+    val ranked = Seq(
+      (1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (2L, 1L, 0L), (2L, 2L, 0L), (2L, 3L, 0L), (2L, 4L, 1L),
+      (3L, 1L, 0L), (3L, 2L, 0L), (3L, 3L, 0L), (3L, 4L, 0L))
+      .toDF("query_id", "rank", "rel")
+    val got = Retrieval.rankingMetrics(ranked, "query_id", "rank", "rel",
+        k = 4)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    // q1: dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3)
+    val ndcg1 = r4(1.5 / (1.0 + 1.0 / lg2(3.0)))
+    val ndcg2 = r4(1.0 / lg2(5.0) / 1.0)
+    assert(got === Seq(
+      (1L, 2L, 0.5, 1.0, ndcg1),
+      (2L, 1L, 0.25, 0.25, ndcg2),
+      (3L, 0L, 0.0, 0.0, 0.0)))
+  }
 }

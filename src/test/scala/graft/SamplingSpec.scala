@@ -112,4 +112,27 @@ class SamplingSpec extends SparkTestBase {
     // pure function of (data, seed): identical after repartition
     assert(sample(df.repartition(7, $"id")) === got)
   }
+
+  test("temperatureMix: sqrt-flattened rates, hand-computed, repartition-stable") {
+    // source A: 100 docs × 100 = 10000; source B: 10 docs × 10 = 100.
+    // isqrt → 100 vs 10, so B's share collapses only 10×, not 100×
+    val df = ((0L until 100L).map(i => (i, "A", 100L)) ++
+      (100L until 110L).map(i => (i, "B", 10L)))
+      .toDF("doc_id", "source", "w")
+    val out = Sampling.temperatureMix(df, "source", "doc_id", $"w",
+      budget = 1000.0, seed = 42L)
+    val rates = out.select($"source", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // rate_A = min(1, 1000·100/110/10000), rate_B = min(1, 1000·10/110/100)
+    assert(math.abs(rates.getOrElse("A", 0.0) - 1000.0 * 100 / 110 / 10000) < 1e-12)
+    assert(math.abs(rates.getOrElse("B", 0.0) - 1000.0 * 10 / 110 / 100) < 1e-12)
+    // flattening: B survives at 10× A's rate despite 100× less mass
+    assert(rates("B") > 9 * rates("A"))
+    // deterministic: identical kept set after repartitioning
+    val ids = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.temperatureMix(df.repartition(7, $"doc_id"),
+        "source", "doc_id", $"w", budget = 1000.0, seed = 42L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === ids2 && ids.nonEmpty)
+  }
 }
