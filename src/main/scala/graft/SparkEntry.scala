@@ -1098,6 +1098,35 @@ object SparkEntry {
         .orderBy(col("duration_days"))
     }),
 
+    // item-item cosine CF (Sarwar et al.) — the memory-based neighbor
+    // model next to q117's factor model, over implicit counts (integer
+    // ratings ⇒ exact dot/norm sums ⇒ engine-exact cosines). Per-user
+    // cap bounds the self-join; k-bounded ranking per item
+    "q129_item_cf" -> ((s, dir) => {
+      val ratings = t(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 50).as("item_id"))
+        .groupBy(col("user_id"), col("item_id"))
+        .agg(count(lit(1)).as("cnt"))
+      Recommend.itemItemCosine(ratings, "user_id", "item_id", "cnt",
+          k = 5, maxItemsPerUser = 64)
+        .orderBy(col("item_id"), col("rank"))
+    }),
+
+    // the A/B readout end-to-end: deterministic md5 variant assignment
+    // (q79's split currency) → per-user purchase-value metric → Welch
+    // unequal-variance t — unit of randomization = the user, metric
+    // aggregated per unit BEFORE the test, the textbook protocol
+    "q130_ab_welch" -> ((s, dir) => {
+      val metric = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value")).as("metric"))
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      Relational.welchTTest(metric.withColumn("_isa", u < 0.5),
+        "metric", col("_isa"))
+    }),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3053,6 +3082,74 @@ object SparkEntry {
         |  CASE WHEN dd = n_risk THEN 0.0
         |       ELSE round(exp(lnsum) + 1e-9, 4) END AS survival
         |FROM c2 WHERE dd > 0 ORDER BY duration_days""".stripMargin,
+
+    // integer counts ⇒ dot/sq are exact integer sums; cos is the fixed
+    // correctly-rounded chain dot/(√sqa·√sqb) — bit-identical, so the
+    // rank windows agree without rounding tricks; same per-user cap
+    "q129_item_cf" ->
+      """WITH r0 AS (SELECT user_id, event_id % 50 AS item_id,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, item_id, cnt FROM (
+        |    SELECT user_id, item_id, cnt, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY item_id) AS rn
+        |    FROM r0) WHERE rn <= 64),
+        |n AS (SELECT item_id, CAST(sum(cnt * cnt) AS BIGINT) AS sq
+        |  FROM c GROUP BY item_id),
+        |d AS (SELECT a.item_id AS i, b.item_id AS j,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT d.i, d.j, dot / (sqrt(CAST(na.sq AS DOUBLE))
+        |    * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+        |  FROM d JOIN n na ON na.item_id = d.i
+        |         JOIN n nb ON nb.item_id = d.j),
+        |u AS (SELECT i AS item_id, j AS neighbor_id, cos FROM s
+        |  UNION ALL SELECT j, i, cos FROM s)
+        |SELECT item_id, neighbor_id, rank, round(cos + 1e-9, 4) AS cos
+        |FROM (SELECT item_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY item_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM u) WHERE rank <= 5
+        |ORDER BY item_id, rank""".stripMargin,
+
+    // same md5 variant cut as q79, variance via the spelled-out
+    // sum-of-squares identity in the IDENTICAL op order as the Spark
+    // side; significance decided on the ROUNDED t so a boundary ulp
+    // can never flip the flag between engines
+    "q130_ab_welch" ->
+      """WITH m AS (SELECT user_id, sum(value) AS metric FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |g AS (SELECT metric,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM m),
+        |a AS (SELECT
+        |    sum(CASE WHEN isa THEN metric END) AS sa,
+        |    sum(CASE WHEN isa THEN metric * metric END) AS qa,
+        |    CAST(count(CASE WHEN isa THEN 1 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT isa THEN metric END) AS sb,
+        |    sum(CASE WHEN NOT isa THEN metric * metric END) AS qb,
+        |    CAST(count(CASE WHEN NOT isa THEN 1 END) AS BIGINT) AS nb
+        |  FROM g),
+        |b AS (SELECT na, nb, qa, qb,
+        |    sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb
+        |  FROM a),
+        |v AS (SELECT na, nb, ma, mb,
+        |    ((qa - na * ma * ma) / (na - 1.0)) / na AS sea,
+        |    ((qb - nb * mb * mb) / (nb - 1.0)) / nb AS seb
+        |  FROM b)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(ma + 1e-9, 4) AS mean_a, round(mb + 1e-9, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb) + 1e-9, 4) + 0.0 AS t,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+        |    + 1e-9, 4) AS df,
+        |  CAST(abs(round((ma - mb) / sqrt(sea + seb) + 1e-9, 4) + 0.0)
+        |    > 1.96 AS BIGINT) AS significant
+        |FROM v""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

@@ -182,4 +182,66 @@ object Recommend {
       .groupBy(col("_i").as("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= support)
+
+  /** Item-item cosine collaborative filtering — the memory-based
+    * neighbor model (Sarwar et al., WWW'01) every recommender ships
+    * NEXT TO its factor model (q117's ALS): similarity between items i
+    * and j is the cosine of their user-rating vectors,
+    *
+    *   cos(i, j) = Σ_u r_ui·r_uj / (‖r_i‖·‖r_j‖)
+    *
+    * computed over users who rated both. Ratings must be ONE row per
+    * (user, item) — pre-aggregate first (e.g. interaction counts).
+    *
+    * Engine-exactness: with INTEGER-valued ratings (counts — the
+    * implicit-feedback signal a 100 TB event log actually yields) the
+    * dot products and squared norms are exact integer sums, so cos is
+    * a fixed chain of correctly-rounded ops — bit-identical
+    * cross-engine and immune to aggregation order.
+    *
+    * Scale shape: the cost driver is the per-user self-join —
+    * Σ_u |items(u)|², so `maxItemsPerUser` caps each user's item list
+    * first (keep the cap smallest item ids — deterministic, the
+    * oracle reproduces it; the capping window partitions on the
+    * HIGH-cardinality user id). The pair aggregate shuffles on
+    * (item_a, item_b) — high cardinality; norms join item-keyed; the
+    * final ranking is the k-bounded TopKScoredAggregator per item,
+    * never a window over the full pair stream.
+    *
+    * Output: (itemCol, neighbor_id, rank, cos 4 dp), rank 1..k by cos
+    * desc, neighbor id ascending on ties.
+    */
+  def itemItemCosine(ratings: DataFrame, userCol: String, itemCol: String,
+                     ratingCol: String, k: Int,
+                     maxItemsPerUser: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u")).orderBy(col("_i"))
+    val capped = ratings
+      .select(col(userCol).as("_u"), col(itemCol).as("_i"),
+        col(ratingCol).as("_r"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxItemsPerUser).drop("_rn")
+    val norms = capped.groupBy(col("_i"))
+      .agg(sum(col("_r") * col("_r")).as("_sq"))
+    val dots = capped
+      .join(capped.select(col("_u").as("_u2"), col("_i").as("_j"),
+        col("_r").as("_r2")),
+        col("_u") === col("_u2") && col("_i") < col("_j"))
+      .groupBy(col("_i"), col("_j"))
+      .agg(sum(col("_r") * col("_r2")).as("_dot"))
+    val cos = dots
+      .join(norms.select(col("_i"), col("_sq").as("_sqa")), Seq("_i"))
+      .join(norms.select(col("_i").as("_j"), col("_sq").as("_sqb")),
+        Seq("_j"))
+      .withColumn("_cos", col("_dot") /
+        (sqrt(col("_sqa").cast("double")) * sqrt(col("_sqb").cast("double"))))
+    val sym = cos.select(col("_i").as("item_id"),
+        col("_j").as("neighbor_id"), col("_cos"))
+      .unionByName(cos.select(col("_j").as("item_id"),
+        col("_i").as("neighbor_id"), col("_cos")))
+    Relational.topKPerGroupAgg(sym, k, Seq("item_id"),
+        col("_cos"), col("neighbor_id"), "_cos", "neighbor_id")
+      .select(col("item_id"), col("neighbor_id"), col("rank"),
+        round(col("_cos") + lit(1e-9), 4).as("cos"))
+  }
 }

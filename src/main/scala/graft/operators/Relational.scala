@@ -256,4 +256,50 @@ object Relational {
       .filter(col("_pm") < col("_y"))
       .select(col("_x").as(xCol), col("_y").as(yCol))
   }
+
+  /** Welch's unequal-variance two-sample t-test — the A/B readout:
+    *
+    *   t  = (m_A − m_B) / √(s²_A/n_A + s²_B/n_B)
+    *   df = (s²_A/n_A + s²_B/n_B)² /
+    *        ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))
+    *
+    * with sample variances from the sum/sum-of-squares identity
+    * s² = (Σx² − n·m²)/(n−1) — spelled out (not var_samp) so both
+    * engines evaluate the IDENTICAL expression tree; aggregate sum
+    * order still differs, so t/df round at 4 dp. `significant` is the
+    * |t| > 1.96 normal-approximation gate computed from the ROUNDED t
+    * (df is large in any A/B worth reading), so the flag can never
+    * disagree across engines on a boundary ulp.
+    *
+    * Shape at 100 TB: ONE single-row aggregate (six partial sums,
+    * map-side combined) — the unit-level metric frame feeding it is
+    * the caller's per-user aggregate. Output row:
+    * (n_a, n_b, mean_a, mean_b, t, df, significant).
+    */
+  def welchTTest(df: DataFrame, valueCol: String, isA: Column)
+  : DataFrame = {
+    val x = col(valueCol).cast("double")
+    val agg = df.agg(
+      sum(when(isA, x)).as("_sa"), sum(when(isA, x * x)).as("_qa"),
+      count(when(isA, lit(1))).as("_na"),
+      sum(when(!isA, x)).as("_sb"), sum(when(!isA, x * x)).as("_qb"),
+      count(when(!isA, lit(1))).as("_nb"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val ma = col("_sa") / na
+    val mb = col("_sb") / nb
+    val va = (col("_qa") - na * ma * ma) / (na - lit(1.0))
+    val vb = (col("_qb") - nb * mb * mb) / (nb - lit(1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    val tR = round(t + lit(1e-9), 4)
+    agg.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      round(ma + lit(1e-9), 4).as("mean_a"),
+      round(mb + lit(1e-9), 4).as("mean_b"),
+      (tR + lit(0.0)).as("t"), round(dfW + lit(1e-9), 4).as("df"),
+      (abs(tR) > lit(1.96)).cast("long").as("significant"))
+  }
 }

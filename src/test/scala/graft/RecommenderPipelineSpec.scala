@@ -11,6 +11,7 @@ import graft.pipeline.Recommender
   * not (SURVEY.md §5.1).
   */
 class RecommenderPipelineSpec extends SparkTestBase {
+  import spark.implicits._
 
   private val dir = {
     val d = Paths.get("target", "ref-fixture")
@@ -125,5 +126,24 @@ class RecommenderPipelineSpec extends SparkTestBase {
         df, "basket", "item", maxBasket = 2, minPairCount = 2L, k = 10)
       .select($"item_a", $"item_b").as[(Long, Long)].collect().toSeq
     assert(pruned === Seq((10L, 20L)))
+  }
+
+  test("itemItemCosine: hand-computed cosines, symmetric, tie by neighbor id") {
+    // item user-vectors over (u1,u2,u3): i1=(2,1,0) i2=(1,1,1) i3=(0,1,2)
+    val ratings = Seq(
+      (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 2L, 1L), (3L, 3L, 2L))
+      .toDF("user_id", "item_id", "cnt")
+    val got = graft.operators.Recommend.itemItemCosine(ratings,
+        "user_id", "item_id", "cnt", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val c12 = math.round((3.0 / (math.sqrt(5) * math.sqrt(3)) + 1e-9) * 1e4) / 1e4
+    // i2's neighbors 1 and 3 have the IDENTICAL cosine — id breaks it
+    assert(got === Seq(
+      (1L, 2L, 1L, c12), (1L, 3L, 2L, 0.2),
+      (2L, 1L, 1L, c12), (2L, 3L, 2L, c12),
+      (3L, 2L, 1L, c12), (3L, 1L, 2L, 0.2)))
   }
 }

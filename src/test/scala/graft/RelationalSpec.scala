@@ -175,4 +175,13 @@ class RelationalSpec extends SparkTestBase {
       qx <= x && qy >= y && (qx < x || qy > y) } }.sorted.toSeq
     assert(got === naive)
   }
+
+  test("welchTTest matches the hand-computed statistic") {
+    // A = [1,2,3,4] (m 2.5, s² 5/3), B = [2,4,6] (m 4, s² 4)
+    val df = (Seq(1, 2, 3, 4).map(v => (v.toDouble, true)) ++
+      Seq(2, 4, 6).map(v => (v.toDouble, false))).toDF("v", "isa")
+    val got = Relational.welchTTest(df, "v", $"isa")
+      .as[(Long, Long, Double, Double, Double, Double, Long)].head()
+    assert(got === ((4L, 3L, 2.5, 4.0, -1.1339, 3.2347, 0L)))
+  }
 }
