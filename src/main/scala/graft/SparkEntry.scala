@@ -1127,6 +1127,32 @@ object SparkEntry {
         "metric", col("_isa"))
     }),
 
+    // last-touch marketing attribution: each purchase credits the most
+    // recent click within a 7-day lookback (the native as-of operator
+    // with tolerance — q53's stack), channel = the click's JSON props
+    // bucket; unmatched purchases roll up under -1. Composition
+    // showcase: JSON extract → dedup-per-instant argmax → bounded as-of
+    // → channel rollup, all key-partitioned
+    "q131_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("_k",
+          get_json_object(col("props"), "$.k").cast("long") % 10)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("_k"))).as("_c"))
+        .select(col("user_id"), col("ts").as("cts"),
+          col("_c._k").as("channel"))
+      plans.AsOf.join(purchases, clicks, Seq("user_id"), "ts", "cts",
+          Seq(("channel", "channel")),
+          toleranceMicros = 7L * 86400L * 1000000L)
+        .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")) + lit(1e-9), 2).as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3150,6 +3176,26 @@ object SparkEntry {
         |  CAST(abs(round((ma - mb) / sqrt(sea + seb) + 1e-9, 4) + 0.0)
         |    > 1.96 AS BIGINT) AS significant
         |FROM v""".stripMargin,
+
+    // q53's left-asof-with-tolerance shape: LEFT JOIN in the lookback
+    // band + row_number picks the latest click; arg_max by event_id
+    // mirrors Spark's max(struct(event_id, k)) per-instant dedup
+    "q131_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS pts,
+        |    value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |    arg_max(CAST(json_extract(props, '$.k') AS BIGINT) % 10,
+        |      event_id) AS channel
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT p.user_id, p.event_id, p.value, c.channel,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY c.cts DESC) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY)
+        |SELECT COALESCE(channel, -1) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value) + 1e-9, 2) AS revenue
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

@@ -310,4 +310,50 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("max(_b") || p.contains("partial_max"),
       s"no partial struct-max aggregate:\n$p")
   }
+
+  test("q122 hybrid RRF: candidate cuts are top-k fusions, nothing " +
+    "corpus-sized is sorted") {
+    val p = plan(SparkEntry.queries("q122_hybrid_rrf")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate cut lost its top-k fusion:\n$p")
+    // the only windows permitted are the rank row_numbers over the
+    // ≤candidates-row lists (post-TakeOrdered) — never over a scan
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"more windows than the two bounded rank lists:\n$p")
+  }
+
+  test("q126 rank eval: kNN ranking stays a k-bounded aggregate, " +
+    "metrics add no window") {
+    val p = plan(SparkEntry.queries("q126_retrieval_eval")(spark, sf))
+    assert(p.contains("partial_topkscoredaggregator"),
+      s"kNN ranking lost the k-bounded partial aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"ranking/metrics regressed to a window funnel:\n$p")
+  }
+
+  test("q127 temperature mix: rate table broadcast back, keep is " +
+    "map-side — no shuffle join on the corpus") {
+    val p = plan(SparkEntry.queries("q127_temperature_mix")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the rate join:\n$p")
+  }
+
+  test("q129 item CF: cap window keyed on the user id, ranking is the " +
+    "k-bounded aggregate") {
+    val p = plan(SparkEntry.queries("q129_item_cf")(spark, sf))
+    assert(p.contains("hashpartitioning(_u") ||
+      p.contains("hashpartitioning(user_id"),
+      s"cap window not keyed on the high-cardinality user:\n$p")
+    assert(p.contains("partial_topkscoredaggregator"),
+      s"neighbor ranking lost the k-bounded partial aggregate:\n$p")
+  }
+
+  test("q131 attribution runs through the native as-of operator") {
+    val p = plan(SparkEntry.queries("q131_attribution")(spark, sf))
+    assert(p.contains("AsOfJoin"),
+      s"attribution lost the native as-of path:\n$p")
+  }
 }
