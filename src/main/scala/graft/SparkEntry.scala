@@ -1153,6 +1153,25 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    // numeric distribution drift: binned two-sample KS between purchase
+    // and click values — the numeric complement of q82's token JS. The
+    // grid keeps it one map-side (bin, slice) count; the exact-supremum
+    // corpus sort is deliberately NOT paid (Relational.ksBinned doc)
+    "q132_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+      Relational.ksBinned(ev, "value",
+        isA = col("event_type") === "purchase", bins = 32)
+    }),
+
+    // time-weighted average event value per user (TWAP): each value
+    // holds until the user's next event — burst-robust, one lead
+    // window on the high-cardinality user + a user-keyed aggregate
+    "q133_twap" -> ((s, dir) =>
+      ext.EventOps.timeWeightedAvg(t(s, dir, "events"), "user_id", "ts",
+          "value", orderCols = Seq(col("event_id")))
+        .orderBy(col("user_id"))),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3196,6 +3215,49 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(sum(value) + 1e-9, 2) AS revenue
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // bin ids are correctly-rounded arithmetic on exact global
+    // extremes, counts are exact integers, so the binned ECDFs (and
+    // their max gap) are bit-identical — the argmax-bin equality
+    // re-scan is therefore safe on doubles
+    "q132_ks_drift" ->
+      """WITH s AS (SELECT value AS v, (event_type = 'purchase') AS a
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |e AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        |b AS (SELECT least(CAST(floor((v - lo) / ((hi - lo) / 32.0))
+        |    AS BIGINT), 31) AS bin, a FROM s, e),
+        |p AS (SELECT bin, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+        |  FROM b GROUP BY bin),
+        |c AS (SELECT bin,
+        |    sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) / CAST(sum(ca) OVER () AS DOUBLE)
+        |      AS fa,
+        |    sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) / CAST(sum(cb) OVER () AS DOUBLE)
+        |      AS fb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM p),
+        |m AS (SELECT max(abs(fa - fb)) AS d FROM c)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  round(m.d + 1e-9, 4) AS ks,
+        |  (SELECT min(bin) FROM c WHERE abs(fa - fb) = m.d) AS ks_bin
+        |FROM m, (SELECT max(na) AS na, max(nb) AS nb FROM c) t""".stripMargin,
+
+    // same lead window (ts, event_id tie-break) and micros currency;
+    // per-user interval sums round at 4 dp (aggregation order)
+    "q133_twap" ->
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    value FROM events),
+        |d AS (SELECT user_id, value,
+        |    CAST(epoch_us(lead(uts) OVER (PARTITION BY user_id
+        |        ORDER BY uts, event_id)) - epoch_us(uts) AS DOUBLE) AS dur
+        |  FROM x),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(value * dur) AS num, sum(dur) AS den
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_events, round(num / den + 1e-9, 4) AS twap
+        |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

@@ -372,4 +372,44 @@ object EventOps {
       .select(col(durationCol), col("n_risk"), col("_d").as("n_event"),
         col("survival"))
   }
+
+  /** Time-weighted average value per key over an irregular event stream
+    * — the TWAP every metering/pricing pipeline needs, where a plain
+    * mean over-weights bursts: each observation holds until the next
+    * one, so it contributes value × holding-duration,
+    *
+    *   twap(k) = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)
+    *
+    * The last observation has no holding interval and contributes only
+    * its timestamp; keys with a single event have no interval and drop
+    * out (the caller left-joins if it needs them).
+    *
+    * Shape at 100 TB: ONE window, partitioned on the high-cardinality
+    * key (lead of the timestamp), then a key-keyed aggregate — the
+    * standard per-entity stream pair every event operator here uses.
+    * `orderCols` breaks timestamp ties deterministically (equal-ts
+    * intervals are zero-width, so tie ORDER cannot change the sum).
+    *
+    * Output: (keyCol, n_events, round(twap, 4)).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, orderCols: Seq[Column] = Nil)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: orderCols: _*)
+    df.select(col(keyCol) +: col(tsCol) +: col(valueCol) +: orderCols :+
+        unix_micros(col(tsCol)).as("_t"): _*)
+      .withColumn("_dur",
+        (lead(col("_t"), 1).over(w) - col("_t")).cast("double"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol) * col("_dur")).as("_num"),
+        sum(col("_dur")).as("_den"))
+      // single-event keys (null sum) and zero-span keys (all events at
+      // one instant) have no time base — drop rather than emit NaN
+      .filter(col("_den") > 0)
+      .select(col(keyCol), col("n_events"),
+        round(col("_num") / col("_den") + lit(1e-9), 4).as("twap"))
+  }
 }

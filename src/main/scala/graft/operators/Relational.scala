@@ -302,4 +302,54 @@ object Relational {
       (tR + lit(0.0)).as("t"), round(dfW + lit(1e-9), 4).as("df"),
       (abs(tR) > lit(1.96)).cast("long").as("significant"))
   }
+
+  /** Binned two-sample Kolmogorov-Smirnov statistic — numeric
+    * distribution drift between two slices (the numeric complement of
+    * the token-level JS divergence): D = max over bin edges of
+    * |F̂_A − F̂_B| on a shared `bins`-bucket equi-width grid.
+    *
+    * Binned ON PURPOSE: the exact KS supremum needs the merged order
+    * statistics — a corpus-sized sort/window. On the grid, the
+    * corpus-sized work is ONE map-side-combined count per (bin, slice)
+    * (≤ bins output rows) after a broadcast of the global [min, max];
+    * the ECDF walk runs on the bins-row frame. D is exact w.r.t. the
+    * binned distributions, converges to the true D as bins grows, and
+    * is deterministic: bin ids are correctly-rounded arithmetic on the
+    * exact global extremes, so both engines bin identically.
+    *
+    * Output (one row): n_a, n_b, ks (4 dp), ks_bin (the FIRST bin edge
+    * achieving the max — struct-argmax, no window funnel).
+    */
+  def ksBinned(df: DataFrame, valueCol: String, isA: Column,
+               bins: Int = 32): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ext = df.agg(min(v).as("_lo"), max(v).as("_hi"))
+    val binned = df.select(v.as("_v"), isA.as("_a"))
+      .join(broadcast(ext))
+      .withColumn("_bin", least(
+        floor((col("_v") - col("_lo")) /
+          ((col("_hi") - col("_lo")) / lit(bins.toDouble))).cast("long"),
+        lit(bins - 1L)))
+    val perBin = binned.groupBy(col("_bin"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // bins-row frame from here: the unpartitioned window is bounded by
+    // the literal grid size, never the corpus (q106-margins class)
+    perBin
+      .withColumn("_na", sum(col("_ca")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("_nb", sum(col("_cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("_diff", abs(
+        sum(col("_ca")).over(w) / col("_na").cast("double") -
+          sum(col("_cb")).over(w) / col("_nb").cast("double")))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(struct(col("_diff"), (-col("_bin")).as("_nbin"))).as("_m"))
+      .select(col("n_a"), col("n_b"),
+        round(col("_m._diff") + lit(1e-9), 4).as("ks"),
+        (-col("_m._nbin")).cast("long").as("ks_bin"))
+  }
 }

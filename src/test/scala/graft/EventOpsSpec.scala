@@ -202,4 +202,17 @@ class EventOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 3L, 1L, 0.6667), (2L, 2L, 2L, 0.0)))
   }
+
+  test("timeWeightedAvg: duration-weighted mean; degenerate keys drop") {
+    val df = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(10), 20.0), (1L, 3L, ts(30), 0.0),
+      (2L, 4L, ts(5), 99.0),                       // single event
+      (3L, 5L, ts(7), 1.0), (3L, 6L, ts(7), 2.0))  // zero time span
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventOps.timeWeightedAvg(df, "user_id", "ts", "value",
+        orderCols = Seq($"event_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // twap = (10·10s + 20·20s) / 30s = 16.6667; last value unweighted
+    assert(got === Seq((1L, 3L, 16.6667)))
+  }
 }

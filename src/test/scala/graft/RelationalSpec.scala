@@ -184,4 +184,15 @@ class RelationalSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double, Double, Double, Long)].head()
     assert(got === ((4L, 3L, 2.5, 4.0, -1.1339, 3.2347, 0L)))
   }
+
+  test("ksBinned: hand-computed binned ECDF gap, first-bin tie-break") {
+    // grid [0,5] in 5 bins (width 1, max clamps into bin 4):
+    // F_A = .25 .5 .75 1 1 ; F_B = 0 0 .25 .5 1 → gap .25 .5 .5 .5 0
+    val df = (Seq(0, 1, 2, 3).map(v => (v.toDouble, true)) ++
+      Seq(2, 3, 4, 5).map(v => (v.toDouble, false))).toDF("v", "isa")
+    val got = Relational.ksBinned(df, "v", $"isa", bins = 5)
+      .as[(Long, Long, Double, Long)].head()
+    // max gap 0.5 is achieved at bins 1..3 — the FIRST (bin 1) wins
+    assert(got === ((4L, 4L, 0.5, 1L)))
+  }
 }
