@@ -1172,6 +1172,51 @@ object SparkEntry {
           "value", orderCols = Seq(col("event_id")))
         .orderBy(col("user_id"))),
 
+    // hopping (sliding) window aggregate — q21's tumbling sibling:
+    // 1 h windows every 30 min, each event lands in exactly 2 windows.
+    // Spark's window() explodes map-side; the aggregate stays
+    // window-keyed with map-side combine (the streaming shape, batch
+    // parity here like q21)
+    "q134_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
+
+    // Benford first-digit audit over order totals — the fraud/data-
+    // quality screen: observed first-significant-digit counts vs
+    // N·log10(1+1/d). The digit comes from the INTEGER cents string
+    // (exact in both engines — no log10-of-double boundary risk); one
+    // 9-key map-side-combined aggregate + a broadcast total
+    "q135_benford" -> ((s, dir) => {
+      val digit = substring(
+        round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long")
+      val counts = t(s, dir, "orders").groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+      val total = counts.agg(sum(col("n_obs")).as("_n"))
+      counts.join(broadcast(total))
+        .withColumn("expected", col("_n") *
+          log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+        .select(col("digit"), col("n_obs"),
+          round(col("expected") + lit(1e-9), 4).as("expected"),
+          round(pow(col("n_obs") - col("expected"), 2) / col("expected")
+            + lit(1e-9), 4).as("chi2_contrib"))
+        .orderBy(col("digit"))
+    }),
+
+    // pairwise vocabulary Jaccard between sources — the corpus-
+    // comparison matrix next to the distributional drift reports
+    // (q118): one (source, token) distinct, a token-keyed self-join
+    // whose per-token output is ≤|sources|², |sources|²-row result
+    "q136_vocab_overlap" -> ((s, dir) =>
+      ext.TextOps.vocabularyOverlap(t(s, dir, "documents"), "source",
+          "text")
+        .orderBy(col("source_a"), col("source_b"))),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3258,6 +3303,54 @@ object SparkEntry {
         |  FROM d GROUP BY user_id)
         |SELECT user_id, n_events, round(num / den + 1e-9, 4) AS twap
         |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin,
+
+    // 1h/30m hopping: each event lands in EXACTLY the two windows
+    // starting at its 30-min floor and 30 min before it — unnested
+    // explicitly; same VARCHAR timestamp currency as q21
+    "q134_hopping_window" ->
+      """WITH x AS (SELECT value, make_timestamp(
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000)
+        |      * 1800000000) AS t30 FROM events),
+        |w AS (SELECT value,
+        |    unnest([t30, t30 - INTERVAL 30 MINUTE]) AS ws FROM x)
+        |SELECT CAST(ws AS VARCHAR) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    // first digit from the INTEGER cents string (exact both engines);
+    // expectation through log10 (Spark evaluates ln/ln10 — ulp-level
+    // only, absorbed by the 4-dp round)
+    "q135_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT sum(n_obs) AS n FROM c)
+        |SELECT digit, n_obs,
+        |  round(n * log10(1.0 + 1.0 / digit) + 1e-9, 4) AS expected,
+        |  round(pow(n_obs - n * log10(1.0 + 1.0 / digit), 2)
+        |    / (n * log10(1.0 + 1.0 / digit)) + 1e-9, 4) AS chi2_contrib
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    // jaccard is a ratio of exact vocabulary integers — engine-exact
+    // before the 4-dp round
+    "q136_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT g, t FROM (
+        |    SELECT source AS g,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |    FROM documents)),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS vb FROM v GROUP BY g),
+        |i AS (SELECT a.g AS ga, b.g AS gb,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM v a JOIN v b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ga AS source_a, gb AS source_b, sa.vb AS vocab_a,
+        |  sb.vb AS vocab_b, n_common,
+        |  sa.vb + sb.vb - n_common AS n_union,
+        |  round(n_common / CAST(sa.vb + sb.vb - n_common AS DOUBLE)
+        |    + 1e-9, 4) AS jaccard
+        |FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

@@ -580,6 +580,46 @@ object TextOps {
           / budget).cast("long").as("chunk_last"))
   }
 
+  /** Pairwise vocabulary Jaccard between corpus slices — the
+    * coarse-grained corpus-comparison matrix next to the
+    * distributional drift reports ([[sourceDrift]] weighs token
+    * FREQUENCIES; this asks only which tokens exist at all, the signal
+    * for "do these crawls even speak the same language").
+    *
+    * Shape at 100 TB: one (group, token) DISTINCT (token-keyed,
+    * map-side combined), per-group vocabulary sizes (tiny), and a
+    * token-keyed self-join whose per-token output is bounded by
+    * |groups|² — no corpus-sized pair stream can form. Output is the
+    * |groups|²/2 upper triangle: (source_a < source_b, vocab sizes,
+    * intersection, union, jaccard 4 dp). Jaccard is a ratio of exact
+    * integers — engine-exact before the rounding.
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String, textCol: String)
+  : DataFrame = {
+    val vocab = graft.core.Caches.cached(
+      df.select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("_t"))
+        .distinct())
+    val sizes = vocab.groupBy(col("_g")).agg(count(lit(1)).as("_v"))
+    val inter = vocab
+      .join(vocab.select(col("_g").as("_g2"), col("_t")), Seq("_t"))
+      .filter(col("_g") < col("_g2"))
+      .groupBy(col("_g"), col("_g2"))
+      .agg(count(lit(1)).as("n_common"))
+    graft.core.Caches.materializedThenRelease(
+      inter
+        .join(broadcast(sizes.select(col("_g"), col("_v").as("vocab_a"))),
+          Seq("_g"))
+        .join(broadcast(sizes.select(col("_g").as("_g2"), col("_v").as("vocab_b"))),
+          Seq("_g2"))
+        .select(col("_g").as("source_a"), col("_g2").as("source_b"),
+          col("vocab_a"), col("vocab_b"), col("n_common"),
+          (col("vocab_a") + col("vocab_b") - col("n_common")).as("n_union"),
+          round(col("n_common") /
+            (col("vocab_a") + col("vocab_b") - col("n_common"))
+              .cast("double") + lit(1e-9), 4).as("jaccard")),
+      vocab)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-n-gram profile is,

@@ -325,4 +325,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(10L)._2 > got(11L)._2)
     assert(got(11L)._2 === got(4L)._2)
   }
+
+  test("vocabularyOverlap: exact jaccard on hand-counted vocabularies") {
+    // a: {the, cat, sat, mat}  b: {the, dog, sat}  c: {xyz}
+    val df = Seq(
+      ("a", "the cat sat"), ("a", "the mat"),
+      ("b", "the dog"), ("b", "the sat"),
+      ("c", "xyz"))
+      .toDF("source", "text")
+    val got = TextOps.vocabularyOverlap(df, "source", "text")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // upper triangle only: (a,b), (a,c), (b,c) — but pairs with zero
+    // common tokens never form in the token-keyed join
+    assert(got.keySet === Set(("a", "b")))
+    val (_, _, va, vb, common, union, j) = got(("a", "b"))
+    assert(va === 4L && vb === 3L)            // |{the,cat,sat,mat}|, |{the,dog,sat}|
+    assert(common === 2L && union === 5L)     // {the, sat}
+    assert(j === 0.4)                         // 2/5
+  }
 }
