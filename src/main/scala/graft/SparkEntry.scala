@@ -1217,6 +1217,31 @@ object SparkEntry {
           "text")
         .orderBy(col("source_a"), col("source_b"))),
 
+    // int8 scalar-quantized top-k — PQ's training-light sibling (q85):
+    // per-dim min/max bounds, uint8 codes (exact integers both
+    // engines), symmetric INTEGER dot ranking. The code stream is ¼
+    // the bytes of float32; ranking is the k-bounded aggregate
+    "q137_sq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = ext.Similarity.sqTrain(emb)
+      ext.Similarity.sqSearch(emb, model, emb.filter(col("vec_id") < 5),
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // calibration/reliability bins — q126's companion eval: predicted
+    // per-user click share (an exact count ratio → deterministic bin
+    // edges) vs observed purchase rate, 10 equal-width bins
+    "q138_calibration" -> ((s, dir) => {
+      val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+        (sum(when(col("event_type") === "click", 1).otherwise(0))
+          / count(lit(1))).as("pred"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("label"))
+      ext.Retrieval.calibrationBins(perUser, "pred", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3351,6 +3376,49 @@ object SparkEntry {
         |    + 1e-9, 4) AS jaccard
         |FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // per-dim bounds via lateral range over the double-cast list; codes
+    // are the identical fixed chain ((v-lo)/range*255, HALF_UP round,
+    // clamp) → exact integers; ranking by INTEGER dot, ties by id
+    "q137_sq_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |x AS (SELECT vec_id, generate_subscripts(v, 1) AS i,
+        |    unnest(v) AS val FROM e),
+        |d AS (SELECT i, min(val) AS lo, max(val) AS hi FROM x GROUP BY i),
+        |c AS (SELECT vec_id, x.i,
+        |    CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+        |      round((val - lo) / (hi - lo) * 255), 0), 255) AS BIGINT)
+        |    END AS code
+        |  FROM x JOIN d USING (i)),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(sum(a.code * b.code) AS BIGINT) AS qdot
+        |  FROM c a JOIN c b USING (i)
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, qdot FROM (
+        |  SELECT query_id, neighbor_id, qdot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // pred is the exact rational clicks/n → floor(pred*10) is
+    // deterministic both engines; bin means round at 4 dp
+    "q138_calibration" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      / CAST(count(*) AS DOUBLE) AS pred,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(least(floor(pred * 10), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(pred) + 1e-9, 4) AS avg_pred,
+        |  round(avg(CAST(label AS DOUBLE)) + 1e-9, 4) AS obs_rate,
+        |  round(abs(avg(pred) - avg(CAST(label AS DOUBLE))) + 1e-9, 4)
+        |    AS abs_gap
+        |FROM u GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

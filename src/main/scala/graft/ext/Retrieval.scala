@@ -158,4 +158,30 @@ object Retrieval {
             lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + lit(1.0)))
             + lit(1e-9), 4)).as("ndcg"))
   }
+
+  /** Reliability/calibration curve: equal-width probability bins of a
+    * predicted score in [0, 1] vs the observed positive rate — the
+    * companion eval to [[rankingMetrics]] (is the model's CONFIDENCE
+    * honest, not just its ordering) and the input to an ECE number
+    * (Σ n_b/N·|avg_pred−obs_rate|, reported per-bin here).
+    *
+    * Bin id is `floor(pred·bins)` clamped to bins−1 — when `pred` is an
+    * exact rational (a count ratio) the chain is correctly-rounded
+    * double arithmetic, so bin assignment is deterministic cross-engine
+    * (no percentile/ntile tie machinery needed). One map-side bin tag +
+    * one `bins`-key map-side-combined aggregate: corpus-sized work is a
+    * single scan regardless of N.
+    */
+  def calibrationBins(scored: DataFrame, predCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    val bin = least(floor(col(predCol) * bins), lit(bins - 1)).cast("long")
+    scored.groupBy(bin.as("bin")).agg(
+        count(lit(1)).as("n"),
+        avg(col(predCol)).as("_p"),
+        avg(col(labelCol).cast("double")).as("_y"))
+      .select(col("bin"), col("n"),
+        round(col("_p") + lit(1e-9), 4).as("avg_pred"),
+        round(col("_y") + lit(1e-9), 4).as("obs_rate"),
+        round(abs(col("_p") - col("_y")) + lit(1e-9), 4).as("abs_gap"))
+  }
 }

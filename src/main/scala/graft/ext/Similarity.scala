@@ -514,4 +514,77 @@ object Similarity {
     picked.toSeq.toDF("rank", idCol, "mmr")
       .select(col("rank").cast("long"), col(idCol), col("mmr"))
   }
+
+  /** Per-dimension int8 scalar-quantization model: `lo(i)`/`hi(i)` are
+    * the corpus min/max of dimension i. The OTHER standard vector
+    * compression next to [[PqModel]]: where PQ trades accuracy for
+    * 16-byte codes via learned centroids, SQ is training-light (one
+    * min/max aggregate) and keeps one byte PER DIMENSION — a fixed 4×
+    * over float32 with no codebook to ship or retrain on drift.
+    */
+  case class SqModel(lo: IndexedSeq[Double], hi: IndexedSeq[Double]) {
+    require(lo.length == hi.length && lo.nonEmpty)
+    private[graft] def loLit: Column = array(lo.map(lit): _*)
+    private[graft] def rangeLit: Column =
+      array(lo.indices.map(i => lit(hi(i) - lo(i))): _*)
+  }
+
+  /** Train the SQ bounds: one per-dimension min/max aggregate.
+    * posexplode feeds a groupBy(dim) whose map-side combine collapses
+    * each partition to d rows before the shuffle — at 100 TB the
+    * exchange carries partitions×d doubles, not N×d. Only the 2×d
+    * bound doubles reach the driver (the documented k×dim read class).
+    */
+  def sqTrain(df: DataFrame, vecCol: String = "embedding"): SqModel = {
+    val bounds = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("_d", "_v")))
+      .groupBy(col("_d")).agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+      .collect().sortBy(_.getInt(0))
+    SqModel(bounds.map(_.getDouble(1)).toIndexedSeq,
+      bounds.map(_.getDouble(2)).toIndexedSeq)
+  }
+
+  /** Encode each vector as d uint8 codes,
+    * `round((v−lo)/range·255)` clamped to [0, 255] (zero-range dims →
+    * code 0). Pure map-side; the bounds ride the plan as literals. The
+    * chain (cast, subtract, divide, multiply, HALF_UP round) is fixed
+    * correctly-rounded double arithmetic — bit-identical cross-engine,
+    * so the codes are EXACT integers an oracle can reproduce.
+    */
+  def sqEncode(df: DataFrame, model: SqModel,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val shifted = zip_with(col(vecCol), model.loLit,
+      (x, l) => x.cast("double") - l)
+    val codes = zip_with(shifted, model.rangeLit, (x, r) =>
+      when(r === 0, lit(0)).otherwise(
+        least(greatest(round(x / r * 255, 0), lit(0.0)), lit(255.0))
+          .cast("int")))
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Symmetric quantized top-k: score = integer dot of the uint8 codes
+    * (≤ 255²·d — exact long, engine-exact, no float tie ambiguity).
+    * Same shape as [[bruteForceKnn]] — broadcast query codes against
+    * one scan of the CODE stream (¼ the bytes of float32), ranking via
+    * the k-bounded partial aggregate — but no raw-vector I/O at all;
+    * compose with an exact re-rank (adcRerank's pattern) when true
+    * cosines matter more than the 4× scan saving.
+    */
+  def sqSearch(corpus: DataFrame, model: SqModel, queries: DataFrame,
+               k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val c = sqEncode(corpus, model, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes").as("n_codes"))
+    val q = sqEncode(queries, model, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("q_codes"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", aggregate(
+        zip_with(col("q_codes"), col("n_codes"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+    Relational.topKPerGroupAgg(scored, k, Seq("query_id"),
+        col("qdot"), col("neighbor_id"), "_s", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_s").cast("long").as("qdot"))
+  }
 }

@@ -101,4 +101,16 @@ class RetrievalSpec extends SparkTestBase {
       (2L, 1L, 0.25, 0.25, ndcg2),
       (3L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("calibrationBins: hand-computed bins, pred=1.0 clamps into last bin") {
+    val scored = Seq((0.05, 0), (0.05, 1), (0.95, 1), (1.0, 1), (0.5, 0))
+      .toDF("pred", "label")
+    val got = graft.ext.Retrieval.calibrationBins(scored, "pred", "label")
+      .orderBy($"bin").as[(Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 0.05, 0.5, 0.45),
+      (5L, 1L, 0.5, 0.0, 0.5),
+      (9L, 2L, 0.975, 1.0, 0.025)))
+  }
 }

@@ -247,4 +247,30 @@ class SimilaritySpec extends SparkTestBase {
     // selection-order scores are non-increasing by construction
     assert(mmr(0) >= mmr(1) && mmr(1) >= mmr(2))
   }
+
+  test("sqTrain/sqEncode: hand-computed bounds and codes, zero-range dim") {
+    val df = vecs(1 -> Seq(0f, 0f, 7f), 2 -> Seq(10f, 0f, 7f),
+      3 -> Seq(10f, 10f, 7f), 4 -> Seq(5f, 10f, 7f))
+    val m = Similarity.sqTrain(df)
+    assert(m.lo === IndexedSeq(0.0, 0.0, 7.0))
+    assert(m.hi === IndexedSeq(10.0, 10.0, 7.0))
+    val codes = Similarity.sqEncode(df, m)
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(codes(1) === Seq(0, 0, 0))
+    assert(codes(2) === Seq(255, 0, 0))
+    assert(codes(3) === Seq(255, 255, 0))
+    // 5/10*255 = 127.5 → HALF_UP 128; constant dim quantizes to 0
+    assert(codes(4) === Seq(128, 255, 0))
+  }
+
+  test("sqSearch ranks by exact integer code dot, ties by neighbor id") {
+    val df = vecs(1 -> Seq(0f, 0f, 7f), 2 -> Seq(10f, 0f, 7f),
+      3 -> Seq(10f, 10f, 7f), 4 -> Seq(5f, 10f, 7f))
+    val m = Similarity.sqTrain(df)
+    val got = Similarity.sqSearch(df, m, df.filter($"vec_id" === 3), k = 3)
+      .orderBy($"rank").as[(Int, Int, Long, Long)].collect().toSeq
+    // dots vs v3=(255,255,0): v4 128*255+255*255=97665, v2 65025, v1 0
+    assert(got === Seq((3, 4, 1L, 97665L), (3, 2, 2L, 65025L),
+      (3, 1, 3L, 0L)))
+  }
 }
