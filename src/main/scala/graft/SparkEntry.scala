@@ -1242,6 +1242,30 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // RFM customer segmentation — recency/frequency/monetary quartile
+    // codes over the orders stream; every dimension an exact integer,
+    // cutoffs exactly-representable interpolations (see scaladoc)
+    "q139_rfm_segments" -> ((s, dir) =>
+      ext.EventOps.rfmSegments(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice", anchor = "1999-01-01")
+        .orderBy(col("rfm_code"))),
+
+    // referential-integrity audit over the star schema's FK graph —
+    // one row per relationship: child rows, null FKs, orphans
+    "q140_fk_audit" -> ((s, dir) =>
+      graft.operators.Profile.referentialAudit(Seq(
+          ("lineitem.l_orderkey->orders", t(s, dir, "lineitem"),
+            "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+          ("orders.o_custkey->customer", t(s, dir, "orders"),
+            "o_custkey", t(s, dir, "customer"), "c_custkey"),
+          ("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+            "l_partkey", t(s, dir, "part"), "p_partkey"),
+          ("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"),
+            "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+          ("customer.c_nationkey->nation", t(s, dir, "customer"),
+            "c_nationkey", t(s, dir, "nation"), "n_nationkey")))
+        .orderBy(col("relationship"))),
+
     // per-source one-vs-rest JS drift — the re-mixing report (q82 is
     // the 2-slice case): one (source, token) shuffle, vocab-sized
     // derivations, |sources|-bounded expansion. Every source scored in
@@ -3419,6 +3443,78 @@ object SparkEntry {
         |  round(abs(avg(pred) - avg(CAST(label AS DOUBLE))) + 1e-9, 4)
         |    AS abs_gap
         |FROM u GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // per-customer integers (days/count/cents), quantile_cont cutoffs
+    // (exactly-representable — see rfmSegments scaladoc), strict >
+    // comparisons; recency quartile reversed (recent = better)
+    "q139_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '1999-01-01') AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (SELECT
+        |    quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
+        |    quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+        |    quantile_cont(cents, [0.25, 0.5, 0.75]) AS mc
+        |  FROM per),
+        |seg AS (SELECT
+        |    (5 - (1 + CASE WHEN rec > rc[1] THEN 1 ELSE 0 END
+        |            + CASE WHEN rec > rc[2] THEN 1 ELSE 0 END
+        |            + CASE WHEN rec > rc[3] THEN 1 ELSE 0 END)) * 100
+        |    + (1 + CASE WHEN freq > fc[1] THEN 1 ELSE 0 END
+        |         + CASE WHEN freq > fc[2] THEN 1 ELSE 0 END
+        |         + CASE WHEN freq > fc[3] THEN 1 ELSE 0 END) * 10
+        |    + (1 + CASE WHEN cents > mc[1] THEN 1 ELSE 0 END
+        |         + CASE WHEN cents > mc[2] THEN 1 ELSE 0 END
+        |         + CASE WHEN cents > mc[3] THEN 1 ELSE 0 END)
+        |      AS rfm_code, rec, cents
+        |  FROM per, cuts)
+        |SELECT CAST(rfm_code AS BIGINT) AS rfm_code,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS monetary_cents,
+        |  round(avg(rec) + 1e-9, 4) AS avg_recency_days
+        |FROM seg GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+
+    // orphans = non-null FK with no parent (anti-join both engines);
+    // all-integer counts, pct is one exact ratio at 4 dp
+    "q140_fk_audit" ->
+      """WITH rels AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |      AS n_null_fk,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS n_orphan
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |      AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+        |      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |      AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+        |SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_null_fk AS BIGINT) AS n_null_fk,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan,
+        |  round(n_orphan / CAST(n_child AS DOUBLE) + 1e-9, 4)
+        |    AS orphan_pct
+        |FROM rels ORDER BY relationship""".stripMargin,
 
     // one-vs-rest JS per source: same (group, token) counts, global
     // vocab expanded against EVERY source (absent tokens contribute on

@@ -412,4 +412,56 @@ object EventOps {
       .select(col(keyCol), col("n_events"),
         round(col("_num") / col("_den") + lit(1e-9), 4).as("twap"))
   }
+
+  /** RFM segmentation (Hughes' recency/frequency/monetary quartiles) —
+    * the classic customer-value partition, over any (entity, date,
+    * amount) transaction stream.
+    *
+    * Determinism contract: every per-entity dimension is an EXACT
+    * integer (recency = days since `anchor`, frequency = count,
+    * monetary = HALF_UP cents), and the quartile cutoffs are linear
+    * interpolations at {.25,.5,.75} over those integers — every
+    * intermediate (integer < 2⁵³, quarter fractions) is exactly
+    * representable in binary, so ANY correct percentile_cont
+    * implementation produces bit-identical cutoffs and the
+    * `val > cutoff` segment comparisons can never flip cross-engine.
+    *
+    * Shape at 100 TB: one entity-keyed aggregate (map-side combined),
+    * ONE single-row percentile aggregate over the entity summary (the
+    * documented exact-percentile trade — swap approx_percentile when
+    * the entity count itself is huge) broadcast back, then a ≤64-key
+    * rollup. No windows, no unpartitioned sorts over the corpus.
+    */
+  def rfmSegments(tx: DataFrame, idCol: String, dateCol: String,
+                  amountCol: String, anchor: String): DataFrame = {
+    val per = tx.groupBy(col(idCol)).agg(
+      datediff(lit(anchor).cast("date"), max(col(dateCol)))
+        .cast("long").as("_rec"),
+      count(lit(1)).as("_freq"),
+      sum(round(col(amountCol) * 100, 0).cast("long")).as("_cents"))
+    val cuts = per.agg(
+      percentile(col("_rec"), array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("_rc"),
+      percentile(col("_freq"), array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("_fc"),
+      percentile(col("_cents"), array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("_mc"))
+    def quartile(v: Column, c: Column, reverse: Boolean): Column = {
+      // score 1..4; recency is reversed (smaller = more recent = better)
+      val raw = lit(1) + (0 until 3).map(i =>
+        when(v > element_at(c, i + 1), 1).otherwise(0)).reduce(_ + _)
+      if (reverse) lit(5) - raw else raw
+    }
+    per.join(broadcast(cuts))
+      .select(col(idCol),
+        (quartile(col("_rec"), col("_rc"), reverse = true) * 100 +
+          quartile(col("_freq"), col("_fc"), reverse = false) * 10 +
+          quartile(col("_cents"), col("_mc"), reverse = false))
+          .cast("long").as("rfm_code"),
+        col("_rec"), col("_cents"))
+      .groupBy(col("rfm_code")).agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("_cents")).as("monetary_cents"),
+        round(avg(col("_rec")) + lit(1e-9), 4).as("avg_recency_days"))
+  }
 }

@@ -236,4 +236,32 @@ object Profile {
     df.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("partition_id"))
+
+  /** Referential-integrity audit: for each declared FK relationship,
+    * the child row count, null-FK count, and orphan count (non-null FK
+    * with no parent) — the schema-contract check a warehouse runs
+    * before trusting a join, reported as one row per relationship.
+    *
+    * Shape at 100 TB: each relationship is one child scan into a
+    * left-anti join on the key (AQE broadcasts dimension-sized parents,
+    * shuffles fact-sized ones) plus two single-row counts; the union is
+    * |relationships| rows. Nothing funnels through fewer partitions
+    * than the joins themselves.
+    */
+  def referentialAudit(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)])
+  : DataFrame =
+    rels.map { case (name, child, fk, parent, pk) =>
+      val base = child.agg(
+        count(lit(1)).as("n_child"),
+        count(when(col(fk).isNull, 1)).as("n_null_fk"))
+      val orphans = child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      base.join(orphans)
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_null_fk"), col("n_orphan"),
+          round(col("n_orphan") / col("n_child").cast("double")
+            + lit(1e-9), 4).as("orphan_pct"))
+    }.reduce(_ union _)
 }

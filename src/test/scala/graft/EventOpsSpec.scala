@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.to_date
+
 import graft.ext.EventOps
 
 class EventOpsSpec extends SparkTestBase {
@@ -214,5 +216,27 @@ class EventOpsSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSeq
     // twap = (10·10s + 20·20s) / 30s = 16.6667; last value unweighted
     assert(got === Seq((1L, 3L, 16.6667)))
+  }
+
+  test("rfmSegments: hand-computed quartile codes on four customers") {
+    val tx = Seq(
+      (1L, "2020-01-09", 10.0), (1L, "2020-01-08", 20.0),
+      (2L, "2020-01-05", 5.0),
+      (3L, "2020-01-01", 100.0),
+      (4L, "2020-01-07", 50.0), (4L, "2020-01-06", 1.0),
+      (4L, "2020-01-02", 2.0))
+      .toDF("cust", "d", "amount")
+      .select($"cust", to_date($"d").as("d"), $"amount")
+    val got = graft.ext.EventOps
+      .rfmSegments(tx, "cust", "d", "amount", anchor = "2020-01-10")
+      .orderBy($"rfm_code")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // rec [1,5,9,3] cuts (2.5,4,6); freq [2,1,1,3] cuts (1,1.5,2.25);
+    // cents [3000,500,10000,5300] cuts (2375,4150,6475)
+    // c1→(r4,f3,m2)=432  c2→(r2,f1,m1)=211  c3→(r1,f1,m4)=114
+    // c4→(r3,f4,m3)=343
+    assert(got === Seq(
+      (114L, 1L, 10000L, 9.0), (211L, 1L, 500L, 5.0),
+      (343L, 1L, 5300L, 3.0), (432L, 1L, 3000L, 1.0)))
   }
 }

@@ -104,4 +104,14 @@ class ProfileSpec extends SparkTestBase {
     assert(skew.map(_._2).sum === 100L)
     assert(skew.map(_._1).distinct.size === skew.size)
   }
+
+  test("referentialAudit counts nulls and orphans per relationship") {
+    val child = Seq(Some(1L), Some(2L), Some(2L), None, Some(5L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.referentialAudit(Seq(
+        ("child.fk->parent", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("child.fk->parent", 5L, 1L, 1L, 0.2)))
+  }
 }
