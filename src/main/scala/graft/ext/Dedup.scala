@@ -212,7 +212,7 @@ object Dedup {
     * dir is set once if unset (Spark qualifies and sub-dirs it, so a
     * string compare against getCheckpointDir would never match).
     */
-  private def truncated(df: DataFrame, checkpointDir: Option[String])
+  private[ext] def truncated(df: DataFrame, checkpointDir: Option[String])
   : DataFrame = checkpointDir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext

@@ -152,4 +152,59 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+  /** Multi-source BFS: minimum hop distance from ANY seed node, capped
+    * at `maxHops` — reachability ("within k hops of a flagged item"),
+    * expansion sets for candidate generation, blast-radius audits.
+    *
+    * The loop is FRONTIER-driven: each round joins only the newly
+    * discovered nodes (not the full label set) against the edge list,
+    * anti-joins out already-labeled nodes, and stops early when the
+    * frontier empties — so per-round work is |frontier-adjacent edges|,
+    * the textbook distributed-BFS shape. Both the label set and the
+    * frontier are eagerly truncated each round ([[Dedup.truncated]]'s
+    * localCheckpoint, or fault-tolerant `checkpoint()` when
+    * `checkpointDir` is set) and the superseded round's blocks are
+    * released, mirroring the connected-components lifecycle — lineage
+    * stays flat however deep the search runs.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val e = graft.core.Caches.cached(
+      edges.select(col("src"), col("dst")))
+    var labels = Dedup.truncated(
+      seeds.select(col("id")).distinct().withColumn("hop", lit(0L)),
+      checkpointDir)
+    var frontier = labels
+    var prevLabels: DataFrame = null
+    var h = 1
+    var done = false
+    while (!done && h <= maxHops) {
+      val next = Dedup.truncated(
+        e.join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(labels.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("hop", lit(h.toLong)),
+        checkpointDir)
+      done = next.isEmpty
+      if (!done) {
+        val merged = Dedup.truncated(labels.union(next), checkpointDir)
+        // merged and next are materialized; the superseded label set and
+        // the consumed frontier are dead — release their blocks
+        org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(labels)
+        if (prevLabels != null)
+          org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(prevLabels)
+        prevLabels = frontier
+        labels = merged
+        frontier = next
+      }
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    // the merged label set is a checkpoint COPY — the last frontier's
+    // blocks are dead unless no round ever ran (labels IS the seed
+    // frontier then)
+    if (!(frontier eq labels))
+      org.apache.spark.sql.graftbridge.Bridge.releaseCheckpoint(frontier)
+    labels
+  }
 }

@@ -73,4 +73,22 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.triangleCount(square, "a", "b")
       .as[Long].collect().head === 0L)
   }
+
+  test("bfsHops: min hop from any seed, cap respected, early exit") {
+    def sym(pairs: (Long, Long)*) = {
+      val p = pairs.toSeq.toDF("src", "dst")
+      p.unionByName(p.select($"dst".as("src"), $"src".as("dst")))
+    }
+    // path 1-2-3-4-5: node 5 is 4 hops out → excluded by maxHops=3
+    val path = sym(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val got = Graph.bfsHops(path, Seq(1L).toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds meet in the middle: min hop wins; disconnected node
+    // never appears; frontier empties before maxHops (early exit)
+    val twoComp = sym(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val got2 = Graph.bfsHops(twoComp, Seq(1L, 3L).toDF("id"), maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
 }
