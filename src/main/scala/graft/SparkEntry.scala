@@ -1250,6 +1250,20 @@ object SparkEntry {
           "o_orderdate", "o_totalprice", anchor = "1999-01-01")
         .orderBy(col("rfm_code"))),
 
+    // binned mutual information between order value and priority —
+    // the joint-association screen next to q116's chi-square and
+    // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
+    "q142_mutual_info" -> ((s, dir) =>
+      operators.Relational.mutualInfoBinned(t(s, dir, "orders"),
+          "o_totalprice", "o_orderpriority", bins = 8)
+        .orderBy(col("bin"), col("category"))),
+
+    // top-20 three-step user journeys — markov's (q102) order-2
+    // sibling: two leads over the user timeline, global top-k
+    "q143_top_trigrams" -> ((s, dir) =>
+      ext.EventOps.topSequencePatterns(t(s, dir, "events"), "user_id",
+        "ts", "event_type", k = 20, orderCols = Seq(col("event_id")))),
+
     // referential-integrity audit over the star schema's FK graph —
     // one row per relationship: child rows, null FKs, orphans
     "q140_fk_audit" -> ((s, dir) =>
@@ -1383,6 +1397,25 @@ object SparkEntry {
         operators.Recommend.basketPairs(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L),
         "item_a", "item_b")),
+
+    // multi-source BFS over the item graph: min hop from any seed item
+    // (id < 200), capped at 3 — reachability/blast-radius, the
+    // frontier-driven loop. Oracle is a DuckDB recursive CTE (UNION
+    // dedup bounds the walk) + min(hop)
+    "q141_bfs_hops" -> ((s, dir) => {
+      val pairs = operators.Recommend.basketPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasket = 64, minPairCount = 2L)
+      val edges = pairs
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pairs
+          .select(col("item_b").as("src"), col("item_a").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(col("id") < 200).distinct()
+      ext.Graph.bfsHops(edges, seeds, maxHops = 3)
+        .groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"),
+          sum(col("id")).as("sum_ids"))
+        .orderBy(col("hop"))
+    }),
 
     // the layout path end-to-end, driver-checked: stage lineitem
     // Z-ORDERED by (l_partkey, l_suppkey) — Morton interleave, range-
@@ -3401,6 +3434,33 @@ object SparkEntry {
         |FROM i JOIN s sa ON sa.g = i.ga JOIN s sb ON sb.g = i.gb
         |ORDER BY source_a, source_b""".stripMargin,
 
+    // same basket-pair edge list as q86; the recursive walk dedups
+    // (id, hop) rows (UNION recursion) so it is bounded by |V|·hops;
+    // min(hop) = BFS distance; membership pinned by the sum_ids checksum
+    "q141_bfs_hops" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey AS i FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |pairs AS (SELECT x.i AS ia, y.i AS ib
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >=
+        |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
+        |     FROM lineitem)),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |          UNION ALL SELECT ib, ia FROM pairs),
+        |walk(id, hop) AS (
+        |  SELECT DISTINCT src AS id, 0 AS hop FROM edges WHERE src < 200
+        |  UNION
+        |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.hop < 3),
+        |m AS (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
+        |SELECT CAST(hop AS BIGINT) AS hop,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(id) AS BIGINT) AS sum_ids
+        |FROM m GROUP BY 1 ORDER BY hop""".stripMargin,
+
     // per-dim bounds via lateral range over the double-cast list; codes
     // are the identical fixed chain ((v-lo)/range*255, HALF_UP round,
     // clamp) → exact integers; ranking by INTEGER dot, ties by id
@@ -3477,6 +3537,43 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS monetary_cents,
         |  round(avg(rec) + 1e-9, 4) AS avg_recency_days
         |FROM seg GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+
+    // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
+    // counts exact; pmi/mi are the same double chain both engines,
+    // ln ulp absorbed by the 4-dp round
+    "q142_mutual_info" ->
+      """WITH ext AS (SELECT min(o_totalprice) AS lo,
+        |    max(o_totalprice) AS hi, count(o_totalprice) AS n
+        |  FROM orders),
+        |b AS (SELECT least(CAST(floor((o_totalprice - lo) /
+        |      ((hi - lo) / 8.0)) AS BIGINT), 7) AS bin,
+        |    o_orderpriority AS category, n
+        |  FROM orders, ext WHERE o_totalprice IS NOT NULL),
+        |joint AS (SELECT bin, category, CAST(count(*) AS BIGINT) AS n_xy,
+        |    max(n) AS n FROM b GROUP BY 1, 2),
+        |mx AS (SELECT bin, sum(n_xy) AS nx FROM joint GROUP BY 1),
+        |my AS (SELECT category, sum(n_xy) AS ny FROM joint GROUP BY 1)
+        |SELECT bin, category, n_xy,
+        |  round(ln((CAST(n_xy AS DOUBLE) * joint.n) /
+        |    (CAST(nx AS DOUBLE) * ny)) + 1e-9, 4) + 0.0 AS pmi,
+        |  round((n_xy / CAST(joint.n AS DOUBLE)) *
+        |    ln((CAST(n_xy AS DOUBLE) * joint.n) /
+        |      (CAST(nx AS DOUBLE) * ny)) + 1e-9, 4) + 0.0 AS mi_contrib
+        |FROM joint JOIN mx USING (bin) JOIN my USING (category)
+        |ORDER BY bin, category""".stripMargin,
+
+    // two leads over (user, ts, event_id); trailing nulls dropped;
+    // exact counts, ties by the trigram strings
+    "q143_top_trigrams" ->
+      """WITH g AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
 
     // orphans = non-null FK with no parent (anti-join both engines);
     // all-integer counts, pct is one exact ratio at 4 dp

@@ -464,4 +464,35 @@ object EventOps {
         sum(col("_cents")).as("monetary_cents"),
         round(avg(col("_rec")) + lit(1e-9), 4).as("avg_recency_days"))
   }
+
+  /** Top-k sequential trigrams: the most frequent (step1, step2, step3)
+    * event-type runs across all per-user timelines —
+    * [[markovTransitions]]'s order-2 sibling, the first-pass sequential
+    * pattern mine (what three-step journeys dominate) without a full
+    * PrefixSpan lattice.
+    *
+    * Two `lead`s over the (user, time, tie-break) window build each
+    * user's trigram stream in place — the window partitions on the
+    * high-cardinality user id, trigrams never cross users (trailing
+    * leads are null-dropped), and the count is one 3-string-keyed
+    * map-side-combined aggregate into a global top-k
+    * (TakeOrderedAndProject — k·partitions driver cost). Exact integer
+    * counts; ties broken by the trigram itself.
+    */
+  def topSequencePatterns(events: DataFrame, userCol: String,
+                          tsCol: String, typeCol: String, k: Int,
+                          orderCols: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: orderCols: _*)
+    events
+      .select(col(userCol), col(typeCol).as("step1"),
+        lead(col(typeCol), 1).over(w).as("step2"),
+        lead(col(typeCol), 2).over(w).as("step3"))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

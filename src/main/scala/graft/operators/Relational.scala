@@ -352,4 +352,49 @@ object Relational {
         round(col("_m._diff") + lit(1e-9), 4).as("ks"),
         (-col("_m._nbin")).cast("long").as("ks_bin"))
   }
+
+  /** Binned mutual information between a numeric and a categorical
+    * column — the joint-association report ([[ksBinned]] asks "did one
+    * numeric's distribution shift"; this asks "are these two columns
+    * dependent at all", feature-selection's first screen). The numeric
+    * axis is binned on an equi-width grid over the broadcast [min, max]
+    * ([[ksBinned]]'s exact-integer bin currency), so all counts are
+    * exact and the per-cell PMI/MI terms are a fixed double chain over
+    * them.
+    *
+    * Output: one row per occupied (bin, category) cell — joint count,
+    * pmi = ln(P(x,y)/(P(x)P(y))), and the cell's MI contribution
+    * (nats, 4 dp) whose sum is the MI estimate. Corpus-sized work is
+    * one scan into the (bin, cat)-keyed aggregate (map-side combined);
+    * marginals derive from the cell frame (≤ bins·|cats| rows).
+    */
+  def mutualInfoBinned(df: DataFrame, numCol: String, catCol: String,
+                       bins: Int = 8): DataFrame = {
+    val v = col(numCol).cast("double")
+    val ext = df.agg(min(v).as("_lo"), max(v).as("_hi"),
+      count(v).as("_n"))
+    val binned = df.select(v.as("_v"), col(catCol).as("category"))
+      .filter(col("_v").isNotNull)
+      .join(broadcast(ext))
+      .withColumn("bin", least(
+        floor((col("_v") - col("_lo")) /
+          ((col("_hi") - col("_lo")) / lit(bins.toDouble))).cast("long"),
+        lit(bins - 1L)))
+    val joint = binned.groupBy(col("bin"), col("category"))
+      .agg(count(lit(1)).as("n_xy"), max(col("_n")).as("_n"))
+    val margX = joint.groupBy(col("bin")).agg(sum(col("n_xy")).as("_nx"))
+    val margY = joint.groupBy(col("category"))
+      .agg(sum(col("n_xy")).as("_ny"))
+    val pmi = log((col("n_xy").cast("double") * col("_n")) /
+      (col("_nx").cast("double") * col("_ny")))
+    joint
+      .join(broadcast(margX), Seq("bin"))
+      .join(broadcast(margY), Seq("category"))
+      // + 0.0 normalizes IEEE −0.0 from the sign-preserving round of a
+      // tiny negative term (the q99 signed-zero currency)
+      .select(col("bin"), col("category"), col("n_xy"),
+        (round(pmi + lit(1e-9), 4) + lit(0.0)).as("pmi"),
+        (round((col("n_xy") / col("_n").cast("double")) * pmi
+          + lit(1e-9), 4) + lit(0.0)).as("mi_contrib"))
+  }
 }

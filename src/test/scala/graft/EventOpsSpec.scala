@@ -239,4 +239,17 @@ class EventOpsSpec extends SparkTestBase {
       (114L, 1L, 10000L, 9.0), (211L, 1L, 500L, 5.0),
       (343L, 1L, 5300L, 3.0), (432L, 1L, 3000L, 1.0)))
   }
+
+  test("topSequencePatterns: trigrams never cross users, ranked by count") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+      .map { case (u, i, t) => (u, new Timestamp(i * 1000L), i, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ext.EventOps.topSequencePatterns(ev, "user_id", "ts",
+        "event_type", k = 2, orderCols = Seq($"event_id"))
+      .as[(String, String, String, Long)].collect().toSeq
+    // u1 → aba, bab; u2 → aba; no trigram spans the user boundary
+    assert(got === Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L)))
+  }
 }

@@ -195,4 +195,20 @@ class RelationalSpec extends SparkTestBase {
     // max gap 0.5 is achieved at bins 1..3 — the FIRST (bin 1) wins
     assert(got === ((4L, 4L, 0.5, 1L)))
   }
+
+  test("mutualInfoBinned: ln2 for a perfect pairing, 0 for independence") {
+    val dep = Seq((0.0, "A"), (0.0, "A"), (10.0, "B"), (10.0, "B"))
+      .toDF("v", "c")
+    val gotDep = Relational.mutualInfoBinned(dep, "v", "c", bins = 2)
+      .orderBy($"bin").as[(Long, String, Long, Double, Double)]
+      .collect().toSeq
+    // each cell: pmi = ln(2·4/(2·2)) = ln 2; contrib = ½·ln 2
+    assert(gotDep === Seq((0L, "A", 2L, 0.6931, 0.3466),
+      (1L, "B", 2L, 0.6931, 0.3466)))
+    val ind = Seq((0.0, "A"), (0.0, "B"), (10.0, "A"), (10.0, "B"))
+      .toDF("v", "c")
+    val gotInd = Relational.mutualInfoBinned(ind, "v", "c", bins = 2)
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(gotInd.forall(r => r._4 === 0.0 && r._5 === 0.0))
+  }
 }
