@@ -1250,6 +1250,23 @@ object SparkEntry {
           "o_orderdate", "o_totalprice", anchor = "1999-01-01")
         .orderBy(col("rfm_code"))),
 
+    // hash-deterministic negative sampling over q129's interaction
+    // frame (dense item domain 0..49): 5 reproducible non-interacted
+    // items per user for a ranking loss — no rand(), md5 slot draws
+    "q144_negative_samples" -> ((s, dir) => {
+      val positives = t(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 50).as("item_id"))
+      ext.Sampling.negativeSamples(positives, "user_id", "item_id",
+          nItems = 50, k = 5)
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // per-doc unigram entropy — the diversity/repetition quality
+    // signal next to q72: spam ≈ 0, diverse prose → ln(n_distinct)
+    "q145_token_entropy" -> ((s, dir) =>
+      ext.TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // binned mutual information between order value and priority —
     // the joint-association screen next to q116's chi-square and
     // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
@@ -3537,6 +3554,45 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS monetary_cents,
         |  round(avg(rec) + 1e-9, 4) AS avg_recency_days
         |FROM seg GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+
+    // md5 slot-draw currency (q79): candidate = first-13-hex of
+    // md5('42:' user '#' slot) mod 50; first slot per item, anti-join
+    // positives, k lowest slots per user
+    "q144_negative_samples" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |cand AS (SELECT user_id, s.slot,
+        |    CAST(concat('0x', substr(md5(concat('42:', CAST(user_id
+        |      AS VARCHAR), '#', CAST(s.slot AS VARCHAR))), 1, 13))
+        |      AS BIGINT) % 50 AS neg_item
+        |  FROM users, generate_series(0, 14) AS s(slot)),
+        |first_draw AS (SELECT user_id, neg_item,
+        |    min(slot) AS slot FROM cand GROUP BY 1, 2),
+        |surv AS (SELECT f.user_id, f.neg_item, f.slot FROM first_draw f
+        |  WHERE NOT EXISTS (SELECT 1 FROM events e
+        |    WHERE e.user_id = f.user_id
+        |      AND e.event_id % 50 = f.neg_item))
+        |SELECT user_id, neg_item, rank FROM (
+        |  SELECT user_id, neg_item, CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY slot) AS BIGINT) AS rank
+        |  FROM surv)
+        |WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin,
+
+    // same token currency as q136; p = c/n exact rationals; ln-sum
+    // rounds at 4 dp; +0.0 for the single-token −0.0
+    "q145_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS nd
+        |  FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+        |  n.nd AS n_distinct,
+        |  round(-sum((c / CAST(n.n AS DOUBLE)) *
+        |    ln(c / CAST(n.n AS DOUBLE))) + 1e-9, 4) + 0.0 AS entropy
+        |FROM c JOIN n USING (doc_id) GROUP BY 1, 2, 3
+        |ORDER BY doc_id""".stripMargin,
 
     // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
     // counts exact; pmi/mi are the same double chain both engines,

@@ -168,4 +168,41 @@ object Sampling {
         hashScore(col(idCol), seed).cast("double") / lit(4503599627370496.0)
           < col("rate"))
   }
+
+  /** Hash-deterministic negative sampling for implicit-feedback
+    * training pairs: for each user in `positives`, up to `k` items the
+    * user has NO interaction with, drawn uniformly from a dense item
+    * domain [0, nItems). The training-data step between the
+    * interaction frame (q129's input) and a ranking-loss model — every
+    * positive needs contrastive negatives, and they must be
+    * reproducible across runs/engines (no `rand()`).
+    *
+    * Candidate item for (user, slot) = [[hashScore]](user"#"slot) mod
+    * nItems — generated by exploding `k·oversample` slots per distinct
+    * user (map-side; the oversample absorbs candidates lost to
+    * positive-collision or duplicate draws), deduped to the user's
+    * first slot per item, anti-joined against the positives on the
+    * (user, item) key, then cut to the k lowest slots per user. All
+    * corpus-sized stages are key-partitioned joins/aggregates; the
+    * per-user window ranks ≤ k·oversample candidate rows. A user dense
+    * enough to exhaust the oversample yields fewer than k negatives
+    * (documented, detectable via rank).
+    */
+  def negativeSamples(positives: DataFrame, userCol: String,
+                      itemCol: String, nItems: Int, k: Int,
+                      oversample: Int = 3, seed: Long = 42L): DataFrame = {
+    val cands = positives.select(col(userCol)).distinct()
+      .select(col(userCol),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("_slot"))
+      .withColumn("neg_item",
+        hashScore(concat(col(userCol).cast("string"), lit("#"),
+          col("_slot").cast("string")), seed) % nItems)
+    val firstDraw = cands.groupBy(col(userCol), col("neg_item"))
+      .agg(min(col("_slot")).as("_slot"))
+    val survivors = firstDraw.join(
+      positives.select(col(userCol), col(itemCol).as("neg_item")).distinct(),
+      Seq(userCol, "neg_item"), "left_anti")
+    Relational.topKPerGroup(survivors, k, Seq(userCol), Seq(col("_slot")))
+      .select(col(userCol), col("neg_item"), col("rank"))
+  }
 }

@@ -620,6 +620,29 @@ object TextOps {
       vocab)
   }
 
+  /** Per-document token-distribution entropy (nats): −Σ p·ln p over the
+    * document's unigram frequencies — the repetition/diversity quality
+    * signal next to [[repetitionStats]] (a spam page repeating one
+    * token scores ≈0; diverse prose approaches ln n_distinct). Emitted
+    * with the token totals so a gate can combine them.
+    *
+    * One (doc, token) aggregate (doc-keyed, map-side combined) and one
+    * doc-keyed rollup — both partition on the high-cardinality doc id.
+    * The +0.0 normalizes −0.0 (single-token docs produce −sum(0)).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val p = col("_c") / col("_n").cast("double")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum(col("_c")).over(w))
+      .groupBy(col(idCol)).agg(
+        max(col("_n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (round(-sum(p * log(p)) + lit(1e-9), 4) + lit(0.0)).as("entropy"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-n-gram profile is,

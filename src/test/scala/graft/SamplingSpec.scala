@@ -135,4 +135,28 @@ class SamplingSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids === ids2 && ids.nonEmpty)
   }
+
+  test("negativeSamples: disjoint from positives, deterministic, k-capped") {
+    // user 1 holds items 0..7 of a 10-item domain (dense: oversample
+    // can run dry); user 2 holds only item 0
+    val pos = (0L to 7L).map(i => (1L, i)) :+ (2L, 0L)
+    val df = pos.toDF("user_id", "item_id")
+    val got = Sampling.negativeSamples(df, "user_id", "item_id",
+      nItems = 10, k = 3, oversample = 3)
+    val byUser = got.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+    val posSet = pos.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((u, rows) <- byUser; (_, item, _) <- rows)
+      assert(!posSet(u).contains(item), s"user $u drew a positive $item")
+    // ranks are 1..n with no gaps; never more than k
+    for ((_, rows) <- byUser)
+      assert(rows.map(_._3) === (1L to rows.size).toSeq && rows.size <= 3)
+    // user 2 has 9 free items and 9 draws → full k
+    assert(byUser(2L).size === 3)
+    // rerun is bit-identical (hash-deterministic, no rand())
+    val again = Sampling.negativeSamples(df, "user_id", "item_id",
+      nItems = 10, k = 3, oversample = 3)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(again === byUser.toSeq.sortBy(_._1).flatMap(_._2))
+  }
 }

@@ -344,4 +344,15 @@ class TextOpsSpec extends SparkTestBase {
     assert(common === 2L && union === 5L)     // {the, sat}
     assert(j === 0.4)                         // 2/5
   }
+
+  test("tokenEntropy: 0 for repetition, ln k for uniform distributions") {
+    val df = Seq((1L, "a a a"), (2L, "a a b b"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 2L, 0.6931)))  // ln 2
+    assert(got(3L) === ((4L, 4L, 1.3863)))  // ln 4
+  }
 }
