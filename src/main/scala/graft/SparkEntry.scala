@@ -1267,6 +1267,25 @@ object SparkEntry {
       ext.TextOps.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // leave-one-out smoothed target encoding of order priority against
+    // order value — the leakage-free categorical feature transform
+    "q146_target_encode" -> ((s, dir) =>
+      operators.Relational.targetEncodeLoo(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          "o_orderpriority", "o_totalprice", smoothing = 20.0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("loo_enc"))
+        .orderBy(col("o_orderkey"))),
+
+    // catalog-concentration audit: Gini of per-item interaction counts
+    // within each event type (0 uniform → 1 single-item monoculture)
+    "q147_gini_concentration" -> ((s, dir) =>
+      operators.Relational.giniConcentration(
+          t(s, dir, "events").select(col("event_type"),
+            (col("event_id") % 50).as("item_id")),
+          "event_type", "item_id")
+        .orderBy(col("event_type"))),
+
     // binned mutual information between order value and priority —
     // the joint-association screen next to q116's chi-square and
     // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
@@ -3593,6 +3612,35 @@ object SparkEntry {
         |    ln(c / CAST(n.n AS DOUBLE))) + 1e-9, 4) + 0.0 AS entropy
         |FROM c JOIN n USING (doc_id) GROUP BY 1, 2, 3
         |ORDER BY doc_id""".stripMargin,
+
+    // same (Σ_cat − y + m·μ)/(n−1+m) double chain both engines; the
+    // category sums' ordering ulp is absorbed by the 4-dp round
+    "q146_target_encode" ->
+      """WITH g AS (SELECT avg(o_totalprice) AS mu FROM orders),
+        |c AS (SELECT o_orderpriority, sum(o_totalprice) AS s,
+        |    CAST(count(o_totalprice) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round((s - o_totalprice + 20.0 * mu) / (n - 1 + 20.0)
+        |    + 1e-9, 4) AS loo_enc
+        |FROM orders JOIN c USING (o_orderpriority) CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // rank formula on exact integer sums — both engines derive the
+    // gini double from identical Σ i·x / n / Σx; ties rank-invariant
+    "q147_gini_concentration" ->
+      """WITH x AS (SELECT event_type, event_id % 50 AS item_id,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY x, item_id) AS BIGINT) AS i
+        |  FROM x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  round(2.0 * sum(i * x) / (count(*) * CAST(sum(x) AS DOUBLE))
+        |    - (count(*) + 1) / CAST(count(*) AS DOUBLE)
+        |    + 1e-9, 4) + 0.0 AS gini
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
     // counts exact; pmi/mi are the same double chain both engines,

@@ -397,4 +397,68 @@ object Relational {
         (round((col("n_xy") / col("_n").cast("double")) * pmi
           + lit(1e-9), 4) + lit(0.0)).as("mi_contrib"))
   }
+
+  /** Leave-one-out target encoding with Bayesian smoothing — the
+    * standard high-cardinality-categorical feature transform for
+    * tree/linear models: each row's category is encoded as the mean
+    * target of the OTHER rows in that category, shrunk toward the
+    * global mean μ by pseudo-count m:
+    * `enc = (Σ_cat y − y_i + m·μ) / (n_cat − 1 + m)` — excluding the
+    * row's own target is what prevents the leakage a plain group-mean
+    * join would inject into training data.
+    *
+    * Per-category (Σ, n) come from a key-partitioned aggregate joined
+    * back on the category (the aggregate is |categories| rows — AQE
+    * broadcasts it when small, falls back to a shuffle join for
+    * genuinely high-cardinality categories; no window over the
+    * category partition, which would put a whole category's rows on one
+    * task and skew at scale). μ is a one-row cross join. A singleton
+    * category yields μ (the shrinkage limit), which is why m > 0 is
+    * required.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      smoothing: Double = 20.0): DataFrame = {
+    require(smoothing > 0, "smoothing must be > 0 (a singleton " +
+      "category divides by n-1+m = m)")
+    val y = col(targetCol).cast("double")
+    val perCat = df.groupBy(col(catCol))
+      .agg(sum(y).as("_s"), count(y).as("_n"))
+    val mu = df.agg(avg(y).as("_mu"))
+    df.join(perCat, Seq(catCol)).join(broadcast(mu))
+      .withColumn("loo_enc",
+        round((col("_s") - y + lit(smoothing) * col("_mu")) /
+          (col("_n") - lit(1) + lit(smoothing)) + lit(1e-9), 4))
+      .drop("_s", "_n", "_mu")
+  }
+
+  /** Gini concentration of engagement per group — the long-tail /
+    * popularity-skew diagnostic a recommender team watches (G → 0:
+    * uniform interest across the catalog; G → 1: all interactions on
+    * one item). Counts per (group, key), ranked ascending within the
+    * group, then the classic rank formula on EXACT integers:
+    * `G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n` — both engines derive the
+    * double from the same integer sums, so 4-dp agreement is exact.
+    *
+    * The corpus-sized stage is the (group, key) count — key-partitioned
+    * and map-side combined. The rank window runs over the COUNT frame
+    * (catalog-bounded: ≤ |keys| rows per group, not corpus rows), the
+    * only place a per-group sort is affordable at scale. Equal counts
+    * contribute the same Σ i·x regardless of rank order within the tie,
+    * so the keyCol tie-break is for determinism, not the value.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String, keyCol: String)
+  : DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("_x"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_x"), col(keyCol))
+    counts.withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("_x")).as("total"),
+        (round((lit(2.0) * sum(col("_i") * col("_x"))) /
+          (count(lit(1)) * sum(col("_x"))).cast("double")
+          - (count(lit(1)) + lit(1)).cast("double") / count(lit(1))
+          + lit(1e-9), 4) + lit(0.0)).as("gini"))
+  }
 }

@@ -211,4 +211,34 @@ class RelationalSpec extends SparkTestBase {
       .as[(Long, String, Long, Double, Double)].collect().toSeq
     assert(gotInd.forall(r => r._4 === 0.0 && r._5 === 0.0))
   }
+
+  test("targetEncodeLoo: hand-computed leave-one-out, singleton → μ") {
+    // cat a: y = 10, 20 (Σ 30); cat b: y = 40 (singleton); μ = 70/3
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 40.0))
+      .toDF("id", "cat", "y")
+    val got = Relational.targetEncodeLoo(df, "cat", "y", smoothing = 2.0)
+      .select($"id", $"loo_enc").as[(Long, Double)].collect().toMap
+    val mu = 70.0 / 3
+    // row 1: (30-10+2μ)/(2-1+2) = (20+2μ)/3; row 3: (40-40+2μ)/2 = μ
+    assert(got(1L) === math.round(((20 + 2 * mu) / 3 + 1e-9) * 1e4) / 1e4)
+    assert(got(2L) === math.round(((10 + 2 * mu) / 3 + 1e-9) * 1e4) / 1e4)
+    assert(got(3L) === math.round((mu + 1e-9) * 1e4) / 1e4)
+  }
+
+  test("giniConcentration: 0 for uniform, 1-1/n for a monoculture") {
+    // group u: 4 keys × 3 interactions each → G = 0
+    // group m: all 12 interactions on one key of 4 observed... a key
+    // with zero count never appears in the count frame, so the
+    // monoculture group has n=1 observed key → G = 1 - 1/1 = 0; use
+    // 3 keys with (10, 1, 1) to get a skewed positive G instead
+    val uni = (1 to 4).flatMap(k => Seq.fill(3)(("u", k.toLong)))
+    val skew = Seq.fill(10)(("m", 1L)) ++ Seq(("m", 2L), ("m", 3L))
+    val got = Relational
+      .giniConcentration((uni ++ skew).toDF("g", "k"), "g", "k")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("u") === (("u", 4L, 12L, 0.0)))
+    // ranks asc (1,1,10) → i·x = 1+2+30 = 33; G = 66/36 - 4/3 = 0.5
+    assert(got("m") === (("m", 3L, 12L, 0.5)))
+  }
 }
