@@ -1286,6 +1286,36 @@ object SparkEntry {
           "event_type", "item_id")
         .orderBy(col("event_type"))),
 
+    // random-walk-with-restart item scores for one user over the
+    // symmetrized count-weighted user–item graph — the Pixie-style
+    // graph-walk recommender next to q129's item-CF cosine
+    "q148_ppr_recs" -> ((s, dir) => {
+      val c = t(s, dir, "events")
+        .groupBy(concat(lit("u"), col("user_id")).as("u"),
+          concat(lit("i"), col("event_id") % 50).as("i"))
+        .agg(count(lit(1)).as("w"))
+      val edges = c.select(col("u").as("src"), col("i").as("dst"), col("w"))
+        .unionByName(
+          c.select(col("i").as("src"), col("u").as("dst"), col("w")))
+      val seeds = s.range(1).select(lit("u1").as("id"))
+      ext.Graph.personalizedPageRank(edges, seeds, iters = 3)
+        .filter(col("id").startsWith("i"))
+        .select(col("id").substr(lit(2), lit(100)).cast("long")
+            .as("item_id"),
+          round(col("ppr") + lit(1e-9), 6).as("ppr"))
+        .orderBy(col("item_id"))
+    }),
+
+    // asymmetric-containment near-dup pairs: |A∩B|/min(|A|,|B|) — the
+    // quote-inclusion/truncated-recrawl signal q32's Jaccard misses
+    "q149_containment_pairs" -> ((s, dir) =>
+      ext.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id",
+          "text", shingleN = 3, partitionCols = Seq("lang", "source"))
+        .select(col("id_a"), col("id_b"),
+          round(col("containment") + lit(1e-9), 4).as("containment"))
+        .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
     // binned mutual information between order value and priority —
     // the joint-association screen next to q116's chi-square and
     // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
@@ -3641,6 +3671,53 @@ object SparkEntry {
         |    - (count(*) + 1) / CAST(count(*) AS DOUBLE)
         |    + 1e-9, 4) + 0.0 AS gini
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // three unrolled r' = 0.15·e + 0.85·Σ r·w/W steps with the same
+    // left-associated multiply chain; reached-nodes-only both engines
+    "q148_ppr_recs" ->
+      """WITH c AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
+        |    'i' || CAST(event_id % 50 AS VARCHAR) AS i,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT u AS src, i AS dst, w FROM c
+        |  UNION ALL SELECT i, u, w FROM c),
+        |o AS (SELECT src, sum(w) AS ww FROM e GROUP BY 1),
+        |r0 AS (SELECT 'u1' AS id, 1.0 AS v),
+        |r1 AS (SELECT id, sum(v) AS v FROM (
+        |  SELECT e.dst AS id, 0.85 * r.v * e.w / o.ww AS v
+        |  FROM r0 r JOIN e ON r.id = e.src JOIN o ON e.src = o.src
+        |  UNION ALL SELECT 'u1', 0.15) GROUP BY 1),
+        |r2 AS (SELECT id, sum(v) AS v FROM (
+        |  SELECT e.dst AS id, 0.85 * r.v * e.w / o.ww AS v
+        |  FROM r1 r JOIN e ON r.id = e.src JOIN o ON e.src = o.src
+        |  UNION ALL SELECT 'u1', 0.15) GROUP BY 1),
+        |r3 AS (SELECT id, sum(v) AS v FROM (
+        |  SELECT e.dst AS id, 0.85 * r.v * e.w / o.ww AS v
+        |  FROM r2 r JOIN e ON r.id = e.src JOIN o ON e.src = o.src
+        |  UNION ALL SELECT 'u1', 0.15) GROUP BY 1)
+        |SELECT CAST(substr(id, 2) AS BIGINT) AS item_id,
+        |  round(v + 1e-9, 6) AS ppr
+        |FROM r3 WHERE id LIKE 'i%' ORDER BY item_id""".stripMargin,
+
+    // same 3-gram/partition construction as the q32 oracle (uncapped:
+    // hash-match holds while no shingle df exceeds 1000 — max ~30 at
+    // test SF); containment = inter / min set size
+    "q149_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))
+        |    / least(len(a.sh), len(b.sh)) + 1e-9, 4) AS containment
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |ORDER BY containment DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
     // counts exact; pmi/mi are the same double chain both engines,

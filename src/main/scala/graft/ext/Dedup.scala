@@ -392,7 +392,47 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3,
                         partitionCols: Seq[String] = Nil,
-                        maxPostingDf: Int = 1000): DataFrame = {
+                        maxPostingDf: Int = 1000): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, partitionCols,
+        maxPostingDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Asymmetric CONTAINMENT near-dup pairs: `inter / min(|A|, |B|)` —
+    * the subset-inclusion statistic Jaccard misses. A short document
+    * quoted whole inside a long one has Jaccard ≈ |A|/|B| (→ 0 as the
+    * host grows) but containment ≈ 1; it is the right score for
+    * quote-inclusion, article-plus-comments wrappers, and truncated
+    * re-crawls (Broder's resemblance-vs-containment distinction,
+    * SEQUENCES'97). Same inverted-index plan as [[ngramJaccardPairs]]
+    * (Σ posting², hot-posting cap, never corpus²) — only the final
+    * projection differs. `minContainment` filters after the exact
+    * per-pair count; the denominator uses PRE-cap set sizes, mirroring
+    * the jaccard convention documented above.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       partitionCols: Seq[String] = Nil,
+                       maxPostingDf: Int = 1000,
+                       minContainment: Double = 0.0): DataFrame =
+    shinglePairCounts(df, idCol, textCol, shingleN, partitionCols,
+        maxPostingDf)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared inverted-index pair engine for [[ngramJaccardPairs]] /
+    * [[containmentPairs]]: (id_a, id_b, n_a, n_b, inter) with
+    * id_a < id_b, for pairs sharing ≥ 1 sub-cap shingle.
+    */
+  private def shinglePairCounts(df: DataFrame, idCol: String,
+                                textCol: String, shingleN: Int,
+                                partitionCols: Seq[String],
+                                maxPostingDf: Int): DataFrame = {
     val part = partitionCols.map(col)
     val d = df
       .select(part :+ col(idCol) :+
@@ -429,10 +469,6 @@ object Dedup {
     a.join(b, col("pkey") === col("pkey_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Verbatim shared-SPAN detection: pairs of documents sharing at

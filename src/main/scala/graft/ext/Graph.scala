@@ -79,6 +79,74 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank (random walk with restart) over a WEIGHTED
+    * directed edge list — the Pixie/RWR recommender primitive: walk
+    * mass restarts at the `seeds` (probability `alpha` per step) instead
+    * of teleporting uniformly, so scores rank nodes by proximity to the
+    * seed set. On the bipartite user→item interaction graph
+    * (symmetrized, count-weighted) the item scores after a few
+    * iterations are "items reachable through co-engagement" — the
+    * graph-walk sibling of item-CF's cosine (q129).
+    *
+    * Differences from [[pageRank]], each deliberate:
+    *   - restart mass `alpha/|seeds|` goes ONLY to seeds — r₀ likewise
+    *     (mass 1 split over seeds);
+    *   - the rank frame holds only REACHED nodes (unreached = exact 0;
+    *     no |V|-row left-join per round) — per-iteration state is the
+    *     reachable set, which for a localized walk is far smaller than
+    *     the graph, exactly why RWR scales as a per-seed-batch query;
+    *   - edges carry a weight column (co-engagement count): transition
+    *     probability = w / Σ_out w.
+    * Walk mass exiting a dangling node is dropped ([[pageRank]]'s
+    * convention); a symmetrized interaction graph has none. Fixed
+    * `iters` keeps lineage linear (same argument as [[pageRank]]); the
+    * edge/out-weight frames are cached across rounds and released after
+    * the result materializes (same lifecycle).
+    *
+    * Returns (id, ppr) for reached nodes; Σ ppr ≤ 1 (= 1 when no
+    * dangling mass drops). Scores are engine-exact modulo float-sum
+    * ordering: contributions are the identical left-associated
+    * `(1−α)·r·w / W` chain in any engine, so a 4–6 dp round compares
+    * cleanly against a SQL oracle's unrolled iterations.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           alpha: Double = 0.15, srcCol: String = "src",
+                           dstCol: String = "dst", weightCol: String = "w")
+  : DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).as("_w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("_w")).as("_wtot"))
+    // normalize ONCE outside the loop: w/W is iteration-invariant, and
+    // `(1−α)·r·w / W` keeps its left-associated order by multiplying the
+    // rank against w BEFORE this precomputed division's result — i.e.
+    // ((1−α)·r)·w/W ≠ ((1−α)·r)·(w/W) in floats, so the transition frame
+    // keeps (w, W) separate to stay oracle-exact
+    val trans = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), col("_w"), col("_wtot")).persist()
+    val s = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .persist()
+    val nSeeds = s.agg(count(lit(1)).as("_ns"))
+    val restart = s.join(broadcast(nSeeds))
+      .select(col("id"), (lit(alpha) / col("_ns")).as("_r"))
+    var ranks = s.join(broadcast(nSeeds))
+      .select(col("id"), (lit(1.0) / col("_ns")).as("ppr"))
+    for (_ <- 1 to iters) {
+      // rename the rank frame's columns before the self-lineage join so
+      // every reference below is unambiguous by name
+      val r = ranks.select(col("id").as("_rid"), col("ppr").as("_rp"))
+      val spread = trans.join(r, col("src") === col("_rid"))
+        .select(col("dst").as("id"),
+          (lit(1.0 - alpha) * col("_rp") * col("_w") / col("_wtot")).as("_c"))
+      ranks = spread.union(restart.select(col("id"), col("_r").as("_c")))
+        .groupBy(col("id")).agg(sum(col("_c")).as("ppr"))
+    }
+    val out = graft.core.Caches.materialized(ranks)
+    trans.unpersist(blocking = false)
+    s.unpersist(blocking = false)
+    out
+  }
+
   /** Synchronous label propagation over a directed edge list: start
     * every node at its own id, then `iters` rounds of "adopt the most
     * common label among in-neighbors" with a DETERMINISTIC tie-break

@@ -66,6 +66,25 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1, 2, 0.5)))
   }
 
+  test("containmentPairs: subset inclusion scores 1.0 where Jaccard is low") {
+    // doc 2 = doc 1's first 5 tokens: every one of doc 2's 3 shingles
+    // is in doc 1's 8 → containment 3/3 = 1.0, jaccard only 3/8
+    val host = "a b c d e f g h i j"
+    val df = Seq((1, host), (2, "a b c d e"), (3, "q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 3)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Int, Int, Double)].collect()
+    assert(got.toSeq === Seq((1, 2, 1.0)))
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 3)
+      .select($"jaccard").as[Double].collect().head
+    assert(j === 0.375)
+    // threshold filters below-min pairs
+    val none = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 3,
+      minContainment = 1.1)
+    assert(none.count() === 0L)
+  }
+
   test("ngramJaccardPairs honors partition columns (no cross-group pairs)") {
     val df = Seq((1, "en", "a b c d"), (2, "en", "a b c d"), (3, "fr", "a b c d"))
       .toDF("doc_id", "lang", "text")

@@ -91,4 +91,25 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got2 === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
   }
+
+  test("personalizedPageRank: hand-computed 2-node walk, mass ≤ 1") {
+    // a ↔ b, unit weights, seed {a}, 1 iteration:
+    //   r0 = {a: 1}; r1 = {a: 0.15, b: 0.85}
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("id")
+    val r1 = Graph.personalizedPageRank(edges, seeds, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(r1 === Map("a" -> 0.15, "b" -> 0.85))
+    // 2 iterations: r2 = {a: 0.15 + 0.85·0.85, b: 0.85·0.15}
+    val r2 = Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r2("a") === 0.15 + 0.85 * 0.85)
+    assert(r2("b") === 0.85 * 0.15)
+    // weighted fan-out: seed c points at d (3) and e (1) → 3:1 split
+    val fan = Seq(("c", "d", 3L), ("c", "e", 1L)).toDF("src", "dst", "w")
+    val rf = Graph.personalizedPageRank(fan, Seq("c").toDF("id"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(rf("d") === 0.85 * 0.75 && rf("e") === 0.85 * 0.25)
+    assert(rf("c") === 0.15)
+  }
 }
