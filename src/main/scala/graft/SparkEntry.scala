@@ -1316,6 +1316,24 @@ object SparkEntry {
         .orderBy(col("containment").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
+    // outlier-safe per-type feature scaling: winsorize into the exact
+    // [p05, p95] band, then min-max scale the band — robust where
+    // plain min-max collapses on a single outlier
+    "q150_winsorize_scale" -> ((s, dir) =>
+      operators.Relational.winsorizeScale(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("clipped"),
+          col("scaled"))
+        .orderBy(col("event_id"))),
+
+    // pre-shuffle key-skew report on the lineitem join key — the
+    // salting / AQE-skew-join decision input, costing one scan
+    "q151_skew_report" -> ((s, dir) =>
+      operators.Profile.shuffleSkewReport(t(s, dir, "lineitem"),
+        "l_orderkey", buckets = 32)),
+
     // binned mutual information between order value and priority —
     // the joint-association screen next to q116's chi-square and
     // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
@@ -3718,6 +3736,36 @@ object SparkEntry {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |ORDER BY containment DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // exact interpolated percentiles (quantile_cont ≡ percentile, the
+    // q58 parity); identical clip/scale double chain; degenerate band
+    // → NULL scaled both engines
+    "q150_winsorize_scale" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  round(least(greatest(value, lo), hi) + 1e-9, 4) AS clipped,
+        |  CASE WHEN hi > lo THEN
+        |    round((least(greatest(value, lo), hi) - lo) / (hi - lo)
+        |      + 1e-9, 4)
+        |  END AS scaled
+        |FROM events JOIN q USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // q79's md5 slot currency as the bucket hash; all-integer counts,
+    // skew is one exact double chain
+    "q151_skew_report" ->
+      """WITH b AS (SELECT CAST(concat('0x', substr(md5(concat('42:',
+        |      CAST(l_orderkey AS VARCHAR))), 1, 13)) AS BIGINT) % 32
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(n) AS BIGINT) AS total_rows,
+        |  max(n) AS max_bucket_rows, min(n) AS min_bucket_rows,
+        |  round(CAST(max(n) AS DOUBLE) /
+        |    (CAST(sum(n) AS DOUBLE) / count(*)) + 1e-9, 4) AS skew
+        |FROM b""".stripMargin,
 
     // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
     // counts exact; pmi/mi are the same double chain both engines,

@@ -264,4 +264,30 @@ object Profile {
           round(col("n_orphan") / col("n_child").cast("double")
             + lit(1e-9), 4).as("orphan_pct"))
     }.reduce(_ union _)
+
+  /** Shuffle-skew diagnostic for a prospective join/aggregation key:
+    * hash rows into `buckets` deterministic slots (the [[graft.ext
+    * .Sampling.hashScore]] md5 currency — engine-reproducible, unlike
+    * `spark_partition_id`, and the same modulo-slot distribution a
+    * hash-partitioned exchange produces) and report the imbalance. The
+    * headline number, `skew = max bucket / mean bucket`, is what decides
+    * whether a key needs salting ([[Relational.saltedJoin]]) or AQE
+    * skew-join before a 100 TB shuffle is attempted: 1.0 = perfectly
+    * balanced partitions, ≥ ~2 = the straggler task that dominates the
+    * stage. One map-side-combined count + one |buckets|-row reduce —
+    * the report costs a scan, never a shuffle of the data itself.
+    */
+  def shuffleSkewReport(df: DataFrame, keyCol: String, buckets: Int = 32,
+                        seed: Long = 42L): DataFrame =
+    df.select((graft.ext.Sampling.hashScore(col(keyCol).cast("string"),
+        seed) % buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("_n")).as("total_rows"),
+        max(col("_n")).as("max_bucket_rows"),
+        min(col("_n")).as("min_bucket_rows"),
+        round(max(col("_n")).cast("double") /
+          (sum(col("_n")).cast("double") / count(lit(1)))
+          + lit(1e-9), 4).as("skew"))
 }

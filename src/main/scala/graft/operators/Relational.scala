@@ -431,6 +431,36 @@ object Relational {
       .drop("_s", "_n", "_mu")
   }
 
+  /** Per-group winsorized robust scaling — the outlier-safe feature
+    * normalization: clip each value into the group's exact
+    * [pLo, pHi] percentile band, then min-max scale the band to [0, 1].
+    * Robust where plain min-max collapses (one 1e9 outlier squashes
+    * every honest value to ~0) and where z-scoring stays unbounded.
+    *
+    * Percentiles are the EXACT interpolated `percentile` (full-sort
+    * cost per group, oracle-checkable vs `quantile_cont`); at 100 TB
+    * swap `approx_percentile` — the q58/q62 trade, certified there by
+    * the tolerance-gated oracle. The per-group band is a
+    * |groups|-row aggregate joined back (AQE broadcasts it); the scale
+    * step is then map-side. A degenerate band (pHi == pLo) yields null
+    * `scaled` rather than a division blow-up.
+    */
+  def winsorizeScale(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val bands = df.groupBy(col(groupCol)).agg(
+      percentile(v, lit(pLo)).as("_lo"),
+      percentile(v, lit(pHi)).as("_hi"))
+    val clip = least(greatest(v, col("_lo")), col("_hi"))
+    df.join(bands, Seq(groupCol))
+      .withColumn("clipped", round(clip + lit(1e-9), 4))
+      .withColumn("scaled",
+        when(col("_hi") > col("_lo"),
+          round((clip - col("_lo")) / (col("_hi") - col("_lo"))
+            + lit(1e-9), 4)))
+      .drop("_lo", "_hi")
+  }
+
   /** Gini concentration of engagement per group — the long-tail /
     * popularity-skew diagnostic a recommender team watches (G → 0:
     * uniform interest across the catalog; G → 1: all interactions on

@@ -105,6 +105,24 @@ class ProfileSpec extends SparkTestBase {
     assert(skew.map(_._1).distinct.size === skew.size)
   }
 
+  test("shuffleSkewReport: balanced key ≈ 1, degenerate key = n_buckets") {
+    import spark.implicits._
+    // one single hot key: every row lands in ONE bucket → skew = 1
+    // bucket × buckets/1... with a single bucket present, max = mean
+    // of the PRESENT buckets → skew 1.0 (absent buckets don't count);
+    // the report still exposes the pathology via n_buckets = 1
+    val hot = Seq.fill(64)(42L).toDF("k")
+    val gotHot = Profile.shuffleSkewReport(hot, "k", buckets = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(gotHot === ((1L, 64L, 64L, 64L, 1.0)))
+    // distinct keys spread: all rows accounted for, skew small
+    val spread = (1L to 1000L).toDF("k")
+    val got = Profile.shuffleSkewReport(spread, "k", buckets = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._1 === 8L && got._2 === 1000L)
+    assert(got._5 >= 1.0 && got._5 < 1.5)
+  }
+
   test("referentialAudit counts nulls and orphans per relationship") {
     val child = Seq(Some(1L), Some(2L), Some(2L), None, Some(5L))
       .toDF("fk")

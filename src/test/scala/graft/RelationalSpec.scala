@@ -225,6 +225,27 @@ class RelationalSpec extends SparkTestBase {
     assert(got(3L) === math.round((mu + 1e-9) * 1e4) / 1e4)
   }
 
+  test("winsorizeScale: clips into the band, scales to [0,1], null on flat") {
+    // group a: 0..10 with one wild outlier 1000; p05/p95 of
+    // [0..10, 1000] (12 values, interpolated): lo = 0.55, hi = 455.5
+    val a = ((0 to 10).map(_.toDouble) :+ 1000.0).map(("a", _))
+    val flat = Seq(("f", 7.0), ("f", 7.0), ("f", 7.0))
+    val df = (a ++ flat).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val got = Relational.winsorizeScale(df, "g", "v")
+      .select($"id", $"clipped", $"scaled")
+      .as[(Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // v = 0 clips UP to lo → scaled 0; the outlier clips DOWN to hi → 1
+    assert(got(0L) === ((0.55, Some(0.0))))
+    assert(got(11L) === ((455.5, Some(1.0))))
+    // interior value scales linearly: (5 - 0.55)/(455.5 - 0.55)
+    assert(got(5L)._2 === Some(math.round(
+      ((5.0 - 0.55) / (455.5 - 0.55) + 1e-9) * 1e4) / 1e4))
+    // degenerate band (all 7.0): clipped = 7, scaled null
+    assert(got(12L) === ((7.0, None)))
+  }
+
   test("giniConcentration: 0 for uniform, 1-1/n for a monoculture") {
     // group u: 4 keys × 3 interactions each → G = 0
     // group m: all 12 interactions on one key of 4 observed... a key
