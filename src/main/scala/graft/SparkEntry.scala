@@ -1334,6 +1334,60 @@ object SparkEntry {
       operators.Profile.shuffleSkewReport(t(s, dir, "lineitem"),
         "l_orderkey", buckets = 32)),
 
+    // audience overlap per event-type pair via HLL sketch ALGEBRA:
+    // inter ≈ est_a + est_b − est(union(sk_a, sk_b)) — the mergeable-
+    // sketch path a 100 TB pipeline stores (one sketch per segment,
+    // pairwise overlap WITHOUT re-scanning raw data). q48-style gate:
+    // emit the exact intersection only when the sketch algebra lands
+    // within 5% of the exact union (inclusion–exclusion differences
+    // amplify HLL error, so the bound scales with the union), else −1
+    // fails the oracle. The exact path here is the certifier; at scale
+    // only the sketch path runs.
+    "q152_audience_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sk = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("_sk"),
+          count_distinct(col("user_id")).as("_n"))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("_sk").as("_ska"), col("_n").as("_na"))
+        .join(sk.select(col("event_type").as("type_b"),
+          col("_sk").as("_skb"), col("_n").as("_nb")),
+          col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("_na"), col("_nb"),
+          hll_sketch_estimate(hll_union(col("_ska"), col("_skb")))
+            .as("_u_est"))
+      val exact = d.select(col("event_type").as("type_a"),
+          col("user_id"))
+        .join(d.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("_inter"))
+      pairs.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          when(abs((col("_na") + col("_nb") - col("_u_est")) -
+              col("_inter")) <=
+            (col("_na") + col("_nb") - col("_inter")) * 0.05,
+            col("_inter")).otherwise(lit(-1L)).as("n_common"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // first-seen growth curve: new + cumulative distinct users by day.
+    // The corpus-sized stage is the per-user min-date aggregate; the
+    // running sum's unpartitioned window runs over the DAY-level frame
+    // only (≤ #days rows — the one place a global window is free)
+    "q153_user_growth" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      firstSeen.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("day"))))
+        .orderBy(col("day"))
+    }),
+
     // binned mutual information between order value and priority —
     // the joint-association screen next to q116's chi-square and
     // q132's KS: per-cell PMI + MI contribution on an 8-bin grid
@@ -3766,6 +3820,26 @@ object SparkEntry {
         |  round(CAST(max(n) AS DOUBLE) /
         |    (CAST(sum(n) AS DOUBLE) / count(*)) + 1e-9, 4) AS skew
         |FROM b""".stripMargin,
+
+    // the gate emits the exact pair intersection (or -1 on a sketch
+    // miss), so the oracle is the exact self-join formulation
+    "q152_audience_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM d a JOIN d b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-user min day, day-level rollup, running sum — all integer
+    "q153_user_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
 
     // identical bin chain to ksBinned's ((v-lo)/((hi-lo)/bins));
     // counts exact; pmi/mi are the same double chain both engines,
