@@ -1373,6 +1373,21 @@ object SparkEntry {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // exact per-type empirical-CDF encoder table — rank normalization
+    // without a corpus-partitioned window (value-level frame only)
+    "q154_cdf_encode" -> ((s, dir) =>
+      operators.Relational.cumeDistEncode(t(s, dir, "events"),
+          "event_type", "value")
+        .orderBy(col("event_type"), col("value"))),
+
+    // PMI surprise of consecutive event-type transitions — whether
+    // a→b happens MORE than the traffic mix predicts (q102's markov
+    // gives the rate; this gives the anomaly signal)
+    "q155_transition_surprise" -> ((s, dir) =>
+      ext.EventOps.transitionSurprise(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("prev_type"), col("next_type"))),
+
     // first-seen growth curve: new + cumulative distinct users by day.
     // The corpus-sized stage is the per-user min-date aggregate; the
     // running sum's unpartitioned window runs over the DAY-level frame
@@ -3830,6 +3845,39 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.user_id = b.user_id
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // value-level counts + running sum; cdf is one exact long/long
+    // division rounded at 4 dp
+    "q154_cdf_encode" ->
+      """WITH c AS (SELECT event_type, value,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, value, n,
+        |  round(CAST(sum(n) OVER (PARTITION BY event_type
+        |      ORDER BY value) AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    + 1e-9, 4) AS cdf
+        |FROM c ORDER BY event_type, value""".stripMargin,
+
+    // same lag-bigram frame as q102's oracle; pmi on exact integer
+    // ratios, ln ulp absorbed by the 4-dp round, +0.0 for −0.0
+    "q155_transition_surprise" ->
+      """WITH g AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |b AS (SELECT prev_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |mp AS (SELECT prev_type, sum(n) AS np FROM b GROUP BY 1),
+        |mn AS (SELECT next_type, sum(n) AS nn FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS nt FROM b)
+        |SELECT prev_type, next_type, n,
+        |  round(ln((CAST(n AS DOUBLE) * nt) /
+        |    (CAST(np AS DOUBLE) * nn)) + 1e-9, 4) + 0.0 AS pmi
+        |FROM b JOIN mp USING (prev_type) JOIN mn USING (next_type)
+        |  CROSS JOIN t
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     // per-user min day, day-level rollup, running sum — all integer
     "q153_user_growth" ->

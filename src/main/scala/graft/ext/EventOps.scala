@@ -142,6 +142,47 @@ object EventOps {
       round(col("n") / sum(col("n")).over(tot) + lit(1e-9), 4))
   }
 
+  /** Transition SURPRISE scoring: PMI of each consecutive event-type
+    * bigram against independence of its marginals —
+    * `pmi = ln(n·N / (n_prev·n_next))` over the bigram frame. Where
+    * [[markovTransitions]] reports how often a→b happens, this reports
+    * whether a→b happens MORE than the traffic mix predicts: the
+    * sequence-anomaly signal (a rare-but-reliable `error→refund` chain
+    * scores high while `view→view` scores ≈ 0 however common it is).
+    *
+    * The corpus-sized work is the one user-keyed lag window and the
+    * bigram count (map-side combined); marginals derive from the
+    * ≤ |types|² bigram frame, and the PMI is an exact-integer-ratio
+    * ln both engines round at 4 dp.
+    *
+    * Output: (prev_type, next_type, n, pmi).
+    */
+  def transitionSurprise(events: DataFrame, userCol: String,
+                         typeCol: String, tsCol: String, idCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val bigrams = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val margPrev = bigrams.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("_np"))
+    val margNext = bigrams.groupBy(col("next_type"))
+      .agg(sum(col("n")).as("_nn"))
+    val total = bigrams.agg(sum(col("n")).as("_nt"))
+    bigrams
+      .join(broadcast(margPrev), Seq("prev_type"))
+      .join(broadcast(margNext), Seq("next_type"))
+      .join(broadcast(total))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (round(log((col("n").cast("double") * col("_nt")) /
+          (col("_np").cast("double") * col("_nn"))) + lit(1e-9), 4)
+          + lit(0.0)).as("pmi"))
+  }
+
   /** Gap-based batch sessionization: split each user's event stream
     * into sessions wherever the inter-event gap exceeds `gapMinutes`,
     * and aggregate one row per session — the batch twin of the

@@ -461,6 +461,37 @@ object Relational {
       .drop("_lo", "_hi")
   }
 
+  /** Exact empirical-CDF (cume_dist) encoder table per group: for each
+    * distinct (group, value), P(X ≤ value) — the rank-normalization
+    * feature transform (uniform marginals, outlier-immune, the
+    * monotone cousin of [[winsorizeScale]]).
+    *
+    * Built scale-correctly: a `cume_dist()` window straight over the
+    * corpus partitions by GROUP — one task per group, a straggler at
+    * 100 TB. Instead the corpus-sized stage is the (group, value)
+    * count (key-partitioned, map-side combined); the cumsum windows
+    * run over the VALUE-LEVEL frame, bounded by the value domain per
+    * group, not corpus rows. Emitted as the encoder TABLE (join or
+    * broadcast it onto rows downstream) — the artifact a feature
+    * pipeline persists. Caveat: a continuous all-unique value column
+    * makes the value-level frame corpus-sized; discretize first
+    * ([[graft.operators.Profile.equiDepthBins]]) in that regime.
+    */
+  def cumeDistEncode(df: DataFrame, groupCol: String, valueCol: String)
+  : DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+    val wAll = Window.partitionBy(col(groupCol))
+    counts
+      .withColumn("_cum", sum(col("n")).over(wCum))
+      .withColumn("_tot", sum(col("n")).over(wAll))
+      .select(col(groupCol), col("value"), col("n"),
+        round(col("_cum").cast("double") / col("_tot").cast("double")
+          + lit(1e-9), 4).as("cdf"))
+  }
+
   /** Gini concentration of engagement per group — the long-tail /
     * popularity-skew diagnostic a recommender team watches (G → 0:
     * uniform interest across the catalog; G → 1: all interactions on

@@ -121,6 +121,31 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.size === 3)
   }
 
+  test("transitionSurprise: PMI 0 under independence, ln2 for pairing") {
+    // bigrams (one 5-event chain, user 1): A→B, B→A, A→B, B→A
+    //   n=4 total; every marginal = 2 → pmi = ln(2·4/(2·2)) = ln 2
+    val dep = Seq((1L, 1L, ts(0), "A"), (1L, 2L, ts(10), "B"),
+      (1L, 3L, ts(20), "A"), (1L, 4L, ts(30), "B"), (1L, 5L, ts(40), "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.transitionSurprise(dep, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) === ((2L, 0.6931)))
+    assert(got(("B", "A")) === ((2L, 0.6931)))
+    assert(got.size === 2)
+    // uniform mix: every bigram equally likely → pmi 0 everywhere
+    val mix = Seq((1L, 1L, ts(0), "A"), (1L, 2L, ts(10), "A"),
+      (1L, 3L, ts(20), "B"), (1L, 4L, ts(30), "B"),
+      (2L, 5L, ts(0), "B"), (2L, 6L, ts(10), "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val gotMix = EventOps.transitionSurprise(mix, "user_id",
+        "event_type", "ts", "event_id")
+      .as[(String, String, Long, Double)].collect()
+    // 4 bigrams A→A, A→B, B→B, B→A each n=1, marginals 2,2 → ln(4/4)=0
+    assert(gotMix.length === 4 && gotMix.forall(_._4 === 0.0))
+  }
+
   test("sessionize: strict gap threshold, per-user sessions, durations") {
     val events = Seq(
       // u1: 0, 10min | gap 40min | 50min, 60min → two sessions

@@ -246,6 +246,18 @@ class RelationalSpec extends SparkTestBase {
     assert(got(12L) === ((7.0, None)))
   }
 
+  test("cumeDistEncode: hand-computed CDF table, groups independent") {
+    // group a: values 1,1,2,5 → cdf(1)=.5, cdf(2)=.75, cdf(5)=1
+    // group b: single value → cdf 1; null values dropped
+    val df = Seq(("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)),
+      ("a", Some(5.0)), ("b", Some(9.0)), ("b", None))
+      .toDF("g", "v")
+    val got = Relational.cumeDistEncode(df, "g", "v")
+      .as[(String, Double, Long, Double)].collect().toSet
+    assert(got === Set(("a", 1.0, 2L, 0.5), ("a", 2.0, 1L, 0.75),
+      ("a", 5.0, 1L, 1.0), ("b", 9.0, 1L, 1.0)))
+  }
+
   test("giniConcentration: 0 for uniform, 1-1/n for a monoculture") {
     // group u: 4 keys × 3 interactions each → G = 0
     // group m: all 12 interactions on one key of 4 observed... a key
