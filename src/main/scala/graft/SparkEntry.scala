@@ -1388,6 +1388,22 @@ object SparkEntry {
           "event_type", "ts", "event_id")
         .orderBy(col("prev_type"), col("next_type"))),
 
+    // per-day exact ROC-AUC of "value separates clicks from the rest"
+    // — model-eval metric via the histogram fold, never a corpus sort
+    "q156_group_auc" -> ((s, dir) =>
+      operators.Relational.groupAuc(
+          t(s, dir, "events").select(to_date(col("ts")).as("day"),
+            col("event_type"), col("value")),
+          "day", col("event_type") === "click", "value")
+        .orderBy(col("day"))),
+
+    // delete-a-group jackknife SE of the per-type mean value — the
+    // resampling-free uncertainty estimate, folds = md5 user slots
+    "q157_jackknife_se" -> ((s, dir) =>
+      operators.Relational.jackknifeMean(t(s, dir, "events"),
+          "event_type", "value", "user_id", folds = 10)
+        .orderBy(col("event_type"))),
+
     // first-seen growth curve: new + cumulative distinct users by day.
     // The corpus-sized stage is the per-user min-date aggregate; the
     // running sum's unpartitioned window runs over the DAY-level frame
@@ -3878,6 +3894,50 @@ object SparkEntry {
         |FROM b JOIN mp USING (prev_type) JOIN mn USING (next_type)
         |  CROSS JOIN t
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // identical histogram fold: pos·(neg_below + ½·neg) on exact
+    // counts (½-multiples are exact doubles), one division at the end
+    "q156_group_auc" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day, value AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS pos,
+        |    sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+        |      AS neg
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT day, pos, neg,
+        |    coalesce(sum(neg) OVER (PARTITION BY day ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS negb
+        |  FROM h)
+        |SELECT day, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+        |    round(sum(pos * (negb + 0.5 * neg)) /
+        |      CAST(sum(pos) * sum(neg) AS DOUBLE) + 1e-9, 4)
+        |  END AS auc
+        |FROM w GROUP BY day ORDER BY day""".stripMargin,
+
+    // md5 user folds (q79 currency); LOO means from fold sums; the
+    // two-pass Σ(m−m̄)² avoids the E[m²]−m̄² cancellation
+    "q157_jackknife_se" ->
+      """WITH bf AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5(concat('42:',
+        |      CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 10 AS f,
+        |    sum(value) AS s, CAST(count(value) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(s) AS st, sum(n) AS nt,
+        |    CAST(count(*) AS BIGINT) AS k FROM bf GROUP BY 1),
+        |loo AS (SELECT b.event_type, t.st, t.nt, t.k,
+        |    (t.st - b.s) / CAST(t.nt - b.n AS DOUBLE) AS m
+        |  FROM bf b JOIN tot t USING (event_type)),
+        |mb AS (SELECT event_type, avg(m) AS mbar FROM loo GROUP BY 1)
+        |SELECT l.event_type, CAST(max(l.nt) AS BIGINT) AS n,
+        |  max(l.k) AS n_folds,
+        |  round(max(l.st) / CAST(max(l.nt) AS DOUBLE) + 1e-9, 4) AS mean,
+        |  round(sqrt((CAST(max(l.k) - 1 AS DOUBLE) / max(l.k)) *
+        |    sum((l.m - mbar) * (l.m - mbar))) + 1e-9, 4) AS jk_se
+        |FROM loo l JOIN mb USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-user min day, day-level rollup, running sum — all integer
     "q153_user_growth" ->

@@ -492,6 +492,85 @@ object Relational {
           + lit(1e-9), 4).as("cdf"))
   }
 
+  /** Per-group ROC-AUC, exactly and WITHOUT a corpus sort: AUC is the
+    * probability a random positive's score exceeds a random negative's
+    * (ties ½), so it folds over the score HISTOGRAM —
+    * `Σ_v pos(v)·(neg_below(v) + ½·neg(v)) / (n_pos·n_neg)` — rather
+    * than over ranked rows. The rank formulation needs a per-group
+    * sort of corpus rows (straggler task per group at 100 TB); this
+    * needs one (group, score) count (key-partitioned, map-side
+    * combined) and windows over the value-level frame, the
+    * [[cumeDistEncode]] shape. Same bounded-domain caveat: discretize
+    * a continuous score first. All arithmetic is exact (integer
+    * counts, exact ·½ halves), so engines agree bit-for-bit before
+    * the round. A group missing a class yields null.
+    */
+  def groupAuc(df: DataFrame, groupCol: String, labelCol: Column,
+               scoreCol: String): DataFrame = {
+    val h = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("_v"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("_pos"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("_neg"))
+    val wBelow = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("_negb",
+        coalesce(sum(col("_neg")).over(wBelow), lit(0L)))
+      .groupBy(col(groupCol)).agg(
+        sum(col("_pos")).as("n_pos"), sum(col("_neg")).as("n_neg"),
+        sum(col("_pos") * (col("_negb") + lit(0.5) * col("_neg")))
+          .as("_num"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_num") / (col("n_pos") * col("n_neg")).cast("double")
+            + lit(1e-9), 4)).as("auc"))
+  }
+
+  /** Delete-a-group jackknife standard error of a per-group mean:
+    * split rows into `folds` deterministic md5 folds (the
+    * [[graft.ext.Sampling.hashScore]] currency — reproducible across
+    * runs AND engines, unlike partition-based folds), compute each
+    * leave-one-fold-out mean from the fold sums, and report
+    * `SE = sqrt((k−1)/k · Σ (m_i − m̄)²)` — the uncertainty estimate
+    * that needs no distributional assumption and no resampling pass.
+    * One (group, fold) moment aggregate over the corpus; everything
+    * after runs on k rows per group. The fold count trades bias for
+    * cost exactly as in the survey-sampling literature (Efron &
+    * Tibshirani 1993, ch. 11).
+    */
+  def jackknifeMean(df: DataFrame, groupCol: String, valueCol: String,
+                    foldKeyCol: String, folds: Int = 10,
+                    seed: Long = 42L): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val byFold = df.filter(v.isNotNull)
+      .groupBy(col(groupCol),
+        (graft.ext.Sampling.hashScore(col(foldKeyCol).cast("string"),
+          seed) % folds).as("_f"))
+      .agg(sum(v).as("_s"), count(v).as("_n"))
+    val tot = byFold.groupBy(col(groupCol))
+      .agg(sum(col("_s")).as("_st"), sum(col("_n")).as("_nt"),
+        count(lit(1)).as("_k"))
+    val loo = byFold.join(tot, Seq(groupCol))
+      .select(col(groupCol), col("_st"), col("_nt"), col("_k"),
+        ((col("_st") - col("_s")) / (col("_nt") - col("_n")).cast("double"))
+          .as("_m"))
+    // two-pass deviations (join m̄ back, sum squares) rather than
+    // E[m²] − m̄²: the one-pass form subtracts near-equal numbers and
+    // amplifies cross-engine ulp noise into the tiny variance
+    val mbar = loo.groupBy(col(groupCol)).agg(avg(col("_m")).as("_mbar"))
+    loo.join(broadcast(mbar), Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        max(col("_st")).as("_st"), max(col("_nt")).as("_nt"),
+        max(col("_k")).as("_k"),
+        sum((col("_m") - col("_mbar")) * (col("_m") - col("_mbar")))
+          .as("_ss"))
+      .select(col(groupCol),
+        col("_nt").as("n"), col("_k").as("n_folds"),
+        round(col("_st") / col("_nt").cast("double") + lit(1e-9), 4)
+          .as("mean"),
+        round(sqrt(((col("_k") - lit(1)).cast("double") / col("_k")) *
+          col("_ss")) + lit(1e-9), 4).as("jk_se"))
+  }
+
   /** Gini concentration of engagement per group — the long-tail /
     * popularity-skew diagnostic a recommender team watches (G → 0:
     * uniform interest across the catalog; G → 1: all interactions on

@@ -258,6 +258,40 @@ class RelationalSpec extends SparkTestBase {
       ("a", 5.0, 1L, 1.0), ("b", 9.0, 1L, 1.0)))
   }
 
+  test("groupAuc: perfect separation 1, anti-separation 0, ties half") {
+    // group p: every positive scores above every negative → AUC 1;
+    // group q: reversed → 0; group t: all same score → 0.5
+    val rows =
+      Seq(("p", 5.0, true), ("p", 6.0, true), ("p", 1.0, false),
+        ("q", 1.0, true), ("q", 5.0, false),
+        ("t", 3.0, true), ("t", 3.0, false), ("t", 3.0, false)) ++
+      Seq(("z", 1.0, true)) // single-class group → null
+    val df = rows.toDF("g", "score", "is_pos")
+    val got = Relational.groupAuc(df, "g", $"is_pos", "score")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("p") === (("p", 2L, 1L, Some(1.0))))
+    assert(got("q") === (("q", 1L, 1L, Some(0.0))))
+    assert(got("t") === (("t", 1L, 2L, Some(0.5))))
+    assert(got("z") === (("z", 1L, 0L, None)))
+  }
+
+  test("jackknifeMean: zero SE for identical folds, positive otherwise") {
+    // 20 users (2 per fold on average), constant value → every LOO
+    // mean identical → SE exactly 0
+    val const = (1L to 20L).map(u => ("c", u, 10.0))
+    val gotC = Relational.jackknifeMean(const.toDF("g", "u", "v"),
+        "g", "v", "u", folds = 5)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(gotC._2 === 20L && gotC._4 === 10.0 && gotC._5 === 0.0)
+    // heterogeneous values → SE > 0 and mean is the plain average
+    val mixed = (1L to 20L).map(u => ("m", u, u.toDouble))
+    val gotM = Relational.jackknifeMean(mixed.toDF("g", "u", "v"),
+        "g", "v", "u", folds = 5)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(gotM._4 === 10.5 && gotM._5 > 0.0)
+  }
+
   test("giniConcentration: 0 for uniform, 1-1/n for a monoculture") {
     // group u: 4 keys × 3 interactions each → G = 0
     // group m: all 12 interactions on one key of 4 observed... a key
