@@ -961,6 +961,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))),
 
+    // dedup SAVINGS report over q78's transitive-closure clusters:
+    // cluster-size histogram + removable-doc count — the before/after
+    // number a curation run reports. Rides the memoized pair list
+    "q158_dedup_savings" -> ((s, dir) => {
+      val sizes = ext.Dedup.duplicateClusters(chainPairList(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
+      sizes.groupBy(col("_sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_removable",
+          (col("cluster_size") - 1) * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // per-user sequence perplexity under the corpus transition model —
+    // the behavioral-anomaly ranking (low = scripted, high = erratic)
+    "q159_sequence_surprise" -> ((s, dir) =>
+      ext.EventOps.sequenceSurprise(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("user_id"))),
+
     // privacy-compliance audit: quasi-identifier group sizes — a group
     // below k is a re-identification risk that must be suppressed or
     // generalized before the table ships as training data. ONE
@@ -3163,6 +3183,74 @@ object SparkEntry {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q78's transitive closure, rolled up to the savings histogram
+    "q158_dedup_savings" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |labels AS (SELECT id, min(lbl) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |    AS cluster_size
+        |  FROM labels GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST((cluster_size - 1) * count(*) AS BIGINT)
+        |    AS docs_removable
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // corpus transition model p(b|a) = n_ab/n_a (exact ratios) scored
+    // back onto each user's own transitions; avg order absorbed by
+    // the 4-dp round, +0.0 for the all-certain-user −0.0
+    "q159_sequence_surprise" ->
+      """WITH g AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT user_id, prev_type, next_type FROM g
+        |  WHERE prev_type IS NOT NULL),
+        |b AS (SELECT prev_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS nab
+        |  FROM tr GROUP BY 1, 2),
+        |m AS (SELECT prev_type, sum(nab) AS na FROM b GROUP BY 1)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(-ln(CAST(nab AS DOUBLE) / na)) + 1e-9, 4) + 0.0
+        |    AS avg_surprise
+        |FROM tr JOIN b USING (prev_type, next_type)
+        |  JOIN m USING (prev_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

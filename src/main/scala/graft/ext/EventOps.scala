@@ -183,6 +183,46 @@ object EventOps {
           + lit(0.0)).as("pmi"))
   }
 
+  /** Per-user sequence SURPRISE under the corpus transition model:
+    * train first-order transition probabilities p(b|a) = n_ab/n_a on
+    * the whole stream ([[markovTransitions]]' frame), then score every
+    * user by the mean negative log-probability of their own
+    * transitions — sequence perplexity per user, the behavioral-
+    * anomaly ranking (bots and scripted flows walk high-probability
+    * edges → low surprise; erratic/abusive sessions score high).
+    *
+    * Two corpus-sized stages, both key-partitioned: the user-keyed lag
+    * window and the per-user aggregate. The model is the ≤|types]²
+    * bigram frame, broadcast onto the transition stream — scoring is
+    * map-side. Probabilities are exact integer ratios; the ln/avg
+    * chain is identical cross-engine modulo sum order (4-dp round).
+    *
+    * Output: (user, n_transitions, avg_surprise), surprise in nats.
+    */
+  def sequenceSurprise(events: DataFrame, userCol: String,
+                       typeCol: String, tsCol: String, idCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col(userCol), col("_prev").as("prev_type"),
+        col(typeCol).as("next_type"))
+    val counts = trans.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("_nab"))
+    val marg = counts.groupBy(col("prev_type"))
+      .agg(sum(col("_nab")).as("_na"))
+    trans
+      .join(broadcast(counts), Seq("prev_type", "next_type"))
+      .join(broadcast(marg), Seq("prev_type"))
+      .groupBy(col(userCol)).agg(
+        count(lit(1)).as("n_transitions"),
+        (round(avg(-log(col("_nab").cast("double") / col("_na")))
+          + lit(1e-9), 4) + lit(0.0)).as("avg_surprise"))
+  }
+
   /** Gap-based batch sessionization: split each user's event stream
     * into sessions wherever the inter-event gap exceeds `gapMinutes`,
     * and aggregate one row per session — the batch twin of the

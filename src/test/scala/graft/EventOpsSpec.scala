@@ -146,6 +146,31 @@ class EventOpsSpec extends SparkTestBase {
     assert(gotMix.length === 4 && gotMix.forall(_._4 === 0.0))
   }
 
+  test("sequenceSurprise: certain chains score 0, rare paths score high") {
+    // corpus: u1..u3 all walk A→B (det.), u4 walks A→C once
+    //   p(B|A) = 3/4, p(C|A) = 1/4
+    val events = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(10), "B"),
+      (2L, 3L, ts(0), "A"), (2L, 4L, ts(10), "B"),
+      (3L, 5L, ts(0), "A"), (3L, 6L, ts(10), "B"),
+      (4L, 7L, ts(0), "A"), (4L, 8L, ts(10), "C"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.sequenceSurprise(events, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val lnP = (p: Double) => math.round((-math.log(p) + 1e-9) * 1e4) / 1e4
+    assert(got(1L) === ((1L, 1L, lnP(0.75))))
+    assert(got(4L) === ((4L, 1L, lnP(0.25))))
+    // a user whose every transition has p = 1 scores exactly +0.0
+    val certain = Seq((9L, 1L, ts(0), "X"), (9L, 2L, ts(10), "X"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val gotC = EventOps.sequenceSurprise(certain, "user_id",
+        "event_type", "ts", "event_id")
+      .as[(Long, Long, Double)].collect().head
+    assert(gotC === ((9L, 1L, 0.0)))
+    assert(1.0 / gotC._3 > 0, "must be +0.0, not -0.0")
+  }
+
   test("sessionize: strict gap threshold, per-user sessions, durations") {
     val events = Seq(
       // u1: 0, 10min | gap 40min | 50min, 60min → two sessions
