@@ -981,6 +981,32 @@ object SparkEntry {
           "event_type", "ts", "event_id")
         .orderBy(col("user_id"))),
 
+    // DAU / trailing-7-day WAU / stickiness panel — exact sliding
+    // distinct via the user-day collapse + windowDays-way date fan-out
+    // (never a day×window self-join over raw events); HLL merge is the
+    // documented estimate swap when user-day itself is too hot
+    "q160_rolling_actives" -> ((s, dir) =>
+      ext.EventOps.rollingDistinctActives(t(s, dir, "events"),
+          "user_id", "ts", windowDays = 7)
+        .orderBy(col("day"))),
+
+    // functional-dependency audit across the star schema: declared
+    // det->dep candidates, one determinant-keyed aggregate each —
+    // which columns are derivable (normalizable) vs only approximate
+    "q161_fd_audit" -> ((s, dir) =>
+      operators.Profile.fdAudit(Seq(
+          ("customer.c_nationkey->c_mktsegment", t(s, dir, "customer"),
+            "c_nationkey", "c_mktsegment"),
+          ("lineitem.l_orderkey->l_linestatus", t(s, dir, "lineitem"),
+            "l_orderkey", "l_linestatus"),
+          ("nation.n_nationkey->n_name", t(s, dir, "nation"),
+            "n_nationkey", "n_name"),
+          ("orders.o_orderkey->o_orderstatus", t(s, dir, "orders"),
+            "o_orderkey", "o_orderstatus"),
+          ("part.p_brand->p_type", t(s, dir, "part"),
+            "p_brand", "p_type")))
+        .orderBy(col("candidate"))),
+
     // privacy-compliance audit: quasi-identifier group sizes — a group
     // below k is a re-identification risk that must be suppressed or
     // generalized before the table ships as training data. ONE
@@ -3251,6 +3277,50 @@ object SparkEntry {
         |FROM tr JOIN b USING (prev_type, next_type)
         |  JOIN m USING (prev_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // window anchors are ACTIVE days only (inner join with dau) —
+    // both engines build the calendar from the data
+    "q160_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+        |    AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau + 1e-9, 4) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    "q161_fd_audit" ->
+      """WITH cands AS (
+        |  SELECT 'customer.c_nationkey->c_mktsegment' AS candidate,
+        |    c_nationkey::VARCHAR AS det, c_mktsegment AS dep
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->l_linestatus',
+        |    l_orderkey::VARCHAR, l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nation.n_nationkey->n_name',
+        |    n_nationkey::VARCHAR, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey->o_orderstatus',
+        |    o_orderkey::VARCHAR, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'part.p_brand->p_type',
+        |    p_brand, p_type FROM part),
+        |g AS (SELECT candidate, det,
+        |    count(DISTINCT dep) AS nd, count(*) AS n
+        |  FROM cands GROUP BY 1, 2)
+        |SELECT candidate, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS violating_rows,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

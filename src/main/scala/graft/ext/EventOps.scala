@@ -576,4 +576,41 @@ object EventOps {
       .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
       .limit(k)
   }
+
+  /** Rolling distinct actives — the DAU/WAU/stickiness panel: per day,
+    * the distinct users active that day (`dau`), in the trailing
+    * `windowDays`-day window (`wau`), and their ratio (the classic
+    * engagement "stickiness" metric, dau/wau).
+    *
+    * Exact sliding-window DISTINCT is the textbook scale trap: a
+    * day×window range self-join re-reads every row `windowDays` times
+    * at raw-event grain. Shape here: the corpus collapses FIRST to the
+    * distinct (user, day) frame — the only corpus-sized shuffle, keyed
+    * on the high-cardinality user — then each user-day row fans out to
+    * the ≤`windowDays` window anchors it can serve (a date-`sequence`
+    * explode), so the windowed distinct runs over windowDays×|user-day|
+    * rows, independent of raw event volume. Window days with no
+    * same-day activity drop out in the final `dau` join (anchors are
+    * active days, matching a calendar built from the data). The 100 TB
+    * swap when even user-day is too hot: per-day HLL sketches merged
+    * across the window (q93's mergeable-sketch currency) — estimated,
+    * not exact, with the q48-style tolerance gate if certification is
+    * needed.
+    */
+  def rollingDistinctActives(events: DataFrame, userCol: String,
+                             tsCol: String, windowDays: Int = 7)
+  : DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events.select(col(userCol).as("_u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("_u"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("day"))
+      .groupBy(col("day")).agg(count_distinct(col("_u")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau") + lit(1e-9), 4)
+          .as("stickiness"))
+  }
 }

@@ -290,4 +290,36 @@ object Profile {
         round(max(col("_n")).cast("double") /
           (sum(col("_n")).cast("double") / count(lit(1)))
           + lit(1e-9), 4).as("skew"))
+
+  /** Functional-dependency audit (the TANE-style single-pass check):
+    * for each declared candidate `det -> dep`, group by the determinant
+    * and count groups carrying more than one distinct dependent value —
+    * the violation evidence that decides whether a column is derivable
+    * (safe to drop/normalize) or the dependency is only approximate.
+    * Reported per candidate: group count, violating-group count, rows
+    * living in violating groups, and a `holds` verdict.
+    *
+    * Shape at 100 TB: each candidate is ONE aggregate keyed on the
+    * determinant (partial count-distinct state map-side-combines; a
+    * high-cardinality determinant distributes, a low-cardinality one
+    * produces a tiny frame either way) followed by a single-row rollup;
+    * candidates union to |candidates| rows. Nothing is joined or
+    * re-scanned per candidate, and candidates over the same input
+    * share the scan through Spark's plan-level exchange reuse. NULL
+    * determinants form their own group and NULL dependents are ignored
+    * by the distinct count — identical semantics in ANSI SQL engines.
+    */
+  def fdAudit(fds: Seq[(String, DataFrame, String, String)]): DataFrame =
+    fds.map { case (name, df, det, dep) =>
+      df.groupBy(col(det))
+        .agg(count_distinct(col(dep)).as("_nd"), count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("_nd") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(when(col("_nd") > 1, col("_n")).otherwise(0L))
+            .as("violating_rows"))
+        .select(lit(name).as("candidate"), col("n_groups"),
+          col("violating_groups"), col("violating_rows"),
+          (col("violating_groups") === 0L).as("holds"))
+    }.reduce(_ union _)
 }

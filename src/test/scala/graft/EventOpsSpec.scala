@@ -302,4 +302,26 @@ class EventOpsSpec extends SparkTestBase {
     // u1 → aba, bab; u2 → aba; no trigram spans the user boundary
     assert(got === Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L)))
   }
+
+  test("rollingDistinctActives: window union, not sum; active-day anchors") {
+    // u1 active d1,d2; u2 active d1 twice (dedup); u3 active d4 only.
+    // d3 has NO activity → no output row even though the d1/d2 users'
+    // windows cover it. wau(d2) = {u1,u2} (u1 counted once across the
+    // window), wau(d4) = {u1,u2,u3} with windowDays=4.
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"),
+      (2L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-04"))
+      .toDF("user_id", "d")
+      .select($"user_id", to_date($"d").cast("timestamp").as("ts"))
+    val got = graft.ext.EventOps
+      .rollingDistinctActives(ev, "user_id", "ts", windowDays = 4)
+      .orderBy($"day")
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+      .map { case (d, a, w, s) => (d.toString, a, w, s) }
+    assert(got === Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-04", 1L, 3L, 0.3333)))
+  }
 }

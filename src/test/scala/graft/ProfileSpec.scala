@@ -132,4 +132,19 @@ class ProfileSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq(("child.fk->parent", 5L, 1L, 1L, 0.2)))
   }
+
+  test("fdAudit: holding vs violated candidates, violating rows counted") {
+    import spark.implicits._
+    // a->b holds (each a maps to one b); a->c violated by a=1 (two
+    // distinct c over 3 rows) while a=2 is clean
+    val df = Seq((1, "x", "p"), (1, "x", "q"), (1, "x", "p"),
+      (2, "y", "r")).toDF("a", "b", "c")
+    val got = Profile.fdAudit(Seq(
+        ("t.a->b", df, "a", "b"), ("t.a->c", df, "a", "c")))
+      .orderBy($"candidate")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("t.a->b", 2L, 0L, 0L, true),
+      ("t.a->c", 2L, 1L, 3L, false)))
+  }
 }
