@@ -325,21 +325,35 @@ object Dedup {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mL = nb.groupBy(col("u")).agg(min(col("v")).as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("_m"))
+      // each row carries a `_ch` rewiring flag instead of the old
+      // count+except set-equality test: zero flags ⟺ both phases were
+      // the identity ⟺ next = edges (every rewiring strictly decreases
+      // an edge lexicographically — large-star lowers lo to m(u) < u,
+      // small-star lowers lo to _m < lo or emits a smaller-hi edge —
+      // so a changed row can never reproduce the input set: the
+      // lexicographically largest edge is only producible by itself,
+      // unchanged, and induction descends from there). One filtered
+      // count over the checkpointed round replaces the two-to-three
+      // jobs the except-based test ran per round. distinct() becomes
+      // groupBy(max) so duplicate placements keep the flag if ANY
+      // contributor rewired.
       val ls = truncated(nb.join(mL, Seq("u")).filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("_m").as("lo"))
-        .distinct(), checkpointDir)
+        .select(col("v").as("hi"), col("_m").as("lo"),
+          (col("_m") =!= col("u")).as("_ch"))
+        .groupBy(col("hi"), col("lo")).agg(max(col("_ch")).as("_ch")),
+        checkpointDir)
       // small-star over the canonical (hi > lo) edges: every lo-side
       // neighbor (and hi itself) re-points to the neighborhood minimum
       val mS = ls.groupBy(col("hi")).agg(min(col("lo")).as("_m"))
       val withM = ls.join(mS, Seq("hi"))
       val next = truncated(withM.filter(col("lo") =!= col("_m"))
-        .select(col("lo").as("hi"), col("_m").as("lo"))
-        .union(withM.select(col("hi"), col("_m").as("lo")))
-        .distinct(), checkpointDir)
-      // fixpoint test: set equality via count + one-sided except (both
-      // sides are checkpointed, so the except plan is two block scans)
-      converged = next.count() == edges.count() &&
-        next.except(edges).count() == 0L
+        .select(col("lo").as("hi"), col("_m").as("lo"),
+          lit(true).as("_ch"))
+        .union(withM.select(col("hi"), col("_m").as("lo"),
+          (col("_ch") || col("_m") =!= col("lo")).as("_ch")))
+        .groupBy(col("hi"), col("lo")).agg(max(col("_ch")).as("_ch")),
+        checkpointDir)
+      converged = next.filter(col("_ch")).count() == 0L
       // next is materialized and the fixpoint test has read the previous
       // round — release the round's scratch (large-star intermediate)
       // and the predecessor edge set (round 0's `init` has already

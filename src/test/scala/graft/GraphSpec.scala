@@ -112,4 +112,26 @@ class GraphSpec extends SparkTestBase {
     assert(rf("d") === 0.85 * 0.75 && rf("e") === 0.85 * 0.25)
     assert(rf("c") === 0.15)
   }
+
+  test("hits: hand-computed bipartite hubs and authorities, L1-normalized") {
+    // u1→{i1,i2,i3}, u2→{i1}:
+    //   iter 1: a ∝ (i1:2, i2:1, i3:1) → (0.5, 0.25, 0.25);
+    //           h ∝ (u1: 1.0, u2: 0.5) → (2/3, 1/3)
+    //   iter 2: a ∝ (i1: 1, i2: 2/3, i3: 2/3) → (3/7, 2/7, 2/7);
+    //           h ∝ (u1: 1.0, u2: 3/7) → (0.7, 0.3)
+    val edges = Seq(("u1", "i1"), ("u1", "i2"), ("u1", "i3"), ("u2", "i1"))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(~=(got("i1")._2, 3.0 / 7) && ~=(got("i2")._2, 2.0 / 7) &&
+      ~=(got("i3")._2, 2.0 / 7))
+    assert(~=(got("u1")._1, 0.7) && ~=(got("u2")._1, 0.3))
+    // bipartite sides carry zero of the other score
+    assert(got("i1")._1 === 0.0 && got("u1")._2 === 0.0)
+    // both score vectors are L1-normalized
+    assert(~=(got.values.map(_._1).sum, 1.0))
+    assert(~=(got.values.map(_._2).sum, 1.0))
+  }
 }

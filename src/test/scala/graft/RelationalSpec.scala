@@ -308,4 +308,18 @@ class RelationalSpec extends SparkTestBase {
     // ranks asc (1,1,10) → i·x = 1+2+30 = 33; G = 66/36 - 4/3 = 0.5
     assert(got("m") === (("m", 3L, 12L, 0.5)))
   }
+
+  test("ridgeRegression2: hand-computed Cramer solve, λ=0 and λ=3") {
+    // rows (x1,x2,y): (1,0,2),(0,1,3),(1,1,5) → s11=2 s22=2 s12=1
+    // s1y=7 s2y=8. λ=0: det=3, b=(2,3) — exact integers in doubles.
+    // λ=3: det=24, b=(27/24, 33/24)=(1.125, 1.375) — exact dyadics.
+    val df = Seq((1.0, 0.0, 2.0), (0.0, 1.0, 3.0), (1.0, 1.0, 5.0))
+      .toDF("x1", "x2", "y")
+    val g0 = Relational.ridgeRegression2(df, "y", "x1", "x2", lambda = 0.0)
+      .as[(Double, Double, Long)].head()
+    assert(g0 === ((2.0, 3.0, 3L)))
+    val g3 = Relational.ridgeRegression2(df, "y", "x1", "x2", lambda = 3.0)
+      .as[(Double, Double, Long)].head()
+    assert(g3 === ((1.125, 1.375, 3L)))
+  }
 }

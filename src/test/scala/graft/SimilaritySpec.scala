@@ -248,6 +248,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(mmr(0) >= mmr(1) && mmr(1) >= mmr(2))
   }
 
+  test("mmrSelect rejects a driver-unsafe candidates parameter") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(corpus, qv, lambdaRel = 0.7,
+        candidates = 4096, select = 3)
+    }
+    assert(e.getMessage.contains("2048"))
+  }
+
   test("sqTrain/sqEncode: hand-computed bounds and codes, zero-range dim") {
     val df = vecs(1 -> Seq(0f, 0f, 7f), 2 -> Seq(10f, 0f, 7f),
       3 -> Seq(10f, 10f, 7f), 4 -> Seq(5f, 10f, 7f))
