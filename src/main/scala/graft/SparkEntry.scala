@@ -1280,6 +1280,162 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    // position-based (U-shaped) multi-touch attribution — the
+    // multi-credit complement of q131's last-touch: every click in the
+    // purchase's 7-day lookback shares the credit (first 0.4, last 0.4,
+    // middle 0.2/(n−2); n=1 → 1, n=2 → ½/½), unmatched purchases roll
+    // up under channel −1 with full credit. The journey join is a
+    // user-keyed range join (bounded by the lookback); journey ranks
+    // ride a (user, purchase) window — high-cardinality keys throughout
+    "q166_position_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("_pus"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("_cu"), col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("_cus"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10)
+            .as("channel"))
+      val w = Window.partitionBy(col("user_id"), col("p_id"))
+      val ranked = purchases
+        .join(clicks, col("user_id") === col("_cu") &&
+          col("_cus") <= col("_pus") &&
+          col("_cus") > col("_pus") - lit(7L * 86400L * 1000000L), "left")
+        .withColumn("_rn",
+          row_number().over(w.orderBy(col("_cus"), col("c_id"))))
+        .withColumn("_n", count(lit(1)).over(w))
+      val credit = when(col("_n") === 1, lit(1.0))
+        .when(col("_rn") === 1 || col("_rn") === col("_n"),
+          when(col("_n") === 2, lit(0.5)).otherwise(lit(0.4)))
+        .otherwise(lit(0.2) / (col("_n") - 2))
+      ranked
+        .select(coalesce(col("channel"), lit(-1L)).as("channel"),
+          col("value"), credit.as("_cr"))
+        .groupBy(col("channel"))
+        .agg(round(sum(col("_cr")) + lit(1e-9), 4).as("credit"),
+          round(sum(col("_cr") * col("value")) + lit(1e-9), 2)
+            .as("weighted_revenue"))
+        .orderBy(col("channel"))
+    }),
+
+    // session entry/exit/bounce analysis per event type — which actions
+    // OPEN journeys, which END them, which are one-and-done. Reuses
+    // q103's gaps-and-islands sessions; openers/closers are rank-1 /
+    // rank-n rows of a (user, session) window — never a per-type global
+    // sort. Counts are integers: engines agree exactly
+    "q167_session_entries" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_ns",
+          when(lag(col("_us"), 1).over(wu).isNull ||
+            col("_us") - lag(col("_us"), 1).over(wu) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("_sid", sum(col("_ns")).over(wu))
+      val ws = Window.partitionBy(col("user_id"), col("_sid"))
+      val ranked = e
+        .withColumn("_rn",
+          row_number().over(ws.orderBy(col("_us"), col("event_id"))))
+        .withColumn("_n", count(lit(1)).over(ws))
+      ranked.groupBy(col("event_type"))
+        .agg(sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_entries"),
+          sum(when(col("_rn") === col("_n"), 1L).otherwise(0L))
+            .as("n_exits"),
+          sum(when(col("_n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .orderBy(col("event_type"))
+    }),
+
+    // whale-concentration report: the top-1% users' share of total
+    // events — the activity-skew number a capacity plan (and a bot
+    // audit) starts from. Per-user counts (user-keyed, map-side
+    // combined), exact interpolated p99 cutoff broadcast back, one
+    // rollup row out
+    "q168_whale_share" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_c"))
+      val cut = counts.agg(percentile(col("_c"), lit(0.99)).as("_p99"))
+      counts.join(broadcast(cut))
+        .agg(count(lit(1)).as("n_users"),
+          round(max(col("_p99")) + lit(1e-9), 2).as("whale_cutoff"),
+          sum(when(col("_c") >= col("_p99"), 1L).otherwise(0L))
+            .as("n_whales"),
+          round(sum(when(col("_c") >= col("_p99"), col("_c"))
+              .otherwise(0L)).cast("double") / sum(col("_c"))
+            + lit(1e-9), 4).as("whale_share"))
+    }),
+
+    // MERGE INTO / CDC apply: base ← deterministic change batch
+    // (updates %97, deletes %89, inserts %101 under offset keys), then
+    // a per-status rollup certifying the merged snapshot. One
+    // key-partitioned full-outer join — the lakehouse upsert primitive
+    "q171_merge_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit("U").as("_op"))
+      val deletes = base.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("D").as("_op"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          lit("I").as("_op"))
+      // %97 ∩ %89 etc. are empty below 8633-key corpora only — dedup
+      // the batch to one op per key, delete-wins then update (the
+      // compacted-batch contract the operator requires)
+      val batch = updates.unionByName(deletes).unionByName(inserts)
+        .groupBy(col("o_orderkey"))
+        .agg(max(struct(
+          when(col("_op") === "D", 2).when(col("_op") === "U", 1)
+            .otherwise(0).as("_pri"),
+          col("_op").as("op"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("tp"))).as("_m"))
+        .select(col("o_orderkey"), col("_m.st").as("o_orderstatus"),
+          col("_m.tp").as("o_totalprice"), col("_m.op").as("_op"))
+      operators.Relational.applyCdc(base, batch, "o_orderkey", "_op")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")) + lit(1e-9), 2).as("total"),
+          sum(col("o_orderkey")).as("key_checksum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // exponential time-decayed item popularity (half-life weighting,
+    // τ = 7 days): trending-now vs q83's all-time co-occurrence. ONE
+    // map-side-combined aggregate; the anchor (global max ts) is a
+    // broadcast scalar, so the weight is a map-side expression
+    "q169_decayed_popularity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("event_id") % 4000).as("item_id"),
+          unix_micros(col("ts")).as("_us"))
+      val anchor = ev.agg(max(col("_us")).as("_tmax"))
+      ev.join(broadcast(anchor))
+        .groupBy(col("item_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(exp((col("_us") - col("_tmax")).cast("double") /
+            lit(7.0 * 86400 * 1000000))) + lit(1e-9), 4)
+            .as("decayed_score"))
+        .orderBy(col("decayed_score").desc, col("item_id")).limit(20)
+    }),
+
+    // deadline-constrained funnel: view → click within 1h → purchase
+    // within 24h — per-step user-keyed min-aggregates, no windows;
+    // the unbounded q88 funnel overcounts month-later conversions
+    "q170_timed_funnel" -> ((s, dir) =>
+      ext.EventOps.funnelTimed(t(s, dir, "events"), "user_id",
+          "event_type", "ts",
+          Seq(("view", 0L), ("click", 3600L * 1000000),
+            ("purchase", 86400L * 1000000)))
+        .orderBy(col("step_idx"))),
+
     // numeric distribution drift: binned two-sample KS between purchase
     // and click values — the numeric complement of q82's token JS. The
     // grid keeps it one map-side (bin, slice) count; the exact-supremum
@@ -3894,6 +4050,143 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(sum(value) + 1e-9, 2) AS revenue
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // same deterministic change batch, same delete-wins compaction
+    // (priority-ordered argmax), same full-outer merge semantics
+    "q171_merge_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |allc AS (
+        |  SELECT o_orderkey, 'U' AS st, o_totalprice + 1.0 AS tp,
+        |    'U' AS op FROM base WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D'
+        |  FROM base WHERE o_orderkey % 89 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'I'
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |batch AS (SELECT o_orderkey, st, tp, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END
+        |      DESC, op DESC, st DESC, tp DESC) AS rn
+        |  FROM allc) WHERE rn = 1),
+        |m AS (SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS k,
+        |    CASE WHEN c.op IS NOT NULL THEN c.st
+        |         ELSE b.o_orderstatus END AS st,
+        |    CASE WHEN c.op IS NOT NULL THEN c.tp
+        |         ELSE b.o_totalprice END AS tp
+        |  FROM base b FULL OUTER JOIN batch c
+        |    ON b.o_orderkey = c.o_orderkey
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(tp) + 1e-9, 2) AS total,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM m GROUP BY st ORDER BY o_orderstatus""".stripMargin,
+
+    // same anchor (global max micros) and the same exp argument — the
+    // only cross-engine risk is libm's exp (≤1 ulp), absorbed by the
+    // 4-dp round
+    "q169_decayed_popularity" ->
+      """WITH e AS (SELECT event_id % 4000 AS item_id, epoch_us(ts)
+        |    AS us FROM events),
+        |a AS (SELECT max(us) AS tmax FROM e)
+        |SELECT item_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(exp((us - tmax) / (7.0 * 86400 * 1000000)))
+        |    + 1e-9, 4) AS decayed_score
+        |FROM e CROSS JOIN a GROUP BY item_id
+        |ORDER BY decayed_score DESC, item_id LIMIT 20""".stripMargin,
+
+    // the survivor chain unrolled: each step joins the previous step's
+    // per-user earliest completion and applies the (t, t+delay] gate —
+    // deterministic anchors, integer micros, exact counts
+    "q170_timed_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t + 3600000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t + 86400000000
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |    CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    CAST((SELECT count(*) FROM s3) AS BIGINT))
+        |ORDER BY step_idx""".stripMargin,
+
+    // same journey join (left, 7-day lookback in the ON clause), same
+    // rank/count windows and CASE weights; weight VALUES are identical
+    // literals both sides, only sum order differs → 4-dp round
+    "q166_position_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts)
+        |    AS pus, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, event_id AS c_id, epoch_us(ts)
+        |    AS cus, CAST(json_extract(props, '$.k') AS BIGINT) % 10
+        |    AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.p_id, p.value, c.channel, c.cus,
+        |    c.c_id
+        |  FROM p LEFT JOIN c ON p.user_id = c.cu
+        |    AND c.cus <= p.pus AND c.cus > p.pus - 604800000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, p_id
+        |      ORDER BY cus, c_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, p_id) AS n
+        |  FROM j),
+        |w AS (SELECT COALESCE(channel, -1) AS channel, value,
+        |    CASE WHEN n = 1 THEN 1.0
+        |         WHEN rn = 1 OR rn = n THEN
+        |           CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+        |         ELSE 0.2 / (n - 2) END AS cr
+        |  FROM r)
+        |SELECT channel, round(sum(cr) + 1e-9, 4) AS credit,
+        |  round(sum(cr * value) + 1e-9, 2) AS weighted_revenue
+        |FROM w GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // q103's session CTE + rank-1/rank-n opener/closer flags; integer
+    // counts — exact both engines
+    "q167_session_entries" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sid
+        |  FROM f),
+        |r AS (SELECT event_type, row_number() OVER (PARTITION BY
+        |      user_id, sid ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, sid) AS n
+        |  FROM g)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_entries,
+        |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exits,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same per-user counts, same exact interpolated p99, same rollup
+    "q168_whale_share" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events
+        |  GROUP BY user_id),
+        |t AS (SELECT quantile_cont(c, 0.99) AS p99 FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  round(max(p99) + 1e-9, 2) AS whale_cutoff,
+        |  CAST(sum(CASE WHEN c >= p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_whales,
+        |  round(sum(CASE WHEN c >= p99 THEN c ELSE 0 END) /
+        |    CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS whale_share
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // bin ids are correctly-rounded arithmetic on exact global
     // extremes, counts are exact integers, so the binned ECDFs (and

@@ -45,6 +45,47 @@ object EventOps {
     out
   }
 
+  /** Deadline-constrained conversion funnel — [[funnel]] with a per-step
+    * completion window: step i counts a user only if an event of that
+    * type lands in (tᵢ₋₁, tᵢ₋₁ + maxDelayᵢ] where tᵢ₋₁ is the user's
+    * (earliest-completion) time of the previous step. "Clicked within an
+    * hour of viewing, purchased within a day of clicking" — the funnel
+    * marketing actually measures; the unbounded variant overcounts
+    * conversions that took a month.
+    *
+    * Same scale shape as [[funnel]]: one user-keyed min-aggregate per
+    * step, each step's survivor frame joined (user-keyed) onto the next
+    * step's candidate events — never a window or a global sort. The
+    * earliest-qualifying-completion anchor is deterministic, so a SQL
+    * oracle reproduces the survivor chain exactly.
+    *
+    * @param steps (eventType, maxDelayMicros) per step; the first
+    *              step's delay is ignored (it anchors at the user's
+    *              earliest occurrence).
+    */
+  def funnelTimed(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[(String, Long)]): DataFrame = {
+    require(steps.nonEmpty, "funnelTimed needs at least one step")
+    val ev = events.select(col(userCol), col(typeCol),
+      unix_micros(col(tsCol)).as("_us"))
+    var survivors = ev.filter(col(typeCol) === steps.head._1)
+      .groupBy(col(userCol)).agg(min(col("_us")).as("_t"))
+    def stepCount(idx: Int, name: String, frame: DataFrame): DataFrame =
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx.toLong).as("step_idx"), lit(name).as("step"),
+          col("n_users"))
+    var out = stepCount(1, steps.head._1, survivors)
+    steps.zipWithIndex.drop(1).foreach { case ((st, delay), i) =>
+      survivors = ev.filter(col(typeCol) === st)
+        .join(survivors, Seq(userCol))
+        .filter(col("_us") > col("_t") &&
+          col("_us") <= col("_t") + lit(delay))
+        .groupBy(col(userCol)).agg(min(col("_us")).as("_t"))
+      out = out.unionByName(stepCount(i + 1, st, survivors))
+    }
+    out
+  }
+
   /** Per-user rolling aggregate over a TIME range (not a row count):
     * avg of `valueCol` over the trailing `windowMicros` of event time —
     * the feature-engineering window ("activity in the last hour") where

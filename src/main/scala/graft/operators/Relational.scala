@@ -602,6 +602,36 @@ object Relational {
           + lit(1e-9), 4) + lit(0.0)).as("gini"))
   }
 
+  /** MERGE INTO / CDC-apply: produce the next snapshot of `base` under a
+    * change batch carrying an op column — 'U'/'I' rows replace-or-insert
+    * by key, 'D' rows delete. The lakehouse upsert primitive (Delta/
+    * Iceberg MERGE) expressed as ONE full-outer equi-join on the key:
+    *   - key only in base → base row survives;
+    *   - key in changes with op 'D' → dropped;
+    *   - key in changes otherwise → the change row's values win.
+    * One shuffle, both sides key-partitioned; nothing corpus-sized past
+    * the join (and on bucketed tables — q108's staging — even that
+    * shuffle elides). Changes must be one row per key (dedup a multi-op
+    * batch to its last op first — [[dedupFirst]] family); this applies a
+    * COMPACTED batch, deliberately: applying an uncompacted log is a
+    * different operator (windowed last-writer-wins, q105's SCD-2 stack).
+    *
+    * @param changes same schema as base plus `opCol`
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+               opCol: String): DataFrame = {
+    val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+    val b = base.select(col(keyCol) +:
+      dataCols.map(c => col(c).as(s"_b_$c")): _*)
+    val ch = changes.select(col(keyCol) +:
+      (dataCols.map(c => col(c).as(s"_c_$c")) :+ col(opCol).as("_op")): _*)
+    b.join(ch, Seq(keyCol), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(keyCol) +: dataCols.map(c =>
+        when(col("_op").isNotNull, col(s"_c_$c"))
+          .otherwise(col(s"_b_$c")).as(c)): _*)
+  }
+
   /** Two-feature ridge regression (no intercept) in CLOSED FORM: solve
     * (XᵀX + λI)β = Xᵀy by Cramer's rule on the 2×2 normal equations.
     * Regression at 100 TB is ONE moment-aggregate pass — Σx₁², Σx₂²,

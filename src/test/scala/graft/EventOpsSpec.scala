@@ -43,6 +43,29 @@ class EventOpsSpec extends SparkTestBase {
       (3L, "purchase", 0L)))
   }
 
+  test("funnelTimed: per-step deadlines gate the survivor chain") {
+    // delays: click within 60 s of first view, purchase within 100 s
+    // of the qualifying click
+    val events = Seq(
+      // user 1: click at +50 (inside), purchase at +100 from click
+      // (boundary — inclusive <=) → survives all steps
+      (1L, "view", ts(0)), (1L, "click", ts(50)), (1L, "purchase", ts(150)),
+      // user 2: click at +61 — one second past the deadline → out at 2
+      (2L, "view", ts(0)), (2L, "click", ts(61)), (2L, "purchase", ts(70)),
+      // user 3: EARLY disqualified click, then a qualifying one; its
+      // purchase must anchor at the QUALIFYING click (ts 40), not the
+      // early one — purchase at 141 > 40+100 → out at step 3
+      (3L, "view", ts(10)), (3L, "click", ts(5)), (3L, "click", ts(40)),
+      (3L, "purchase", ts(141)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnelTimed(events, "user_id", "event_type", "ts",
+        Seq(("view", 0L), ("click", 60L * 1000000),
+          ("purchase", 100L * 1000000)))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
   test("rollingUserAvg: time-range frame, not row-count; per-user") {
     val events = Seq(
       (1L, 101L, ts(0), 1.0),        // t = 0

@@ -210,6 +210,31 @@ class PlanSpec extends SparkTestBase {
       s"nested-loop join crept in:\n$p")
   }
 
+  test("q164 gap window partitions on the (user, type) key, never " +
+    "one global partition") {
+    val p = plan(SparkEntry.queries("q164_gap_percentiles")(spark, sf))
+    assert(p.contains("Window"), s"no window node:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user:\n$p")
+  }
+
+  test("q166 journey join is an equi-join on user — range gate stays " +
+    "a join condition, not a cartesian") {
+    val p = plan(SparkEntry.queries("q166_position_attribution")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join crept in:\n$p")
+  }
+
+  test("q168 whale report has no window and no global sort — counts, " +
+    "a broadcast cutoff, one rollup") {
+    val p = plan(SparkEntry.queries("q168_whale_share")(spark, sf))
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"p99 cutoff not broadcast:\n$p")
+  }
+
   test("q79 split assignment is pure map-side: no exchange, no join") {
     // the split label is a hash-CASE over the id — any Exchange/Join/
     // Window here means the operator regressed to a shuffling formulation

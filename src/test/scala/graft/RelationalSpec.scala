@@ -309,6 +309,18 @@ class RelationalSpec extends SparkTestBase {
     assert(got("m") === (("m", 3L, 12L, 0.5)))
   }
 
+  test("applyCdc: update replaces, insert adds, delete drops, rest " +
+    "survives") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq((2L, "B", 22.0, "U"), (4L, "d", 40.0, "I"),
+      (3L, "c", 30.0, "D"))
+      .toDF("k", "s", "v", "op")
+    val got = Relational.applyCdc(base, changes, "k", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "B", 22.0), (4L, "d", 40.0)))
+  }
+
   test("ridgeRegression2: hand-computed Cramer solve, λ=0 and λ=3") {
     // rows (x1,x2,y): (1,0,2),(0,1,3),(1,1,5) → s11=2 s22=2 s12=1
     // s1y=7 s2y=8. λ=0: det=3, b=(2,3) — exact integers in doubles.
