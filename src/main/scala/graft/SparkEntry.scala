@@ -1369,6 +1369,58 @@ object SparkEntry {
             + lit(1e-9), 4).as("whale_share"))
     }),
 
+    // seasonal-baseline residual anomalies: expected value = the
+    // (event_type, hour-of-week) corpus mean — the cheapest seasonal
+    // model — residual = value − expected; top-20 by |residual|. The
+    // baseline is ≤ |types|×168 rows, broadcast back onto the stream;
+    // ranking is a TakeOrderedAndProject, never a global sort
+    "q173_seasonal_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          (dayofweek(col("ts")) * 24 + hour(col("ts"))).as("_how"))
+      val base = ev.groupBy(col("event_type"), col("_how"))
+        .agg(avg(col("value")).as("_exp"))
+      ev.join(broadcast(base), Seq("event_type", "_how"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value") + lit(1e-9), 2).as("value"),
+          round(col("_exp") + lit(1e-9), 4).as("expected"),
+          round(abs(col("value") - col("_exp")) + lit(1e-9), 4)
+            .as("abs_residual"))
+        .orderBy(col("abs_residual").desc, col("event_id")).limit(20)
+    }),
+
+    // Poisson-bootstrap CI for mean per-user purchase value: B=32
+    // replicates from ONE corpus pass — replicate b weights user u by
+    // Poisson(1) seeded from hash(u, b), so the whole bootstrap is one
+    // map-side ×32 fan-out into 32 weighted sums (never B resampled
+    // corpora). SE = stddev of replicate means, CI = their 2.5/97.5
+    // interpolated percentiles
+    "q172_bootstrap_ci" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(col("value")).as("_m"))
+      val u = ext.Sampling.hashScore(
+        concat(col("user_id").cast("string"), lit("_"),
+          col("_b").cast("string")), 42L).cast("double") /
+        lit(4503599627370496.0)
+      val mb = per
+        .select(col("user_id"), col("_m"),
+          explode(sequence(lit(0), lit(31))).as("_b"))
+        .withColumn("_w", ext.Sampling.poissonWeight(u))
+        .groupBy(col("_b"))
+        .agg((sum(col("_w") * col("_m")) / sum(col("_w"))).as("_mb"))
+      val point = per.agg(count(lit(1)).as("n_units"),
+        round(avg(col("_m")) + lit(1e-9), 4).as("mean_metric"))
+      mb.agg(round(stddev_samp(col("_mb")) + lit(1e-9), 4).as("se_boot"),
+          round(percentile(col("_mb"), lit(0.025)) + lit(1e-9), 4)
+            .as("ci_lo"),
+          round(percentile(col("_mb"), lit(0.975)) + lit(1e-9), 4)
+            .as("ci_hi"))
+        .join(broadcast(point))
+        .select(col("n_units"), col("mean_metric"), col("se_boot"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
     // MERGE INTO / CDC apply: base ← deterministic change batch
     // (updates %97, deletes %89, inserts %101 under offset keys), then
     // a per-status rollup certifying the merged snapshot. One
@@ -4050,6 +4102,53 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(sum(value) + 1e-9, 2) AS revenue
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // same (type, hour-of-week) baseline — DuckDB's dayofweek is
+    // Sunday=0 where Spark's is Sunday=1, hence the +1
+    "q173_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    (dayofweek(ts) + 1) * 24 + extract(hour FROM ts) AS how
+        |  FROM events),
+        |b AS (SELECT event_type, how, avg(value) AS exp
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_id, e.event_type,
+        |  round(value + 1e-9, 2) AS value,
+        |  round(exp + 1e-9, 4) AS expected,
+        |  round(abs(value - exp) + 1e-9, 4) AS abs_residual
+        |FROM e JOIN b ON e.event_type = b.event_type AND e.how = b.how
+        |ORDER BY abs_residual DESC, event_id LIMIT 20""".stripMargin,
+
+    // same md5-hash uniforms (exact 52-bit doubles), same literal
+    // Poisson ladder → identical integer weights; replicate means are
+    // the float-order class, 4-dp round
+    "q172_bootstrap_ci" ->
+      """WITH per AS (SELECT user_id, sum(value) AS m FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |reps AS (SELECT b, m,
+        |    CAST(concat('0x', substr(md5(concat('42:',
+        |      CAST(user_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))),
+        |      1, 13)) AS BIGINT) / 4503599627370496.0 AS u
+        |  FROM per CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+        |w AS (SELECT b, m,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS w
+        |  FROM reps),
+        |mb AS (SELECT b, sum(w * m) / sum(w) AS mb FROM w GROUP BY b)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_units,
+        |  (SELECT round(avg(m) + 1e-9, 4) FROM per) AS mean_metric,
+        |  round(stddev_samp(mb) + 1e-9, 4) AS se_boot,
+        |  round(quantile_cont(mb, 0.025) + 1e-9, 4) AS ci_lo,
+        |  round(quantile_cont(mb, 0.975) + 1e-9, 4) AS ci_hi
+        |FROM mb""".stripMargin,
 
     // same deterministic change batch, same delete-wins compaction
     // (priority-ordered argmax), same full-outer merge semantics

@@ -205,4 +205,30 @@ object Sampling {
     Relational.topKPerGroup(survivors, k, Seq(userCol), Seq(col("_slot")))
       .select(col(userCol), col("neg_item"), col("rank"))
   }
+
+  /** Poisson(1) draw from a uniform by inverse-CDF ladder — the
+    * distributed (Poisson) bootstrap's resample weight: replicate b
+    * weights row i by Poisson(1) seeded from hash(i, b), so B
+    * bootstrap replicates come out of ONE corpus pass as B weighted
+    * sums (no per-replicate shuffles, no resampled copies of the
+    * corpus — the only formulation that survives 100 TB; Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012). The cumulative thresholds are exact double LITERALS
+    * (identical in any engine) and the uniform is a 52-bit
+    * [[hashScore]] over 2⁵² (exactly representable), so the weight is
+    * engine-exact. Tail truncated at 9 (P ≈ 1.1e-6 — one row in a
+    * million gets weight 9 instead of a larger value; the bias is far
+    * below bootstrap noise).
+    */
+  def poissonWeight(u: Column): Column =
+    when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .when(u < 0.9999897508033253, 7L)
+      .when(u < 0.999998874797402, 8L)
+      .otherwise(9L)
 }

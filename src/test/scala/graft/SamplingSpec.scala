@@ -159,4 +159,21 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(again === byUser.toSeq.sortBy(_._1).flatMap(_._2))
   }
+
+  test("poissonWeight: inverse-CDF ladder buckets and Poisson(1) mean") {
+    val ladder = Seq(0.0 -> 0L, 0.5 -> 1L, 0.9 -> 2L, 0.95 -> 3L,
+      0.99 -> 4L, 0.999 -> 5L, 0.9995 -> 6L, 0.99995 -> 7L,
+      0.999995 -> 8L, 0.9999999 -> 9L)
+    val got = ladder.map(_._1).toDF("u")
+      .select(col("u"), Sampling.poissonWeight(col("u")).as("w"))
+      .as[(Double, Long)].collect().toMap
+    ladder.foreach { case (u, w) => assert(got(u) === w, s"u=$u") }
+    // over hash-uniforms the weights should average ≈ 1 (Poisson mean)
+    val mean = spark.range(20000)
+      .select(Sampling.poissonWeight(
+        Sampling.hashScore(col("id"), 7L).cast("double") /
+          lit(4503599627370496.0)).as("w"))
+      .agg(avg(col("w"))).as[Double].head()
+    assert(math.abs(mean - 1.0) < 0.03, s"mean weight $mean")
+  }
 }
