@@ -1369,6 +1369,31 @@ object SparkEntry {
             + lit(1e-9), 4).as("whale_share"))
     }),
 
+    // edge-weighted PageRank over the co-engagement graph (pair_cnt
+    // weights): the walk follows strong ties preferentially — q86's
+    // unweighted variant treats a 40-user tie like a 3-user one. Same
+    // staged pair list, same ×N scaling convention
+    "q174_pagerank_weighted" -> ((s, dir) => {
+      val pairs = coengagementPairs(s, dir)
+      val edges = pairs.select(col("item_a").as("src"),
+          col("item_b").as("dst"), col("pair_cnt").as("w"))
+        .unionByName(pairs.select(col("item_b").as("src"),
+          col("item_a").as("dst"), col("pair_cnt").as("w")))
+      ext.Graph.pageRankWeighted(edges, iters = 2)
+        .select(col("id").as("item"),
+          round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("item")).limit(20)
+    }),
+
+    // degree assortativity of the item graph (Newman 2002): do hubs
+    // attach to hubs? One degree aggregate + two endpoint joins + corr
+    // over exact integer degrees
+    "q175_assortativity" -> ((s, dir) =>
+      ext.Graph.degreeAssortativity(coengagementPairs(s, dir),
+          "item_a", "item_b")
+        .select(col("n_directed_edges"),
+          round(col("assortativity") + lit(1e-9), 4).as("assortativity"))),
+
     // seasonal-baseline residual anomalies: expected value = the
     // (event_type, hour-of-week) corpus mean — the cheapest seasonal
     // model — residual = value − expected; top-20 by |residual|. The
@@ -4102,6 +4127,44 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(sum(value) + 1e-9, 2) AS revenue
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // q86's unrolled-iteration oracle with w/Σw transitions; the
+    // contribution chain ((0.85·pr)·w)/Σw is kept verbatim so only
+    // float sum order differs
+    "q174_pagerank_weighted" ->
+      ("WITH " + coengagementPairsSql + """,
+        |edges AS (SELECT ia AS src, ib AS dst, pair_cnt AS w FROM pairs
+        |          UNION ALL SELECT ib, ia, pair_cnt FROM pairs),
+        |ow AS (SELECT src, sum(w) AS wt FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst AS id FROM edges),
+        |n AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes, n),
+        |s1 AS (SELECT e.dst AS id, sum(0.85 * r.pr * e.w / o.wt) AS s
+        |  FROM edges e JOIN ow o ON o.src = e.src
+        |    JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nd.id, (1 - 0.85) / n.n + COALESCE(s1.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s1 ON s1.id = nd.id),
+        |s2 AS (SELECT e.dst AS id, sum(0.85 * r.pr * e.w / o.wt) AS s
+        |  FROM edges e JOIN ow o ON o.src = e.src
+        |    JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nd.id, (1 - 0.85) / n.n + COALESCE(s2.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s2 ON s2.id = nd.id)
+        |SELECT id AS item, round(pr * n.n + 1e-9, 4) AS pr_scaled
+        |FROM r2, n ORDER BY pr_scaled DESC, item LIMIT 20""").stripMargin,
+
+    // same symmetrized degree decoration and sample Pearson corr
+    "q175_assortativity" ->
+      ("WITH " + coengagementPairsSql + """,
+        |sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |        UNION ALL SELECT ib, ia FROM pairs),
+        |deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+        |  round(corr(da.d, db.d) + 1e-9, 4) AS assortativity
+        |FROM sym JOIN deg da ON da.id = sym.a
+        |  JOIN deg db ON db.id = sym.b""").stripMargin,
 
     // same (type, hour-of-week) baseline — DuckDB's dayofweek is
     // Sunday=0 where Spark's is Sunday=1, hence the +1

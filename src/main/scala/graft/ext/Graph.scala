@@ -79,6 +79,78 @@ object Graph {
     out
   }
 
+  /** Edge-WEIGHTED PageRank: [[pageRank]] with transition probability
+    * w/Σ_out w instead of 1/out-degree — on a co-engagement graph the
+    * walk follows STRONG ties preferentially, which is what an
+    * item-importance ranking over weighted affinity should do (the
+    * unweighted variant treats a 40-user tie like a 3-user one).
+    *
+    * Keeps (w, Σw) separate in the transition frame rather than
+    * pre-dividing — `(d·pr·w)/Σw` is the fixed left-associated chain
+    * both engines compute, so an unrolled SQL oracle matches to float
+    * order ([[personalizedPageRank]]'s trick). Same per-iteration
+    * shape, lifecycle, and (id, pr, pr_scaled) contract as
+    * [[pageRank]]; dangling mass likewise dropped.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+                       damping: Double = 0.85, srcCol: String = "src",
+                       dstCol: String = "dst", weightCol: String = "w")
+  : DataFrame = {
+    require(iters >= 1, "pageRankWeighted needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).as("_w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("_w")).as("_wtot"))
+    val trans = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), col("_w"), col("_wtot")).persist()
+    val nodes = trans.select(col("src").as("id"))
+      .union(trans.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.agg(count(lit(1)).as("_n"))
+    var ranks = nodes.join(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = trans.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          (lit(damping) * col("pr") * col("_w") / col("_wtot")).as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+        .join(broadcast(n))
+        .select(col("id"),
+          (lit(1.0 - damping) / col("_n") +
+            coalesce(col("_s"), lit(0.0))).as("pr"))
+    }
+    val out = graft.core.Caches.materialized(
+      ranks.join(broadcast(n))
+        .select(col("id"), col("pr"),
+          (col("pr") * col("_n")).as("pr_scaled")))
+    trans.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** Degree assortativity of an undirected CANONICAL pair list
+    * (aCol < bCol): the Pearson correlation of endpoint degrees over
+    * the directed edge set (each edge counted both ways — the standard
+    * Newman 2002 formulation). Disassortative (< 0) means hubs attach
+    * to low-degree nodes (typical of affinity/bipartite-projection
+    * graphs); assortative (> 0) means hubs cluster.
+    *
+    * One degree aggregate (node-keyed), two joins to decorate edge
+    * endpoints, one moment aggregate — corr over exact integer degree
+    * pairs, so engines differ only in sum order.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("_d"))
+    sym
+      .join(deg.select(col("id").as("a"), col("_d").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("_d").as("_db")), Seq("b"))
+      .agg(count(lit(1)).as("n_directed_edges"),
+        corr(col("_da").cast("double"), col("_db").cast("double"))
+          .as("assortativity"))
+  }
+
   /** Personalized PageRank (random walk with restart) over a WEIGHTED
     * directed edge list — the Pixie/RWR recommender primitive: walk
     * mass restarts at the `seeds` (probability `alpha` per step) instead

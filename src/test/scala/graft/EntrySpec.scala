@@ -21,9 +21,9 @@ class EntrySpec extends SparkTestBase {
   // co-engagement, not a broken pipeline. Their non-emptiness gates
   // live where the graph is real: the sf0.01 oracle (driver CORRECTNESS)
   // and the sf0.1 bench empty-result tripwire (Bench.scala).
-  // (q96 stays out: its triangle COUNT row exists even over zero edges)
+  // (q96/q175 stay out: their COUNT/corr rows exist even over zero edges)
   private val emptyAtTinySf = Set("q83_cooccurrence", "q86_pagerank",
-    "q100_label_communities", "q141_bfs_hops")
+    "q100_label_communities", "q141_bfs_hops", "q174_pagerank_weighted")
 
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -113,6 +113,31 @@ class GraphSpec extends SparkTestBase {
     assert(rf("c") === 0.15)
   }
 
+  test("pageRankWeighted: strong tie carries proportionally more mass") {
+    // a→b (w 3), a→c (w 1), b→a (w 1), c→a (w 1); d = 0.85, 1 iter:
+    //   a = 0.05 + 2·0.85/3 = 0.61666…, b = 0.05 + 0.85/3·(3/4) =
+    //   0.2625, c = 0.05 + 0.85/12 = 0.1208333…
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(edges, iters = 1)
+      .select($"id", $"pr").as[(String, Double)].collect().toMap
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(~=(got("a"), 0.05 + 2 * 0.85 / 3))
+    assert(~=(got("b"), 0.05 + 0.85 / 3 * 3 / 4))
+    assert(~=(got("c"), 0.05 + 0.85 / 12))
+    assert(~=(got.values.sum, 1.0))
+  }
+
+  test("degreeAssortativity: a path graph is perfectly disassortative") {
+    // pairs (1,2),(2,3): endpoint degree pairs are (1,2)/(2,1) twice
+    // each → Pearson corr = −1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.degreeAssortativity(pairs, "a", "b")
+      .as[(Long, Double)].head()
+    assert(got._1 === 4L)
+    assert(math.abs(got._2 - (-1.0)) < 1e-12)
+  }
+
   test("hits: hand-computed bipartite hubs and authorities, L1-normalized") {
     // u1→{i1,i2,i3}, u2→{i1}:
     //   iter 1: a ∝ (i1:2, i2:1, i3:1) → (0.5, 0.25, 0.25);
