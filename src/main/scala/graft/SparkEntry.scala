@@ -1373,6 +1373,43 @@ object SparkEntry {
             + lit(1e-9), 4).as("whale_share"))
     }),
 
+    // per-item engagement trend: regr_slope of daily interaction
+    // counts vs epoch-day — which items are growing. One (item, day)
+    // count (map-side combined) then a per-item moment aggregate; the
+    // q92 closed-form class, keyed by item
+    "q176_item_trends" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select((col("event_id") % 50).as("item_id"),
+          to_date(col("ts")).as("_day"))
+        .groupBy(col("item_id"), col("_day"))
+        .agg(count(lit(1)).as("_c"))
+      daily.groupBy(col("item_id"))
+        .agg(count(lit(1)).as("n_days"),
+          round(regr_slope(col("_c"),
+            datediff(col("_day"), lit("1970-01-01"))) + lit(1e-9), 4)
+            .as("trend_slope"))
+        .orderBy(col("item_id"))
+    }),
+
+    // per-source near-dup density off the STAGED chain pair list: dup
+    // pairs per source (the pair generator blocks on (lang, source),
+    // so pairs are within-source by construction) over the chained
+    // corpus's per-source doc counts — the "which feed is recycling
+    // content" curation report
+    "q177_source_dup_density" -> ((s, dir) => {
+      val pairs = chainPairList(s, dir)
+      val meta = chainedCorpus(s, dir).select(col("doc_id"), col("source"))
+      val dups = pairs.join(meta, pairs("id_a") === meta("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("_np"))
+      meta.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("_np"), lit(0L)).as("n_dup_pairs"),
+          round(coalesce(col("_np"), lit(0L)).cast("double") /
+            col("n_docs") + lit(1e-9), 4).as("pairs_per_doc"))
+        .orderBy(col("source"))
+    }),
+
     // edge-weighted PageRank over the co-engagement graph (pair_cnt
     // weights): the walk follows strong ties preferentially — q86's
     // unweighted variant treats a 40-user tie like a 3-user one. Same
@@ -4125,6 +4162,57 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  round(sum(value) + 1e-9, 2) AS revenue
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // same daily counts and regr_slope over epoch-day x
+    "q176_item_trends" ->
+      """WITH daily AS (SELECT event_id % 50 AS item_id,
+        |    CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT item_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(regr_slope(c,
+        |    date_diff('day', DATE '1970-01-01', day)) + 1e-9, 4)
+        |    AS trend_slope
+        |FROM daily GROUP BY item_id ORDER BY item_id""".stripMargin,
+
+    // q78's chained-corpus + exact-Jaccard pair CTEs, rolled up per
+    // source (pairs are within-source by the blocking key)
+    "q177_source_dup_density" ->
+      """WITH base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |np AS (SELECT source, count(*) AS np FROM pairs GROUP BY source),
+        |nd AS (SELECT source, count(*) AS n_docs FROM corpus
+        |  GROUP BY source)
+        |SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(np.np, 0) AS BIGINT) AS n_dup_pairs,
+        |  round(COALESCE(np.np, 0) / CAST(nd.n_docs AS DOUBLE) + 1e-9, 4)
+        |    AS pairs_per_doc
+        |FROM nd LEFT JOIN np ON np.source = nd.source
+        |ORDER BY nd.source""".stripMargin,
 
     // q86's unrolled-iteration oracle with w/Σw transitions; the
     // contribution chain ((0.85·pr)·w)/Σw is kept verbatim so only
