@@ -74,15 +74,18 @@ object Bench {
         s"$sfDir — the timing row certifies an empty pipeline")
     }
     // the queries map uses the short qNN prefix ("q32" not
-    // "q32_ngram_jaccard") and 4-dp values: the driver captures a bounded
-    // tail of the process output, and at 76+ queries the full-name form
-    // overflows that window, truncating the line's head and defeating the
-    // parse (BENCH_r03/r04 "parsed": null). Full names are recoverable —
-    // the prefix is unique by construction (SparkEntry key convention)
+    // "q32_ngram_jaccard") and 3-dp values: the driver captures a bounded
+    // (~3 KB) tail of the process output, and at 76+ queries the
+    // full-name form overflowed that window, truncating the line's head
+    // and defeating the parse (BENCH_r03/r04 "parsed": null; the 161-
+    // query 4-dp line was cut again in r07). At 177 queries the 4-dp
+    // line is ~2.6 KB — 3 dp (millisecond resolution, all any consumer
+    // reads) buys back ~180 bytes of margin. Full names are recoverable —
+    // the prefix is unique by construction (SparkEntry key convention).
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma decimal separator (e.g. de_DE) would corrupt the JSON line
     def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + num(v)
     }.mkString("{", ",", "}")
