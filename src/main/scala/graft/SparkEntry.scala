@@ -2536,8 +2536,22 @@ object SparkEntry {
                                  table: String, tag: String)
                                 (build: => DataFrame): DataFrame = {
     val dest = stagedPath(dir, table, tag)
-    if (!new java.io.File(dest, "_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(dest.getAbsolutePath)
+    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      // write-then-rename ([[pqTrainStaged]]'s publish protocol): a
+      // concurrent Verify/Bench pair must never read a half-written
+      // directory. Whoever loses the rename discards their copy — the
+      // winner's content is identical by construction (same fingerprint
+      // key ⇒ same deterministic build).
+      val tmp = new java.io.File(dest.getParentFile,
+        dest.getName + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(dest)) {
+        if (new java.io.File(dest, "_SUCCESS").exists())
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        else
+          throw new java.io.IOException(s"cannot publish staged frame $dest")
+      }
+    }
     s.read.parquet(dest.getAbsolutePath)
   }
 
