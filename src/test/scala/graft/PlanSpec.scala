@@ -226,6 +226,15 @@ class PlanSpec extends SparkTestBase {
       s"nested-loop join crept in:\n$p")
   }
 
+  test("q171 merge-apply is equi-joined on the key — no cartesian, " +
+    "no nested loop") {
+    val p = plan(SparkEntry.queries("q171_merge_apply")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join crept in:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer merge join missing:\n$p")
+  }
+
   test("q168 whale report has no window and no global sort — counts, " +
     "a broadcast cutoff, one rollup") {
     val p = plan(SparkEntry.queries("q168_whale_share")(spark, sf))

@@ -321,6 +321,15 @@ class RelationalSpec extends SparkTestBase {
     assert(got === Seq((1L, "a", 10.0), (2L, "B", 22.0), (4L, "d", 40.0)))
   }
 
+  test("applyCdc: an empty change batch is the identity") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
+    val none = Seq.empty[(Long, String, Double, String)]
+      .toDF("k", "s", "v", "op")
+    val got = Relational.applyCdc(base, none, "k", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
   test("ridgeRegression2: hand-computed Cramer solve, λ=0 and λ=3") {
     // rows (x1,x2,y): (1,0,2),(0,1,3),(1,1,5) → s11=2 s22=2 s12=1
     // s1y=7 s2y=8. λ=0: det=3, b=(2,3) — exact integers in doubles.
