@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Canonical projection builders for the helper frames every operator
+    * here derives from its edge input. They exist so a CALLER can
+    * pre-persist exactly these plans (a session-scoped graph context —
+    * [[graft.SparkEntry.coengagementGraphWarm]]): Spark's cache manager
+    * matches by canonicalized plan, so an operator's internal
+    * [[acquire]] of the same projection becomes a cache HIT and the
+    * operator leaves the frame's lifecycle to its owner. Without a
+    * pre-warmed context the behavior is unchanged — each operator
+    * persists and releases its own helpers (round-8 measured that
+    * per-call rebuild at ~2.5 s swept-cold per graph query on the
+    * sf0.1 co-engagement graph, ×4 queries — the motivating waste).
+    */
+  private[graft] def edgeProj(edges: DataFrame, srcCol: String = "src",
+                              dstCol: String = "dst"): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+
+  private[graft] def nodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+
+  private[graft] def outDegOf(e: DataFrame): DataFrame =
+    e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+
+  /** Persist `df` unless an identical (canonicalized) plan is already
+    * cached; the flag records who owns the entry — `release` unpersists
+    * only frames THIS call persisted, so a caller-owned shared context
+    * survives the operator.
+    */
+  private def acquire(df: DataFrame): (DataFrame, Boolean) = {
+    val pre = graft.core.Caches.isCached(df)
+    (graft.core.Caches.cached(df), pre)
+  }
+
+  private def release(df: DataFrame, callerOwned: Boolean): Unit =
+    if (!callerOwned) df.unpersist(blocking = false)
+
   /** Fixed-iteration PageRank over a directed edge list.
     *
     * Per iteration (the canonical distributed shape):
@@ -50,32 +86,33 @@ object Graph {
                srcCol: String = "src", dstCol: String = "dst")
   : DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_d")).persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.agg(count(lit(1)).as("_n"))
-    var ranks = nodes.join(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
+    val (e, eOwn) = acquire(edgeProj(edges, srcCol, dstCol))
+    val (outDeg, dOwn) = acquire(outDegOf(e))
+    val (nodes, nOwn) = acquire(nodesOf(e))
+    // |V| as a driver scalar, not a broadcast-agg subtree: the count is
+    // ONE Long off the just-persisted node frame (model-sized, the
+    // k-means-collect class), and the literal replaces three broadcast
+    // joins whose subtrees each re-executed the node aggregate per plan
+    // reference — the HITS normalizer lesson applied at N's smaller
+    // scale
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = e.join(outDeg, Seq("src"))
         .join(ranks, col("src") === col("id"))
         .select(col("dst"), (col("pr") / col("_d")).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(contribs, col("id") === col("dst"), "left")
-        .join(broadcast(n))
         .select(col("id"),
-          (lit(1.0 - damping) / col("_n") +
+          (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("_s"), lit(0.0))).as("pr"))
     }
     val out = graft.core.Caches.materialized(
-      ranks.join(broadcast(n))
-        .select(col("id"), col("pr"),
-          (col("pr") * col("_n")).as("pr_scaled")))
-    e.unpersist(blocking = false)
-    outDeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+      ranks.select(col("id"), col("pr"),
+        (col("pr") * lit(n.toDouble)).as("pr_scaled")))
+    release(e, eOwn)
+    release(outDeg, dOwn)
+    release(nodes, nOwn)
     out
   }
 
@@ -100,30 +137,30 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).as("_w"))
     val outW = e.groupBy(col("src")).agg(sum(col("_w")).as("_wtot"))
-    val trans = e.join(outW, Seq("src"))
-      .select(col("src"), col("dst"), col("_w"), col("_wtot")).persist()
-    val nodes = trans.select(col("src").as("id"))
-      .union(trans.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.agg(count(lit(1)).as("_n"))
-    var ranks = nodes.join(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("_n")).as("pr"))
+    val (trans, tOwn) = acquire(e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), col("_w"), col("_wtot")))
+    // node set from the unweighted projection — identical rows (trans
+    // is an inner join on src, every endpoint survives) and the same
+    // canonical plan [[nodesOf]] callers pre-warm
+    val (nodes, nOwn) = acquire(nodesOf(edgeProj(edges, srcCol, dstCol)))
+    // driver-scalar |V|, same rationale as [[pageRank]]
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = trans.join(ranks, col("src") === col("id"))
         .select(col("dst"),
           (lit(damping) * col("pr") * col("_w") / col("_wtot")).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(contribs, col("id") === col("dst"), "left")
-        .join(broadcast(n))
         .select(col("id"),
-          (lit(1.0 - damping) / col("_n") +
+          (lit((1.0 - damping) / n) +
             coalesce(col("_s"), lit(0.0))).as("pr"))
     }
     val out = graft.core.Caches.materialized(
-      ranks.join(broadcast(n))
-        .select(col("id"), col("pr"),
-          (col("pr") * col("_n")).as("pr_scaled")))
-    trans.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+      ranks.select(col("id"), col("pr"),
+        (col("pr") * lit(n.toDouble)).as("pr_scaled")))
+    release(trans, tOwn)
+    release(nodes, nOwn)
     out
   }
 
@@ -229,9 +266,10 @@ object Graph {
     *
     * Per round: one edge⋈label join (high-cardinality node keys), a
     * (node, label) count with map-side combine, and the argmax as a
-    * DECLARATIVE `max(struct(count, -label, label))` — lexicographic
-    * struct max IS "count desc, label asc" (the second field breaks
-    * ties before the payload third field can matter), and unlike the
+    * DECLARATIVE `min(struct(-count, label))` — lexicographic struct
+    * min over a negated count IS "count desc, label asc", type-generic
+    * in the label (only the bigint count is negated, so string node
+    * ids work exactly as in [[pageRank]]/[[hits]]), and unlike the
     * k-bounded UDAF it stays inside whole-stage codegen: the
     * ObjectHashAggregate + per-row encoder round-trip of the k-general
     * aggregator measured ~5× slower on the sf0.1 co-engagement graph
@@ -245,16 +283,18 @@ object Graph {
                        srcCol: String = "src", dstCol: String = "dst")
   : DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val (e, eOwn) = acquire(edgeProj(edges, srcCol, dstCol))
+    val (nodes, nOwn) = acquire(nodesOf(e))
     var labels = nodes.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val counts = e.join(labels, col("src") === col("id"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("_c"))
+      // min over (-count, label) IS "count desc, label asc", and since
+      // the negated field is the count (always a bigint) — not the
+      // label — the tie-break stays type-generic: string node ids work
+      // here exactly as they do in pageRank/hits
       val adopted = counts.groupBy(col("dst"))
-        .agg(max(struct(col("_c"), (-col("label")).as("_tb"),
+        .agg(min(struct((-col("_c")).as("_nc"),
           col("label").as("_l"))).as("_m"))
         .select(col("dst").as("id"), col("_m._l").as("label"))
       labels = nodes.join(adopted, Seq("id"), "left")
@@ -262,8 +302,8 @@ object Graph {
           coalesce(col("label"), col("id")).as("label"))
     }
     val out = graft.core.Caches.materialized(labels)
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    release(e, eOwn)
+    release(nodes, nOwn)
     out
   }
 
@@ -303,10 +343,8 @@ object Graph {
   def hits(edges: DataFrame, iters: Int, srcCol: String = "src",
            dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val (e, eOwn) = acquire(edgeProj(edges, srcCol, dstCol))
+    val (nodes, nOwn) = acquire(nodesOf(e))
     // raw power iteration: a pure single-reference lazy chain — each
     // frame is consumed exactly once by the next half-step, so the
     // whole loop executes once inside the final materializations
@@ -336,8 +374,8 @@ object Graph {
           (coalesce(col("_a"), lit(0.0)) / col("_at")).as("authority")))
     aFin.unpersist(blocking = false)
     hFin.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    release(e, eOwn)
+    release(nodes, nOwn)
     out
   }
 
@@ -388,8 +426,7 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
               checkpointDir: Option[String] = None): DataFrame = {
-    val e = graft.core.Caches.cached(
-      edges.select(col("src"), col("dst")))
+    val (e, eOwn) = acquire(edgeProj(edges))
     var labels = Dedup.truncated(
       seeds.select(col("id")).distinct().withColumn("hop", lit(0L)),
       checkpointDir)
@@ -418,7 +455,7 @@ object Graph {
       }
       h += 1
     }
-    e.unpersist(blocking = false)
+    release(e, eOwn)
     // the merged label set is a checkpoint COPY — the last frontier's
     // blocks are dead unless no round ever ran (labels IS the seed
     // frontier then)

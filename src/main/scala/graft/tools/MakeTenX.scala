@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * every replica to the same (user, item) pairs, which `distinct()`
   * collapses: co-engagement counts stay flat while the corpus-scaled
   * support rises 10×, and the graph goes empty — correct thresholding
-  * of literal duplication, but not a graph-growth smoke). The decimal
-  * event_id offset is a multiple of the 4000-item vocabulary, so
-  * replica events keep their item identity on BOTH axes.
+  * of literal duplication, but not a graph-growth smoke). The events
+  * offset is rounded up to a multiple of the 4000-item vocabulary
+  * (and require-checked), so replica events keep their item identity
+  * (event_id % 4000) on BOTH axes at any source corpus size.
   */
 object MakeTenX {
   def main(args: Array[String]): Unit = {
@@ -58,15 +59,22 @@ object MakeTenX {
       * reuse it.
       */
     def replicate(t: String, keys: Seq[String],
-                  sharedOff: Option[Long] = None): Long = {
+                  sharedOff: Option[Long] = None, align: Long = 1L): Long = {
       val df = load(t)
       val off = sharedOff.getOrElse {
         val maxKey = df.agg(
           keys.map(k => max(col(k)).cast("long")).reduce((a, b) =>
             when(a >= b, a).otherwise(b)).as("m"))
           .head().getLong(0)
-        decimalOffset(maxKey)
+        val dec = decimalOffset(maxKey)
+        // round UP to the caller's alignment: a decimal offset is only a
+        // multiple of the 4000-item vocabulary at >= 10^5 (10^4/4000 =
+        // 2.5), so a small source corpus would otherwise silently shift
+        // replica item identities (event_id % 4000)
+        ((dec + align - 1) / align) * align
       }
+      require(off % align == 0,
+        s"$t offset $off not aligned to $align — replica ids would shift")
       val out = (0 until copies).map { i =>
         keys.foldLeft(df)((acc, k) =>
           acc.withColumn(k, (col(k) + lit(i * off)).cast(df.schema(k).dataType)))
@@ -79,9 +87,9 @@ object MakeTenX {
     val orderOff = replicate("orders", Seq("o_orderkey"))
     replicate("lineitem", Seq("l_orderkey"), Some(orderOff))
     if (args.length > 3 && args(3) == "users")
-      replicate("events", Seq("event_id", "user_id"))
+      replicate("events", Seq("event_id", "user_id"), align = 4000L)
     else
-      replicate("events", Seq("event_id"))
+      replicate("events", Seq("event_id"), align = 4000L)
     replicate("documents", Seq("doc_id"))
     replicate("embeddings", Seq("vec_id"))
     println(s"[make10x] wrote $dest at ${copies}x of $src")

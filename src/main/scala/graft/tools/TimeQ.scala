@@ -29,7 +29,13 @@ object TimeQ {
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val noopWrite = sys.env.get("SPARK_GRAFT_TIME_ACTION").contains("write")
+    // SPARK_GRAFT_TIME_SWEEP=1 clears all cached frames before each pass
+    // after the first — reproducing Bench's COLD protocol (warm JVM,
+    // swept cache) per query, so the bench's cold column can be
+    // diagnosed without running the other 170+ queries
+    val sweep = sys.env.get("SPARK_GRAFT_TIME_SWEEP").contains("1")
     val times = (1 to passes).map { i =>
+      if (sweep && i > 1) { spark.catalog.clearCache(); System.gc() }
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val n = if (noopWrite) {
