@@ -98,32 +98,56 @@ object Profile {
   /** Oracle-checkable form of the sketch profile (q48/q51 tolerance
     * gating): ONE wide aggregate computes both the exact interpolated
     * percentiles and the `approx_percentile` sketch, and each percentile
-    * cell emits the EXACT value only when the sketch lands within `rtol`
-    * of it (else −1, which an exact oracle fails). A hash-match against
-    * the exact-percentile oracle therefore certifies the 100 TB sketch
-    * path's accuracy, not just the exact path — the same trick that
-    * makes q48's HLL and q51's t-digest driver-checkable.
+    * cell emits the EXACT value only when the sketch passes a
+    * RANK-tolerance certificate (else −1, which an exact oracle fails).
+    * A hash-match against the exact-percentile oracle therefore
+    * certifies the 100 TB sketch path's accuracy, not just the exact
+    * path — the same trick that makes q48's HLL and q51's t-digest
+    * driver-checkable.
+    *
+    * The certificate matches the sketch's actual CONTRACT:
+    * `approx_percentile(acc)` guarantees rank error ≤ n/acc, so the
+    * gate accepts a sketch value v at percentile p iff
+    * `Q(p−ε) ≤ v ≤ Q(p+ε)` with ε = 1/acc — the rank-window test
+    * expressed through the exact quantile function, which the wide
+    * aggregate is computing anyway (3 extra points per cell, same
+    * single per-column sort, no second scan). The previous VALUE
+    * tolerance (|v−exact| ≤ 1%·exact) failed closed on dense integer
+    * steps — at sf0.1 the exact p50 of uniform 1..50 sits ON the 25→26
+    * boundary, where a legal 60-rank sketch error produces a 1.0 value
+    * jump (4% of 25) and the gate emitted its sentinel on a correct
+    * sketch (round-8 verdict item 4). The rank window accepts exactly
+    * the values the sketch is licensed to return (for the boundary
+    * case: 25 or 26, nothing else) and still fails closed — a
+    * degenerate distribution collapses Q(p±ε) onto the exact value, so
+    * any out-of-contract sketch drift trips the sentinel.
     */
   def summaryAllGated(df: DataFrame, cols: Seq[String],
-                      accuracy: Int = 10000, rtol: Double = 0.01): DataFrame = {
+                      accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    // 9 exact points per column — (p−ε, p, p+ε) per percentile — in ONE
+    // percentile() call: the sort dominates, extra points are free
+    val pts = Seq(0.25, 0.5, 0.75).flatMap(p =>
+      Seq(math.max(0.0, p - eps), p, math.min(1.0, p + eps)))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev_samp(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
-          .as(s"${c}__pct"),
+        percentile(col(c), array(pts.map(lit): _*)).as(s"${c}__pct"),
         approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
           lit(accuracy)).cast("array<double>").as(s"${c}__apct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // |sketch − exact| ≤ rtol·|exact| + 1e-9 (the absolute epsilon keeps
-    // an exact-zero percentile gateable)
+    // rank certificate: v within [Q(p−ε), Q(p+ε)] (tiny absolute slack
+    // for float-interpolation noise at the window edges)
     def gated(c: String, i: Int): Column = {
-      val exact = element_at(col(s"${c}__pct"), i)
+      val lo = element_at(col(s"${c}__pct"), 3 * i - 2)
+      val exact = element_at(col(s"${c}__pct"), 3 * i - 1)
+      val hi = element_at(col(s"${c}__pct"), 3 * i)
       val approx = element_at(col(s"${c}__apct"), i)
-      round(when(abs(approx - exact) <= abs(exact) * rtol + lit(1e-9), exact)
+      round(when(approx >= lo - lit(1e-9) && approx <= hi + lit(1e-9), exact)
         .otherwise(lit(-1.0)), 4)
     }
     val entries = cols.flatMap { c =>

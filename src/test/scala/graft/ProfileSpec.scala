@@ -55,6 +55,38 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("summaryAllGated rank gate: dense-integer step boundary passes") {
+    // the round-8 bench-scale worst case, shrunk: p50 sits EXACTLY on
+    // the 25->26 value step (position 2499 of 0..4998 is the last 25),
+    // where a rank-legal sketch may return 25 OR 26 — a 1.0 value jump
+    // (4% of 25) the old 1% value gate sentineled on a CORRECT sketch.
+    // The rank window [Q(0.5-eps), Q(0.5+eps)] accepts both and the
+    // emitted value must be the EXACT percentile, never the sketch's.
+    val vals = (1 to 49).flatMap(v => Seq.fill(100)(v.toDouble)) ++
+      Seq.fill(99)(50.0)
+    val df = vals.toDF("x")
+    val exact = Profile.summaryAll(df, Seq("x")).collect().head
+    assert(exact.getAs[Double]("p50") === 25.0) // boundary holds
+    val gated = Profile.summaryAllGated(df, Seq("x"), accuracy = 100)
+      .collect().head
+    for (p <- Seq("p25", "p50", "p75"))
+      assert(gated.getAs[Double](p) === exact.getAs[Double](p),
+        s"$p: gate sentineled or drifted on a rank-legal sketch")
+  }
+
+  test("summaryAllGated rank gate fails closed on degenerate windows") {
+    // all-identical column: Q(p-eps) = Q(p) = Q(p+eps) collapses the
+    // rank window to a single value, so ONLY an exactly-right sketch
+    // passes — the fail-closed end of the contract. approx_percentile
+    // is exact here, so every cell must emit the (exact) value, and the
+    // window arithmetic must not widen it (lo == hi == exact).
+    val df = Seq.fill(1000)(7.5).toDF("x")
+    val gated = Profile.summaryAllGated(df, Seq("x"), accuracy = 10)
+      .collect().head
+    for (p <- Seq("p25", "p50", "p75"))
+      assert(gated.getAs[Double](p) === 7.5)
+  }
+
   test("dtypePartition splits numeric vs categorical (eda:175-191)") {
     val df = Seq((1, "a", 2.0)).toDF("i", "s", "d")
     val (num, cat) = Profile.dtypePartition(df)
