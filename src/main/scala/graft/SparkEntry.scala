@@ -780,6 +780,58 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // q37's SESSION windows through the same real-stream seam q64
+    // proves for tumbling windows (file source, micro-batch per file,
+    // state-store session merging), hash-checked against the identical
+    // batch oracle. Runs APPEND mode — the only shape whose state stays
+    // bounded (open sessions only) on an unbounded stream; complete
+    // mode re-emits every session ever seen per trigger — with a
+    // far-future SENTINEL event staged as the last-ingested file: the
+    // watermark passes
+    // every real session, append emits each exactly once, and the
+    // sentinel's synthetic user is filtered from the result. File
+    // mtimes are set explicitly (range files in ts order, sentinel
+    // last) so the file source's mtime-ordered ingestion is
+    // deterministic rather than an artifact of write timing.
+    "q178_stream_session_materialized" -> ((s, dir) => {
+      val src = stagedPath(dir, "events", "q178_src")
+      val done = new java.io.File(src, "_SENTINEL_DONE")
+      if (!done.exists()) {
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(src.toString)
+        val before = src.listFiles().map(_.getName).toSet
+        val raw = s.read.parquet(src.toString)
+        raw.orderBy(col("ts").desc).limit(1)
+          .select(col("event_id"),
+            (col("ts") + expr("INTERVAL 10 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("append").parquet(src.toString)
+        val parts = src.listFiles().filter(_.getName.startsWith("part-"))
+        val t0 = System.currentTimeMillis() - 600000
+        parts.filter(f => before(f.getName)).sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) => f.setLastModified(t0 + i * 1000L) }
+        parts.filterNot(f => before(f.getName))
+          .foreach(_.setLastModified(t0 + 300000L))
+        done.createNewFile()
+      }
+      val stream = streaming.EventStreams.readEventStream(
+        s, src.toString, s.read.parquet(src.toString).schema)
+      val sessions = stream.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_micros(col("session_window.start")).as("session_start"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q178_out").toString
+      streaming.EventStreams.materializeAppendToParquet(s, sessions, out)
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // overlapping token-window chunking (32-token chunks every 24):
     // map-side explode, no shuffle — the bounded-input prep step for
     // embedding pipelines
@@ -3059,6 +3111,28 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q37_session_window" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
+        |           FROM events),
+        |y AS (SELECT user_id, uts, value,
+        |        CASE WHEN lag(uts) OVER w IS NULL
+        |               OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+        |z AS (SELECT user_id, uts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM y)
+        |SELECT epoch_us(min(uts)) AS session_start, user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical oracle to q37 — the STREAMING session result (append
+    // mode + sentinel watermark advance) must reproduce the batch
+    // session semantics exactly; the sentinel's synthetic user never
+    // appears (filtered Spark-side, absent from the oracle's table)
+    "q178_stream_session_materialized" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
         |           FROM events),
         |y AS (SELECT user_id, uts, value,

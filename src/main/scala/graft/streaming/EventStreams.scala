@@ -199,6 +199,39 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** APPEND-mode twin of [[materializeToParquet]]: finalized rows are
+    * emitted exactly once as the watermark passes them, and each
+    * micro-batch's emission is appended to `outDir`; after
+    * `processAllAvailable` the directory holds every CLOSED window.
+    *
+    * This is the SCALE-correct mode for session windows: complete mode
+    * works (StreamingSpec pins it) but retains every session ever seen
+    * in the state store and re-emits all of them per trigger —
+    * unbounded state on an unbounded stream, a test-only convenience.
+    * Append + watermark evicts closed sessions, keeping state
+    * proportional to OPEN sessions, which is the only shape that
+    * survives production ingestion. Update mode is no alternative for
+    * a file sink: it re-emits a growing session every batch, and a
+    * merged session must REPLACE the partials it absorbed — an
+    * upsert-with-delete only a transactional sink expresses. The
+    * caller makes the finite input
+    * compatible with append's watermark semantics by appending a
+    * far-future SENTINEL event as the last-ingested file: the watermark
+    * then passes every real session and append emits them all; the
+    * sentinel's own (never-closed) session is the one row withheld, and
+    * the caller filters its synthetic key out ([[graft.SparkEntry]]'s
+    * q178).
+    */
+  def materializeAppendToParquet(spark: SparkSession, df: DataFrame,
+                                 outDir: String): DataFrame = {
+    val q = runForeachBatch(df, "append") { (batch, _) =>
+      batch.write.mode("append").parquet(outDir)
+    }
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Run a streaming query to completion against a finite source (test
     * harness: memory sink + processAllAvailable), returning the sink table.
     */

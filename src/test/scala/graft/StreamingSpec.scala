@@ -52,6 +52,43 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.count() > 0)
   }
 
+  test("append-mode sessions + sentinel watermark advance emit every " +
+    "closed session exactly once") {
+    // the q178 seam shrunk: a source dir whose LAST-ingested file (by
+    // mtime) is a far-future sentinel event; append mode + watermark
+    // must then emit exactly the batch session set for the real users
+    // — no withheld tail, no duplicates from state re-emission
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sess_append").toFile
+    val ev = batchEvents.select(col("ts"), col("user_id"), col("value"))
+    ev.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val before = dir.listFiles().map(_.getName).toSet
+    spark.read.parquet(dir.toString).orderBy(col("ts").desc).limit(1)
+      .select((col("ts") + expr("INTERVAL 10 DAYS")).as("ts"),
+        lit(-1L).as("user_id"), col("value"))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val t0 = System.currentTimeMillis() - 600000
+    dir.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      f.setLastModified(if (before(f.getName)) t0 else t0 + 300000L)
+    }
+    def sessions(df: DataFrame): DataFrame = df
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").cast("string").as("s"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sess_append_out").toString
+    val streamed = EventStreams.materializeAppendToParquet(spark,
+      sessions(EventStreams.readEventStream(spark, dir.toString,
+        spark.read.parquet(dir.toString).schema)), out)
+      .filter(col("user_id") =!= -1L)
+    val batch = sessions(ev)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("stream-stream range join equals batch and the bucketed range join") {
     val batchPairs = EventStreams.purchaseClickPairs(batchEvents)
     val streamPairs = EventStreams.runToMemorySink(spark,
