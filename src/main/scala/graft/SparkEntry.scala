@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Profile, Recommend, Relational}
@@ -830,6 +831,136 @@ object SparkEntry {
       streaming.EventStreams.materializeAppendToParquet(s, sessions, out)
         .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Spearman rank correlation per return flag — the robust sibling of
+    // q50's Pearson. SCALE SHAPE: no per-group whole-table window (3
+    // returnflag partitions would put the full table in 3 tasks);
+    // instead each column's tie-averaged ranks come from a VALUE-LEVEL
+    // aggregate (map-side combine to distinct values) windowed over
+    // that narrow frame, then joined back onto rows by (flag, value) —
+    // ranking's unavoidable per-group sort happens over value
+    // cardinality, not row count, and the final corr is one
+    // key-partitioned aggregate
+    "q179_spearman_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      // avg rank of value v in group g: #{x<v} + (ties(v)+1)/2 —
+      // computed at value level: cumsum(cnt) - cnt + (cnt+1)/2
+      def rankMap(c: String): DataFrame = {
+        val vw = Window.partitionBy(col("l_returnflag")).orderBy(col(c))
+        li.groupBy(col("l_returnflag"), col(c))
+          .agg(count(lit(1)).as("_cnt"))
+          .withColumn(s"_r_$c",
+            sum(col("_cnt")).over(vw.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow))
+              - col("_cnt") + (col("_cnt") + lit(1)) / lit(2.0))
+          .drop("_cnt")
+      }
+      li.join(rankMap("l_quantity"), Seq("l_returnflag", "l_quantity"))
+        .join(rankMap("l_extendedprice"),
+          Seq("l_returnflag", "l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("_r_l_quantity"), col("_r_l_extendedprice"))
+            + lit(1e-9), 4).as("spearman"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // peak order-fulfillment concurrency via the sweep line: an order
+    // is OPEN from o_orderdate until its last line ships; +1 at open,
+    // -1 the day after close, net per day, running sum, top-5 peak
+    // days. SCALE SHAPE: the per-order span is one key-partitioned
+    // aggregate + join, and the Σ±1 aggregate combines map-side down
+    // to one row per DATE (calendar-bounded cardinality), so the
+    // single-partition running window orders ~thousands of narrow rows
+    // however big the fact table — the aggregate-then-window inversion
+    // that makes sweep lines distributable
+    "q180_peak_concurrency" -> ((s, dir) => {
+      val spans = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("_close"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("_open")),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = spans.select(col("_open").as("day"), lit(1L).as("_d"))
+        .unionByName(spans.select(date_add(col("_close"), 1).as("day"),
+          lit(-1L).as("_d")))
+        .groupBy(col("day")).agg(sum(col("_d")).as("_net"))
+      deltas
+        .withColumn("in_transit",
+          sum(col("_net")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day"), col("in_transit"))
+        .orderBy(col("in_transit").desc, col("day")).limit(5)
+    }),
+
+    // Zipf slope of the token frequency curve: ln(freq) ~ ln(rank) OLS
+    // over the top-500 tokens — the corpus-health number (natural text
+    // ~ -1). Token counting is the distributed part (map-side combine);
+    // the ranked fit happens on a 500-row frame, so the row_number
+    // window's single partition is bounded by the limit, not the corpus
+    "q181_zipf_slope" -> ((s, dir) => {
+      val top = t(s, dir, "documents")
+        .select(explode(ext.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(500)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(regr_slope(log(col("cnt")), log(col("rank")))
+            + lit(1e-9), 4).as("zipf_slope"),
+          round(regr_intercept(log(col("cnt")), log(col("rank")))
+            + lit(1e-9), 4).as("zipf_intercept"))
+    }),
+
+    // per-user behavioral diversity: Shannon entropy of the user's
+    // (prev_type, next_type) transition distribution — H = ln n −
+    // Σ c·ln c / n from one count aggregate over lead() bigrams (the
+    // per-user sequencing window q102's global Markov matrix already
+    // uses), top-20 most-diverse users. Entropy ordered on the ROUNDED
+    // column so the limit boundary is engine-stable
+    "q182_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("user_id"), col("event_type"), col("_next"))
+        .agg(count(lit(1)).as("_c"))
+      trans.groupBy(col("user_id"))
+        .agg(sum(col("_c")).as("n_transitions"),
+          round(log(sum(col("_c")))
+            - sum(col("_c") * log(col("_c"))) / sum(col("_c"))
+            + lit(1e-9), 4).as("entropy"))
+        .orderBy(col("entropy").desc, col("user_id")).limit(20)
+    }),
+
+    // Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user inter-event
+    // gaps, pooled per event type: B→−1 periodic, 0 Poisson, →1 bursty
+    // — the stream-health diagnostic next to q164's gap percentiles,
+    // over the same (user, type)-partitioned lag window and exact
+    // integer micros
+    "q183_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("_prev"))).as("_gap"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round((stddev_samp(col("_gap")) - avg(col("_gap")))
+            / (stddev_samp(col("_gap")) + avg(col("_gap")))
+            + lit(1e-9), 4).as("burstiness"))
+        .orderBy(col("event_type"))
     }),
 
     // overlapping token-window chunking (32-token chunks every 24):
@@ -3149,6 +3280,82 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // tie-averaged ranks via the classic row-window identity
+    // rank() + (ties-1)/2 ≡ #{x<v} + (ties+1)/2 — the same values the
+    // Spark side derives from its value-level cumsum formulation
+    "q179_spearman_corr" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |         - 1) / 2.0 AS rq,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |                 ORDER BY l_extendedprice)
+        |      + (count(*) OVER (PARTITION BY l_returnflag,
+        |                        l_extendedprice) - 1) / 2.0 AS rp
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       round(corr(rq, rp) + 1e-9, 4) AS spearman
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q180_peak_concurrency" ->
+      """WITH spans AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+        |         CAST(max(l.l_shipdate) AS DATE) AS close_d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY l.l_orderkey, o.o_orderdate),
+        |deltas AS (
+        |  SELECT open_d AS day, 1 AS d FROM spans
+        |  UNION ALL
+        |  SELECT close_d + 1 AS day, -1 AS d FROM spans),
+        |net AS (SELECT day, sum(d) AS net FROM deltas GROUP BY day)
+        |SELECT day, CAST(sum(net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS in_transit
+        |FROM net ORDER BY in_transit DESC, day LIMIT 5""".stripMargin,
+
+    "q181_zipf_slope" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+        |    '\s+')) AS token FROM documents),
+        |f AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        |      ORDER BY cnt DESC, token LIMIT 500),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+        |        AS rank FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(regr_slope(ln(cnt), ln(rank)) + 1e-9, 4)
+        |         AS zipf_slope,
+        |       round(regr_intercept(ln(cnt), ln(rank)) + 1e-9, 4)
+        |         AS zipf_intercept
+        |FROM r""".stripMargin,
+
+    "q182_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS uts, event_id FROM events),
+        |b AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY uts, event_id) AS next_type FROM e),
+        |c AS (SELECT user_id, event_type, next_type, count(*) AS c
+        |      FROM b WHERE next_type IS NOT NULL
+        |      GROUP BY user_id, event_type, next_type)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_transitions,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
+        |         AS entropy
+        |FROM c GROUP BY user_id
+        |ORDER BY entropy DESC, user_id LIMIT 20""".stripMargin,
+
+    "q183_burstiness" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS uts, event_id FROM events),
+        |g AS (SELECT event_type,
+        |    epoch_us(uts) - epoch_us(lag(uts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY uts, event_id)) AS gap FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round((stddev_samp(gap) - avg(gap))
+        |             / (stddev_samp(gap) + avg(gap)) + 1e-9, 4)
+        |         AS burstiness
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // unrolls the SemDeDup chain: duplicate injection → nearest-centroid
     // assignment (q38's argmax, over the widened corpus) → in-cell pairs
