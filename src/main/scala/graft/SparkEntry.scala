@@ -963,6 +963,198 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // population stability index per document source: 10 fixed-width
+    // n_chars bins from the corpus [min, max] (a 2-value broadcast),
+    // Laplace-smoothed bin shares, PSI = Σ (p_s − p_c)·ln(p_s/p_c) —
+    // the standard "did this feed's length profile drift from the
+    // corpus" screen next to q118's JS and q132's KS. SCALE SHAPE:
+    // map-side bin assignment off a broadcast range, ONE (source, bin)
+    // count aggregate; the sources×10 completion grid and both margins
+    // are tiny frames
+    "q184_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val rng = docs.agg(min(col("n_chars")).as("_mn"),
+        (max(col("n_chars")) - min(col("n_chars")) + lit(1)).as("_span"))
+      // (x−mn)*10.0/span < 10 by construction, so no bin-9 clamp needed;
+      // the double math is exact for these small integers → identical
+      // floor() in both engines
+      val binned = docs.join(broadcast(rng))
+        .select(col("source"),
+          floor((col("n_chars") - col("_mn")) * lit(10.0) / col("_span"))
+            .cast("int").as("_bin"))
+      val srcCnt = binned.groupBy(col("source"), col("_bin"))
+        .agg(count(lit(1)).as("_sc"))
+      val corpusCnt = binned.groupBy(col("_bin")).agg(count(lit(1)).as("_cc"))
+      val totals = binned.groupBy(col("source")).agg(count(lit(1)).as("_ns"))
+      val corpusTot = corpusCnt.agg(sum(col("_cc")).as("_n"))
+      val grid = totals.withColumn("_bin", explode(sequence(lit(0), lit(9))))
+      val ps = (coalesce(col("_sc"), lit(0L)) + lit(0.5)) /
+        (col("_ns") + lit(5.0))
+      val pc = (coalesce(col("_cc"), lit(0L)) + lit(0.5)) /
+        (col("_n") + lit(5.0))
+      grid.join(srcCnt, Seq("source", "_bin"), "left")
+        .join(corpusCnt, Seq("_bin"), "left")
+        .join(broadcast(corpusTot))
+        .select(col("source"), col("_ns"),
+          ((ps - pc) * log(ps / pc)).as("_term"))
+        .groupBy(col("source"))
+        .agg(max(col("_ns")).as("n_docs"),
+          round(sum(col("_term")) + lit(1e-9), 4).as("psi"))
+        .orderBy(col("source"))
+    }),
+
+    // weekly growth accounting: every active user classified NEW
+    // (first-ever week), RETAINED (also active the prior week) or
+    // RESURRECTED (returning after a gap); CHURNED(w) = active(w−1) −
+    // retained(w) — the standard DAU/MAU decomposition next to q153's
+    // cumulative new-user curve and q90's cohort retention. SCALE
+    // SHAPE: one distinct to (user, week), a user-keyed lag window
+    // (weeks-per-user rows), one weekly rollup; the churn lag runs on
+    // the calendar-bounded weekly frame
+    "q185_growth_accounting" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      val st = uw.withColumn("_prev", lag(col("week"), 1).over(w))
+        .select(col("week"),
+          when(col("_prev").isNull, lit("new"))
+            .when(col("_prev") === date_sub(col("week"), 7), lit("retained"))
+            .otherwise(lit("resurrected")).as("_st"))
+      val weekly = st.groupBy(col("week"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("_st") === "new", 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("_st") === "retained", 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("_st") === "resurrected", 1L).otherwise(0L))
+            .as("resurrected"))
+      val ww = Window.orderBy(col("week"))
+      weekly
+        .withColumn("_pw", lag(col("week"), 1).over(ww))
+        .withColumn("_pa", lag(col("active"), 1).over(ww))
+        .select(col("week"), col("active"), col("new_users"),
+          col("retained"), col("resurrected"),
+          (when(col("_pw") === date_sub(col("week"), 7), col("_pa"))
+            .otherwise(lit(0L)) - col("retained")).as("churned"))
+        .orderBy(col("week"))
+    }),
+
+    // Mann–Whitney U (tie-corrected normal approximation): do weekend
+    // purchase values differ from weekday ones — the rank-based
+    // (distribution-free) sibling of q130's Welch t. Pooled
+    // tie-averaged ranks come from a VALUE-LEVEL aggregate (q179's
+    // trick): the cumsum window orders the distinct-value grid, which
+    // is bounded by the 2-decimal value resolution (~56k cells for
+    // [0,560]), NOT the corpus — then U, the tie term Σ(t³−t), and z
+    // fall out of one final aggregate
+    "q186_mannwhitney_u" -> ((s, dir) => {
+      // Spark dayofweek: 1=Sunday..7=Saturday
+      val pv = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("value"),
+          dayofweek(col("ts")).isin(1, 7).cast("int").as("_wk"))
+      val byVal = pv.groupBy(col("value"))
+        .agg(count(lit(1)).as("_c"), sum(col("_wk")).as("_c1"))
+      val vw = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byVal.withColumn("_r",
+        sum(col("_c")).over(vw) - col("_c") + (col("_c") + lit(1)) / lit(2.0))
+      val u = col("_r1") - col("_n1") * (col("_n1") + lit(1)) / lit(2.0)
+      val nn = col("_n1") + col("_n2")
+      ranked.agg(
+          sum(col("_c1")).as("_n1"),
+          sum(col("_c") - col("_c1")).as("_n2"),
+          sum(col("_c1") * col("_r")).as("_r1"),
+          sum(col("_c") * col("_c") * col("_c") - col("_c")).as("_ties"))
+        .select(col("_n1").as("n1"), col("_n2").as("n2"),
+          round(u, 2).as("u"),
+          round((u - col("_n1") * col("_n2") / lit(2.0))
+            / sqrt(col("_n1") * col("_n2") / lit(12.0)
+              * ((nn + lit(1)) - col("_ties") / (nn * (nn - lit(1.0)))))
+            + lit(1e-9), 4).as("z"))
+    }),
+
+    // power-user curve: the distribution of per-user active-day counts
+    // plus the "share of users at least this engaged" tail — the
+    // engagement-concentration complement of q168's whale share.
+    // SCALE SHAPE: distinct to (user, day), one user-keyed count, one
+    // histogram rollup; the tail-share window runs on the
+    // calendar-bounded histogram (≤ days-in-range rows)
+    "q187_power_user_curve" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("_day")).distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("_days"))
+      val hist = perUser.groupBy(col("_days").as("days_active"))
+        .agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum(col("n_users")).as("_t"))
+      hist.join(broadcast(tot))
+        .withColumn("_al",
+          sum(col("n_users")).over(Window.orderBy(col("days_active").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("days_active"), col("n_users"),
+          round(col("_al") / col("_t") + lit(1e-9), 4).as("share_at_least"))
+        .orderBy(col("days_active"))
+    }),
+
+    // per-source readability profile: Flesch reading ease from
+    // whitespace words, [.!?]+ sentence runs and [aeiouy]+ vowel-group
+    // syllable proxies — the curation screen next to q27's quality
+    // score and q165's lexical diversity. All three counts are
+    // map-side regexp_extract_all sizes (RE2-compatible patterns, so
+    // both engines count identically); ONE source-keyed rollup
+    "q188_readability" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(col("source"),
+        size(ext.TextOps.tokens(col("text"))).cast("double").as("_w"),
+        greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1)).cast("double").as("_s"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("double").as("_y"))
+      m.select(col("source"), col("_w"), col("_y"),
+          (lit(206.835) - lit(1.015) * col("_w") / col("_s")
+            - lit(84.6) * col("_y") / greatest(col("_w"), lit(1.0)))
+            .as("_f"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("_w")) + lit(1e-9), 2).as("avg_words"),
+          round(avg(col("_y") / greatest(col("_w"), lit(1.0))) + lit(1e-9), 4)
+            .as("avg_syll_per_word"),
+          round(avg(col("_f")) + lit(1e-9), 4).as("avg_flesch"))
+        .orderBy(col("source"))
+    }),
+
+    // cohort LTV: cumulative purchase value per signup-week cohort by
+    // age-in-weeks, absolute and per cohort member — the revenue
+    // complement of q90's retention matrix. SCALE SHAPE: cohort
+    // assignment is a user-keyed min; revenue is one (cohort, age)
+    // aggregate after a user-keyed join; the cumulative window runs on
+    // the calendar² (cohort × age) frame. `cohorts` is referenced
+    // twice (sizes + revenue join) — both consumers are user-bounded
+    // aggregates over one scan each, the q179 multi-reference trade
+    "q189_cohort_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts")).cast("date")).as("_cw"))
+      val sized = cohorts.groupBy(col("_cw"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, Seq("user_id"))
+        .groupBy(col("_cw"),
+          (datediff(date_trunc("week", col("ts")).cast("date"), col("_cw"))
+            / lit(7)).cast("int").as("age_weeks"))
+        .agg(sum(col("value")).as("_v"))
+      val cum = sum(col("_v")).over(
+        Window.partitionBy(col("_cw")).orderBy(col("age_weeks"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      rev.join(sized, Seq("_cw"))
+        .select(col("_cw").as("cohort_week"), col("age_weeks"),
+          col("cohort_users"),
+          round(cum + lit(1e-9), 2).as("cum_value"),
+          round(cum / col("cohort_users") + lit(1e-9), 4).as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("age_weeks"))
+    }),
+
     // overlapping token-window chunking (32-token chunks every 24):
     // map-side explode, no shuffle — the bounded-input prep step for
     // embedding pipelines
@@ -3356,6 +3548,127 @@ object SparkEntry {
         |         AS burstiness
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q184_psi_drift" ->
+      """WITH rng AS (SELECT min(n_chars) AS mn,
+        |    max(n_chars) - min(n_chars) + 1 AS span FROM documents),
+        |b AS (SELECT source,
+        |    CAST(floor((n_chars - mn) * 10.0 / span) AS INT) AS bin
+        |  FROM documents, rng),
+        |sc AS (SELECT source, bin, count(*) AS sc FROM b GROUP BY 1, 2),
+        |cc AS (SELECT bin, count(*) AS cc FROM b GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS ns FROM b GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM b),
+        |grid AS (SELECT source, ns, g.bin FROM ns
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g),
+        |p AS (SELECT grid.source, grid.ns,
+        |    (COALESCE(sc.sc, 0) + 0.5) / (grid.ns + 5.0) AS ps,
+        |    (COALESCE(cc.cc, 0) + 0.5) / (n.n + 5.0) AS pc
+        |  FROM grid
+        |  LEFT JOIN sc ON sc.source = grid.source AND sc.bin = grid.bin
+        |  LEFT JOIN cc ON cc.bin = grid.bin CROSS JOIN n)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+        |       round(sum((ps - pc) * ln(ps / pc)) + 1e-9, 4) AS psi
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q185_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS week
+        |  FROM events),
+        |st AS (SELECT week,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = week - 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS st
+        |  FROM (SELECT week, lag(week) OVER (PARTITION BY user_id
+        |          ORDER BY week) AS prev FROM uw)),
+        |wk AS (SELECT week, count(*) AS active,
+        |    sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS new_users,
+        |    sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END) AS retained,
+        |    sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS resurrected
+        |  FROM st GROUP BY 1)
+        |SELECT week, CAST(active AS BIGINT) AS active,
+        |  CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(retained AS BIGINT) AS retained,
+        |  CAST(resurrected AS BIGINT) AS resurrected,
+        |  CAST(CASE WHEN lag(week) OVER (ORDER BY week) = week - 7
+        |        THEN lag(active) OVER (ORDER BY week) ELSE 0 END
+        |       - retained AS BIGINT) AS churned
+        |FROM wk ORDER BY week""".stripMargin,
+
+    // DuckDB dayofweek: 0=Sunday..6=Saturday (Spark is 1..7)
+    "q186_mannwhitney_u" ->
+      """WITH pv AS (SELECT value,
+        |    CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+        |         THEN 1 ELSE 0 END AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |bv AS (SELECT value, count(*) AS c, sum(wk) AS c1
+        |       FROM pv GROUP BY 1),
+        |r AS (SELECT c, c1,
+        |    sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) - c + (c + 1) / 2.0 AS r FROM bv),
+        |a AS (SELECT sum(c1) AS n1, sum(c - c1) AS n2,
+        |    sum(c1 * r) AS r1, sum(c * c * c - c) AS ties FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u,
+        |  round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 / 12.0
+        |      * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1.0))))
+        |    + 1e-9, 4) AS z
+        |FROM a""".stripMargin,
+
+    "q187_power_user_curve" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |pu AS (SELECT user_id, count(*) AS days FROM ud GROUP BY 1),
+        |h AS (SELECT days AS days_active, count(*) AS n_users
+        |      FROM pu GROUP BY 1),
+        |t AS (SELECT sum(n_users) AS t FROM h)
+        |SELECT CAST(days_active AS BIGINT) AS days_active,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  round(sum(n_users) OVER (ORDER BY days_active DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t
+        |    + 1e-9, 4) AS share_at_least
+        |FROM h CROSS JOIN t ORDER BY days_active""".stripMargin,
+
+    "q188_readability" ->
+      """WITH m AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |      AS DOUBLE) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS DOUBLE) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS DOUBLE) AS y
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(w) + 1e-9, 2) AS avg_words,
+        |  round(avg(y / greatest(w, 1.0)) + 1e-9, 4) AS avg_syll_per_word,
+        |  round(avg(206.835 - 1.015 * w / s
+        |            - 84.6 * y / greatest(w, 1.0)) + 1e-9, 4) AS avg_flesch
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q189_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    event_type, value FROM events),
+        |c AS (SELECT user_id, min(date_trunc('week', uts))::DATE AS cw
+        |      FROM ev GROUP BY 1),
+        |sz AS (SELECT cw, count(*) AS cohort_users FROM c GROUP BY 1),
+        |rev AS (SELECT c.cw,
+        |    CAST((date_trunc('week', e.uts)::DATE - c.cw) / 7 AS INT)
+        |      AS age_weeks,
+        |    sum(e.value) AS v
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT rev.cw AS cohort_week, age_weeks,
+        |  CAST(cohort_users AS BIGINT) AS cohort_users,
+        |  round(sum(v) OVER (PARTITION BY rev.cw ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    + 1e-9, 2) AS cum_value,
+        |  round(sum(v) OVER (PARTITION BY rev.cw ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / cohort_users + 1e-9, 4) AS ltv_per_user
+        |FROM rev JOIN sz ON rev.cw = sz.cw
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
 
     // unrolls the SemDeDup chain: duplicate injection → nearest-centroid
     // assignment (q38's argmax, over the widened corpus) → in-cell pairs
