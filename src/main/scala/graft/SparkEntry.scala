@@ -776,9 +776,12 @@ object SparkEntry {
         s, src.toString, s.read.parquet(src.toString).schema)
       val out = java.nio.file.Files
         .createTempDirectory("graft_q64_out").toString
-      streaming.EventStreams.materializeToParquet(s,
-          streaming.EventStreams.windowedCounts(stream), out)
-        .orderBy(col("window_start"), col("event_type"))
+      // ~3600 (window, type) keys of state: 8 state partitions, not 32
+      // (see withShufflePartitions — 4× fewer per-batch store commits)
+      streaming.EventStreams.withShufflePartitions(s, 8) {
+        streaming.EventStreams.materializeToParquet(s,
+            streaming.EventStreams.windowedCounts(stream), out)
+      }.orderBy(col("window_start"), col("event_type"))
     }),
 
     // q37's SESSION windows through the same real-stream seam q64
@@ -828,8 +831,10 @@ object SparkEntry {
           col("user_id"), col("n_events"), col("sum_value"))
       val out = java.nio.file.Files
         .createTempDirectory("graft_q178_out").toString
-      streaming.EventStreams.materializeAppendToParquet(s, sessions, out)
-        .filter(col("user_id") =!= -1L)
+      // session state is |open users|-bounded: 8 state partitions
+      streaming.EventStreams.withShufflePartitions(s, 8) {
+        streaming.EventStreams.materializeAppendToParquet(s, sessions, out)
+      }.filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("session_start"))
     }),
 

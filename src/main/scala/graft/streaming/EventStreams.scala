@@ -176,6 +176,25 @@ object EventStreams {
       }
       .start()
 
+  /** Run `body` (typically: define + start + drain a streaming query)
+    * with `spark.sql.shuffle.partitions` temporarily set to `n`,
+    * restoring the previous value after. A streaming query fixes its
+    * state-store partition count from this conf at FIRST start, and
+    * every micro-batch then commits one state-store delta per
+    * partition — for a small-keyspace aggregation (thousands of
+    * windows/sessions), 32 partitions × k batches is pure fixed
+    * overhead: most deltas carry a handful of keys. 8 partitions cuts
+    * the per-batch commit fan-out 4× without touching semantics. At
+    * production scale the caller simply doesn't wrap (or wraps with a
+    * key-count-appropriate n) — the knob is per-query, not global.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Materialize a finite stream through the foreachBatch parquet sink:
     * complete-mode output overwrites `outDir` on every micro-batch, so
     * after `processAllAvailable` the directory holds exactly the final
