@@ -1160,6 +1160,124 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("age_weeks"))
     }),
 
+    // single-best-split changepoint per event type: the day s
+    // maximizing |mean(daily count ≤ s) − mean(> s)| — the mean-shift
+    // detector behind "did traffic step-change, and when". SCALE
+    // SHAPE: the corpus collapses map-side to (type, day) counts; all
+    // windows (prefix sums, totals, argmax) run on that
+    // calendar-bounded frame
+    "q190_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("_i", row_number().over(w))
+        .withColumn("_cs", sum(col("_c")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .withColumn("_tot", sum(col("_c")).over(wAll))
+        .filter(col("_i") < col("_n"))
+        .select(col("event_type"), col("day"),
+          (col("_cs") / col("_i")).as("_mb"),
+          ((col("_tot") - col("_cs")) / (col("_n") - col("_i"))).as("_ma"))
+      scored
+        .withColumn("_delta",
+          round(abs(col("_ma") - col("_mb")) + lit(1e-9), 4))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("_delta").desc, col("day"))))
+        .filter(col("_rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          round(col("_mb") + lit(1e-9), 4).as("mean_before"),
+          round(col("_ma") + lit(1e-9), 4).as("mean_after"),
+          col("_delta").as("delta"))
+        .orderBy(col("event_type"))
+    }),
+
+    // empirical-Bayes shrinkage of per-item purchase rates: a
+    // beta-binomial prior fit by method of moments over the item-rate
+    // distribution, shrunk rate = (x+α)/(n+α+β) — how you rank items
+    // by conversion without low-count winners dominating. SCALE SHAPE:
+    // one item-keyed aggregate (|items|-bounded), a single-row moment
+    // rollup broadcast back, top-k by the ROUNDED shrunk rate
+    "q191_eb_shrinkage" -> ((s, dir) => {
+      val items = t(s, dir, "events")
+        .groupBy((col("event_id") % 4000).as("item"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+      val mom = items.agg(avg(col("x") / col("n")).as("_m"),
+        var_samp(col("x") / col("n")).as("_v"))
+      items.join(broadcast(mom))
+        .withColumn("_ab",
+          col("_m") * (lit(1.0) - col("_m")) / col("_v") - lit(1.0))
+        .select(col("item"), col("n"), col("x"),
+          round(col("x") / col("n") + lit(1e-9), 4).as("raw_rate"),
+          round((col("x") + col("_m") * col("_ab"))
+            / (col("n") + col("_ab")) + lit(1e-9), 4).as("shrunk_rate"))
+        .orderBy(col("shrunk_rate").desc, col("item")).limit(20)
+    }),
+
+    // week-over-week spend-decile migration matrix: users ranked into
+    // weekly spend deciles via broadcast exact-percentile cuts (the
+    // q87 equi-depth pattern — never a per-week ranking window over
+    // all users), then consecutive-week (from, to) transition counts off a
+    // user-keyed lag. Weekly spend is rounded to cents BEFORE cutting
+    // so both engines cut identical doubles
+    "q192_decile_migration" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(round(sum(col("value")), 2).as("_sp"))
+      val cuts = spend.groupBy(col("week"))
+        .agg(percentile(col("_sp"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("_cuts"))
+      val dec = spend.join(broadcast(cuts), Seq("week"))
+        .select(col("user_id"), col("week"),
+          (lit(1) + size(filter(col("_cuts"), c => c < col("_sp"))))
+            .cast("long").as("_d"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      dec
+        .withColumn("_pw", lag(col("week"), 1).over(w))
+        .withColumn("_pd", lag(col("_d"), 1).over(w))
+        .filter(col("_pw") === date_sub(col("week"), 7))
+        .groupBy(col("_pd").as("from_decile"), col("_d").as("to_decile"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("from_decile"), col("to_decile"))
+    }),
+
+    // seasonal-naive forecast backtest: predict each (type, day) count
+    // with the same-weekday count one week earlier; report MAE and
+    // MAPE per type — the baseline every fancier forecaster must beat.
+    // The lag-7 rides the calendar-bounded (type, day) frame (one
+    // map-side corpus collapse); the calendar guard keeps a sparse
+    // day grid honest
+    "q193_forecast_eval" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("_pd", lag(col("day"), 7).over(w))
+        .withColumn("_pc", lag(col("_c"), 7).over(w))
+        .filter(col("_pd") === date_sub(col("day"), 7))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("_c") - col("_pc"))) + lit(1e-9), 4).as("mae"),
+          round(avg(abs(col("_c") - col("_pc")) / col("_c")) + lit(1e-9), 4)
+            .as("mape"))
+        .orderBy(col("event_type"))
+    }),
+
+    // top-20 adjacent-bigram collocations by PMI (min pair count 10):
+    // multiword-expression discovery over the documents corpus
+    "q194_pmi_collocations" -> ((s, dir) =>
+      ext.TextOps.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 10L, k = 20)),
+
     // overlapping token-window chunking (32-token chunks every 24):
     // map-side explode, no shuffle — the bounded-input prep step for
     // embedding pipelines
@@ -3674,6 +3792,91 @@ object SparkEntry {
         |    / cohort_users + 1e-9, 4) AS ltv_per_user
         |FROM rev JOIN sz ON rev.cw = sz.cw
         |ORDER BY cohort_week, age_weeks""".stripMargin,
+
+    "q190_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |    row_number() OVER w AS i,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (SELECT event_type, day, cs / i AS mb,
+        |    (tot - cs) / (n - i) AS ma,
+        |    round(abs((tot - cs) / (n - i) - cs / i) + 1e-9, 4) AS delta
+        |  FROM s WHERE i < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY delta DESC, day) AS rk FROM m)
+        |SELECT event_type, day AS split_day,
+        |  round(mb + 1e-9, 4) AS mean_before,
+        |  round(ma + 1e-9, 4) AS mean_after, delta
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q191_eb_shrinkage" ->
+      """WITH it AS (SELECT event_id % 4000 AS item, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(x / n) AS m, var_samp(x / n) AS v FROM it),
+        |p AS (SELECT m, m * (1.0 - m) / v - 1.0 AS ab FROM m)
+        |SELECT item, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |  round(x / n + 1e-9, 4) AS raw_rate,
+        |  round((x + m * ab) / (n + ab) + 1e-9, 4) AS shrunk_rate
+        |FROM it CROSS JOIN p
+        |ORDER BY shrunk_rate DESC, item LIMIT 20""".stripMargin,
+
+    "q192_decile_migration" ->
+      """WITH sp AS (SELECT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS week,
+        |    round(sum(value), 2) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT week, quantile_cont(s,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM sp GROUP BY 1),
+        |d AS (SELECT user_id, sp.week,
+        |    CAST(1 + len(list_filter(cuts, x -> x < s)) AS BIGINT) AS dec
+        |  FROM sp JOIN c ON sp.week = c.week),
+        |l AS (SELECT user_id, week, dec,
+        |    lag(week) OVER w AS pw, lag(dec) OVER w AS pd
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY week))
+        |SELECT pd AS from_decile, dec AS to_decile,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM l WHERE pw = week - 7
+        |GROUP BY 1, 2 ORDER BY from_decile, to_decile""".stripMargin,
+
+    "q193_forecast_eval" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, c,
+        |    lag(day, 7) OVER w AS pd, lag(c, 7) OVER w AS pc
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(abs(c - pc)) + 1e-9, 4) AS mae,
+        |  round(avg(abs(c - pc) / c) + 1e-9, 4) AS mape
+        |FROM l WHERE pd = day - 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q194_pmi_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        |  FROM d WHERE len(t) >= 2),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cab
+        |       FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w, count(*) AS cu FROM (
+        |    SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |t1 AS (SELECT sum(cu) AS t1 FROM uc),
+        |t2 AS (SELECT sum(cab) AS t2 FROM bc)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS pair_cnt,
+        |  round(ln((cab / t2) / ((a.cu / t1) * (b.cu / t1))) + 1e-9, 4)
+        |    AS pmi
+        |FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2
+        |  CROSS JOIN t1 CROSS JOIN t2
+        |WHERE cab >= 10
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // unrolls the SemDeDup chain: duplicate injection → nearest-centroid
     // assignment (q38's argmax, over the widened corpus) → in-cell pairs

@@ -438,6 +438,54 @@ object TextOps {
       ctxCnt)
   }
 
+  /** Top-k adjacent-bigram collocations by pointwise mutual information
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = c_ab/T₂ over bigram
+    * occurrences and p(·) = c/T₁ over unigram occurrences — the classic
+    * corpus-analysis screen for multiword expressions ("new york"-style
+    * units a whitespace tokenizer splits), next to the q143 raw
+    * trigram counts and the q83 co-engagement lift.
+    *
+    * Shape at 100 TB: bigram and unigram counts are token-keyed
+    * aggregates with map-side combine (vocab-bounded outputs); T₁/T₂
+    * are single-row broadcast rollups of those frames; the scoring
+    * join runs on the |bigram-vocab| frame and `minCount` prunes the
+    * long tail BEFORE the top-k sort. Ranking orders the ROUNDED score
+    * (cross-engine-stable at the limit boundary, the q84 convention).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 10L, k: Int = 20): DataFrame = {
+    val staged = df.select(tokens(col(textCol)).as("_t"))
+      .select(col("_t"), size(col("_t")).as("_n"))
+    // both count frames are multi-referenced (totals rollup + scoring
+    // joins) — cached so each corpus-level explode+aggregate runs once
+    // (the bigramLogProb ctxCnt lifecycle)
+    val bigCnt = graft.core.Caches.cached(staged.filter(col("_n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("_n") - 1),
+        i => struct(element_at(col("_t"), i).as("_w1"),
+          element_at(col("_t"), i + 1).as("_w2")))).as("_bg"))
+      .groupBy(col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
+      .agg(count(lit(1)).as("_cab")))
+    val uniCnt = graft.core.Caches.cached(
+      staged.select(explode(col("_t")).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_cu")))
+    val t1 = uniCnt.agg(sum(col("_cu")).as("_t1"))
+    val t2 = bigCnt.agg(sum(col("_cab")).as("_t2"))
+    graft.core.Caches.materializedThenRelease(
+      bigCnt.filter(col("_cab") >= minCount)
+        .join(uniCnt.select(col("_w").as("_w1"), col("_cu").as("_ca")),
+          Seq("_w1"))
+        .join(uniCnt.select(col("_w").as("_w2"), col("_cu").as("_cb")),
+          Seq("_w2"))
+        .join(broadcast(t1)).join(broadcast(t2))
+        .select(col("_w1").as("w1"), col("_w2").as("w2"),
+          col("_cab").as("pair_cnt"),
+          r4(log((col("_cab") / col("_t2"))
+            / ((col("_ca") / col("_t1")) * (col("_cb") / col("_t1")))))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k),
+      bigCnt, uniCnt)
+  }
+
   /** Jensen-Shannon divergence between the token distributions of two
     * corpus slices — the drift report a pipeline runs when re-mixing
     * sources or comparing a new crawl against the current training mix
