@@ -1278,6 +1278,106 @@ object SparkEntry {
       ext.TextOps.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 10L, k = 20)),
 
+    // deequ-style declarative constraint audit over lineitem: five row
+    // rules + one uniqueness rule, ALL in one wide hash-aggregate over
+    // one scan (Profile.constraintAudit) — the tax cap and the
+    // (orderkey, linenumber) uniqueness genuinely FAIL on this data,
+    // so both branches of the pass flag are exercised
+    "q195_constraint_audit" -> ((s, dir) =>
+      operators.Profile.constraintAudit(t(s, dir, "lineitem"),
+        violations = Seq(
+          "ship_complete" -> col("l_shipdate").isNull,
+          "qty_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+          "disc_range" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+          "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+          "tax_cap" -> (col("l_tax") > 0.05)),
+        uniqueKeys = Seq(
+          "line_unique" -> Seq("l_orderkey", "l_linenumber")))),
+
+    // exact phrase search without an index: per-doc occurrence count of
+    // the adjacent pair via a map-side higher-order filter over the
+    // token array — the grep-style full-scan path (at 100 TB a
+    // positional-postings index buys the sparse-phrase case; the scan
+    // IS the build cost of that index, so the one-shot query is pure
+    // map-side with a k-bounded TakeOrdered on top)
+    "q196_phrase_search" -> ((s, dir) => {
+      val tks = ext.TextOps.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), tks.as("_t"), size(tks).as("_n"))
+        .filter(col("_n") >= 2)
+        .select(col("doc_id"),
+          size(filter(transform(sequence(lit(1), col("_n") - 1),
+            i => element_at(col("_t"), i) === lit("table")
+              && element_at(col("_t"), i + 1) === lit("part")),
+            x => x)).cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("n_hits").desc, col("doc_id")).limit(20)
+    }),
+
+    // tokenizer-coverage audit: OOV rate per source against the
+    // deterministic top-10 corpus vocabulary (count desc, token asc —
+    // the q71/q181 cut), plus the share of docs over 10% OOV. Vocab
+    // is a broadcast |k|-row frame; scoring is one explode +
+    // broadcast-hash anti-probe + doc-keyed rollup — two corpus scans
+    // total (vocab build, score), the bigramLogProb trade
+    "q197_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(ext.TextOps.tokens(col("text"))).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_w")).limit(10)
+        .select(col("_w"), lit(true).as("_in"))
+      val perDoc = docs
+        .select(col("doc_id"), col("source"),
+          explode(ext.TextOps.tokens(col("text"))).as("_w"))
+        .join(broadcast(vocab), Seq("_w"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("_n"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("_oov"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("_oov") / col("_n")) + lit(1e-9), 4)
+            .as("avg_oov_rate"),
+          round(avg(when(col("_oov") / col("_n") > 0.1, 1.0)
+            .otherwise(0.0)) + lit(1e-9), 4).as("share_high_oov"))
+        .orderBy(col("source"))
+    }),
+
+    // context-window packing plan: for each candidate window size, the
+    // share of docs that fit whole and the padding waste ratio
+    // Σ(ceil(n/w)·w − n)/Σn — the capacity-planning stat ahead of
+    // q69's actual packing. Token counts are map-side; the ×4 window
+    // fan-out happens on the counts, and the rollup is 4 rows
+    "q198_packing_plan" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(ext.TextOps.tokenCount(col("text")).as("_n"))
+        .select(col("_n"),
+          explode(array(Seq(128, 256, 512, 1024).map(lit): _*)).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(when(col("_n") <= col("w"), 1.0).otherwise(0.0))
+            + lit(1e-9), 4).as("share_fit"),
+          round((sum(floor((col("_n") + col("w") - lit(1)) / col("w"))
+              * col("w")) - sum(col("_n"))) / sum(col("_n"))
+            + lit(1e-9), 4).as("waste_ratio"))
+        .orderBy(col("w"))),
+
+    // daily purchase-value bands: exact P10/P50/P90 per day — the
+    // latency-band-style daily health panel; one group aggregate over
+    // the calendar-bounded day key, exact interpolated percentiles
+    "q199_daily_value_bands" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.1)) + lit(1e-9), 4)
+            .as("p10"),
+          round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4)
+            .as("p50"),
+          round(percentile(col("value"), lit(0.9)) + lit(1e-9), 4)
+            .as("p90"))
+        .orderBy(col("day"))),
+
     // overlapping token-window chunking (32-token chunks every 24):
     // map-side explode, no shuffle — the bounded-input prep step for
     // embedding pipelines
@@ -3877,6 +3977,75 @@ object SparkEntry {
         |  CROSS JOIN t1 CROSS JOIN t2
         |WHERE cab >= 10
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q195_constraint_audit" ->
+      """WITH w AS (SELECT count(*) AS tot,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END) AS v_qty,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END) AS v_disc,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |        THEN 1 ELSE 0 END) AS v_flag,
+        |    sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS v_tax,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uq
+        |  FROM lineitem)
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |  CAST(tot AS BIGINT) AS n_rows, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'ship_complete' AS rule, v_ship AS violations, tot FROM w
+        |  UNION ALL SELECT 'qty_range', v_qty, tot FROM w
+        |  UNION ALL SELECT 'disc_range', v_disc, tot FROM w
+        |  UNION ALL SELECT 'flag_domain', v_flag, tot FROM w
+        |  UNION ALL SELECT 'tax_cap', v_tax, tot FROM w
+        |  UNION ALL SELECT 'line_unique', v_uq, tot FROM w)
+        |ORDER BY rule""".stripMargin,
+
+    "q196_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(len(list_filter(generate_series(1, len(t) - 1),
+        |      i -> t[i] = 'table' AND t[i + 1] = 'part')) AS BIGINT)
+        |      AS n_hits
+        |  FROM d WHERE len(t) >= 2)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q197_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok
+        |    GROUP BY 1 ORDER BY c DESC, w LIMIT 10)),
+        |d AS (SELECT t.doc_id, t.source, count(*) AS n,
+        |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov
+        |  FROM tok t LEFT JOIN v ON t.w = v.w GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(oov * 1.0 / n) + 1e-9, 4) AS avg_oov_rate,
+        |  round(avg(CASE WHEN oov * 1.0 / n > 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + 1e-9, 4) AS share_high_oov
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q198_packing_plan" ->
+      """WITH n AS (SELECT CAST(len(regexp_split_to_array(lower(text),
+        |    '\s+')) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT n, unnest([128, 256, 512, 1024]) AS w FROM n)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(CASE WHEN n <= w THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+        |    AS share_fit,
+        |  round((sum(floor((n + w - 1) / w) * w) - sum(n)) * 1.0 / sum(n)
+        |    + 1e-9, 4) AS waste_ratio
+        |FROM e GROUP BY w ORDER BY w""".stripMargin,
+
+    "q199_daily_value_bands" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.1) + 1e-9, 4) AS p10,
+        |  round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        |  round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // unrolls the SemDeDup chain: duplicate injection → nearest-centroid
     // assignment (q38's argmax, over the widened corpus) → in-cell pairs

@@ -346,4 +346,34 @@ object Profile {
           col("violating_groups"), col("violating_rows"),
           (col("violating_groups") === 0L).as("holds"))
     }.reduce(_ union _)
+
+  /** Declarative data-quality rules evaluated in ONE pass — the
+    * deequ-style constraint audit. `violations` maps rule name → a
+    * VIOLATION predicate (true = bad row); `uniqueKeys` maps rule
+    * name → key columns whose duplicate-row count (n − distinct)
+    * is the violation count. Both families land in the same wide
+    * hash-aggregate over one scan, then the single result row melts
+    * into (rule, violations, n_rows, pass) via stack() — at 100 TB
+    * the whole audit costs exactly one corpus read regardless of how
+    * many rules it checks.
+    */
+  def constraintAudit(df: DataFrame, violations: Seq[(String, Column)],
+                      uniqueKeys: Seq[(String, Seq[String])] = Nil)
+  : DataFrame = {
+    val aggs =
+      violations.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"_v_$n") } ++
+      uniqueKeys.map { case (n, ks) =>
+        (count(lit(1)) - count_distinct(struct(ks.map(col): _*)))
+          .as(s"_v_$n") }
+    val names = violations.map(_._1) ++ uniqueKeys.map(_._1)
+    val wide = df.agg(count(lit(1)).as("_tot"), aggs: _*)
+    val stackExpr = s"stack(${names.size}, " +
+      names.map(n => s"'$n', _v_$n").mkString(", ") +
+      ") as (rule, violations)"
+    wide.select(col("_tot"), expr(stackExpr))
+      .select(col("rule"), col("violations"), col("_tot").as("n_rows"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
 }

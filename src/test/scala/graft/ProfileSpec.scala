@@ -16,6 +16,24 @@ class ProfileSpec extends SparkTestBase {
     assert(row.getLong(1) === 3) // NaN, empty string, null
   }
 
+  test("constraintAudit: row rules + uniqueness in one pass, both pass branches") {
+    val df = Seq((1, 10, "A"), (2, 60, "A"), (2, 5, "Z"), (3, 20, "A"))
+      .toDF("k", "qty", "flag")
+    val out = Profile.constraintAudit(df,
+      violations = Seq(
+        "qty_range" -> (col("qty") < 1 || col("qty") > 50),
+        "flag_domain" -> !col("flag").isin("A", "N", "R"),
+        "k_positive" -> (col("k") <= 0)),
+      uniqueKeys = Seq("k_unique" -> Seq("k")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("qty_range") === ((1L, 4L, false)))   // 60
+    assert(out("flag_domain") === ((1L, 4L, false))) // Z
+    assert(out("k_positive") === ((0L, 4L, true)))
+    assert(out("k_unique") === ((1L, 4L, false)))    // k=2 twice
+    assert(out.size === 4)
+  }
+
   test("summaryStats: exact count/mean/stddev/min/max per column") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val r = Profile.summaryStats(df, Seq("x")).collect().head
