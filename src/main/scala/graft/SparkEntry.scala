@@ -768,10 +768,7 @@ object SparkEntry {
       // doesn't own), but a regenerated dataset at the same path gets a
       // new fingerprint → fresh staging, never a stale stream vs a live
       // oracle
-      val src = stagedPath(dir, "events", "q64_src")
-      if (!new java.io.File(src, "_SUCCESS").exists())
-        t(s, dir, "events").repartitionByRange(4, col("ts"))
-          .write.mode("overwrite").parquet(src.toString)
+      val src = stagedEventStreamSrc(s, dir)
       val stream = streaming.EventStreams.readEventStream(
         s, src.toString, s.read.parquet(src.toString).schema)
       val out = java.nio.file.Files
@@ -1361,6 +1358,71 @@ object SparkEntry {
               * col("w")) - sum(col("_n"))) / sum(col("_n"))
             + lit(1e-9), 4).as("waste_ratio"))
         .orderBy(col("w"))),
+
+    // q94's event-time-bounded stream-stream join run as a REAL stream
+    // (file source, micro-batch per file) and materialized via the
+    // append-mode foreachBatch parquet sink — the third real-stream
+    // materialization next to q64 (tumbling windows) and q178
+    // (sessions). Inner joins emit on MATCH, not on watermark, so no
+    // sentinel is needed: with ts-range-ordered ingestion and the
+    // 1-hour watermark delay, both sides' state provably survives any
+    // cross-batch pair (click_ts ∈ [p_ts, p_ts+10m) arrives in the
+    // same or next file; eviction needs watermark > p_ts + 10m, i.e.
+    // an event 1h past the boundary). Shares q64's staged source
+    "q200_stream_join_materialized" -> ((s, dir) => {
+      val src = stagedEventStreamSrc(s, dir)
+      val stream = streaming.EventStreams.readEventStream(
+        s, src.toString, s.read.parquet(src.toString).schema)
+      val pairs = streaming.EventStreams.purchaseClickPairs(stream,
+        gap = "10 minutes")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q200_out").toString
+      streaming.EventStreams.withShufflePartitions(s, 8) {
+        streaming.EventStreams.materializeAppendToParquet(s, pairs, out)
+      }.orderBy(col("user_id"), col("event_id"), col("click_id"))
+    }),
+
+    // Markov next-event backtest: fit the q102 transition matrix on a
+    // TEMPORAL train split (first 20 days), predict each prev_type's
+    // most likely next type (count desc, type asc — deterministic),
+    // and score hit-rate on the held-out tail — the eval loop that
+    // turns the transition matrix into a measured predictor. Pairs
+    // ride the q102 user-keyed sequencing window; the matrix and its
+    // argmax live on the |types|² frame; scoring is one broadcast
+    // probe + type-keyed rollup. A pair belongs to the split of its
+    // CURRENT event (the prediction moment)
+    "q201_markov_backtest" -> ((s, dir) => {
+      val split = lit("2024-01-21").cast("date")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // ONE corpus window pass collapses to a ≤ 2·|types|² count frame
+      // (cached — both the matrix fit and the scoring read it); hit
+      // rate then falls out of COUNT arithmetic, never a second pass
+      val cnt = graft.core.Caches.cached(t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy(col("event_type").as("_prev"), col("_next"),
+          (to_date(col("ts")) < split).as("_train"))
+        .agg(count(lit(1)).as("_c")))
+      val pred = cnt.filter(col("_train"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("_prev"))
+            .orderBy(col("_c").desc, col("_next"))))
+        .filter(col("_rk") === 1)
+        .select(col("_prev"), col("_next").as("_pred"))
+      graft.core.Caches.materializedThenRelease(
+        cnt.filter(!col("_train"))
+          .join(broadcast(pred), Seq("_prev"))
+          .groupBy(col("_prev").as("prev_type"))
+          .agg(sum(col("_c")).as("n_test"),
+            round(sum(when(col("_next") === col("_pred"), col("_c"))
+              .otherwise(0L)) / sum(col("_c")) + lit(1e-9), 4)
+              .as("hit_rate"))
+          .orderBy(col("prev_type")),
+        cnt)
+    }),
 
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
@@ -3007,6 +3069,35 @@ object SparkEntry {
     * it doesn't own) while a regenerated dataset at the same path gets a
     * fresh key, never a stale layout vs a live oracle.
     */
+  /** ts-range-partitioned staged copy of events for the file-stream
+    * sources (q64/q200), with EXPLICIT ascending mtimes. The file
+    * source ingests in modification-time order, but parallel part
+    * writes land with ONE shared mtime, leaving the batch order to
+    * directory-listing order — nondeterministic. A complete-mode
+    * aggregation (q64) is order-immune (no watermark eviction in
+    * complete mode), but a stream-stream join drops a whole
+    * out-of-order file as late once the watermark has passed it
+    * (observed: listing order file2,0,3,1 → every file-1 pair lost).
+    * repartitionByRange yields part-0000k names in ts order, so name
+    * order IS event-time order; stamping mtimes 1 s apart pins the
+    * realistic ordered-ingestion shape for every consumer.
+    */
+  private def stagedEventStreamSrc(s: SparkSession, dir: String)
+  : java.io.File = {
+    val src = stagedPath(dir, "events", "q64_src")
+    val done = new java.io.File(src, "_MTIMES_SET")
+    if (!done.exists()) {
+      t(s, dir, "events").repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(src.toString)
+      val t0 = System.currentTimeMillis() - 600000
+      src.listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(t0 + i * 1000L) }
+      done.createNewFile()
+    }
+    src
+  }
+
   private def stagedPath(dir: String, table: String, tag: String)
   : java.io.File = {
     val srcParquet = new java.io.File(dir, s"$table.parquet")
@@ -4038,6 +4129,34 @@ object SparkEntry {
         |  round((sum(floor((n + w - 1) / w) * w) - sum(n)) * 1.0 / sum(n)
         |    + 1e-9, 4) AS waste_ratio
         |FROM e GROUP BY w ORDER BY w""".stripMargin,
+
+    // identical pair semantics to q94 — the STREAMING result (append
+    // mode, match-time emission) must reproduce the batch join exactly
+    "q200_stream_join_materialized" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 10 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, p.event_id, click_id""".stripMargin,
+
+    "q201_markov_backtest" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts,
+        |    event_id, event_type FROM events),
+        |p AS (SELECT event_type AS prev, lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY uts, event_id) AS next,
+        |    CAST(uts AS DATE) < DATE '2024-01-21' AS train
+        |  FROM e),
+        |cnt AS (SELECT prev, next, train, count(*) AS c FROM p
+        |  WHERE next IS NOT NULL GROUP BY 1, 2, 3),
+        |pred AS (SELECT prev, next AS pred FROM (
+        |    SELECT prev, next, row_number() OVER (PARTITION BY prev
+        |      ORDER BY c DESC, next) AS rk FROM cnt WHERE train)
+        |  WHERE rk = 1)
+        |SELECT cnt.prev AS prev_type, CAST(sum(c) AS BIGINT) AS n_test,
+        |  round(sum(CASE WHEN next = pred THEN c ELSE 0 END) * 1.0
+        |    / sum(c) + 1e-9, 4) AS hit_rate
+        |FROM cnt JOIN pred ON cnt.prev = pred.prev
+        |WHERE NOT train GROUP BY 1 ORDER BY prev_type""".stripMargin,
 
     "q199_daily_value_bands" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
