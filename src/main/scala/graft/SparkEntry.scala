@@ -1424,6 +1424,50 @@ object SparkEntry {
         cnt)
     }),
 
+    // 3-core of the co-engagement graph: iterative peel until
+    // fixpoint (Graph.kCore — one node-keyed semi-join pair + count
+    // per round), membership + in-core degree; the dense-community
+    // cut next to q96's triangles and q100's label-prop, on the same
+    // staged pair list. Oracle unrolls 8 peel rounds (fixpoint in 6
+    // at sf0.01, 2 at sf0.1 — monotone, so extra rounds are no-ops)
+    "q202_kcore" -> ((s, dir) =>
+      ext.Graph.kCore(coengagementPairs(s, dir), "item_a", "item_b",
+          k = 3)
+        .orderBy(col("id"))),
+
+    // session-style covisitation recs: for each item, the top-5 items
+    // whose views/clicks FOLLOW it within 30 minutes by the same user,
+    // scored by time-decayed co-occurrence Σ 1/(1+Δmin) — the
+    // candidate-generation matrix of modern recsys next to q83's
+    // global basket lift. SCALE SHAPE: the time-bounded self-join
+    // rides rangeJoinBucketed (gap-banded buckets — per-band occupancy
+    // products, never a per-user cross product), pair scores collapse
+    // onto the ≤|items|² frame, and the per-item top-5 is the
+    // k-bounded TopKScoredAggregator, ranked on the ROUNDED score
+    "q203_covisitation" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), (col("event_id") % 4000).as("item"),
+          col("ts"))
+      val scored = operators.Relational.rangeJoinBucketed(
+          ev.select(col("user_id"), col("item").as("item_a"),
+            col("ts").as("ts_a")),
+          ev.select(col("user_id"), col("item").as("item_b"),
+            col("ts").as("ts_b")),
+          Seq("user_id"), "ts_a", "ts_b", 30L * 60 * 1000000L)
+        .filter(col("item_a") =!= col("item_b"))
+        .select(col("item_a"), col("item_b"),
+          (lit(1.0) / (lit(1.0)
+            + (unix_micros(col("ts_b")) - unix_micros(col("ts_a")))
+              / lit(6e7))).as("_w"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(round(sum(col("_w")) + lit(1e-9), 4).as("_score"))
+      operators.Relational.topKPerGroupAgg(scored, k = 5,
+          groupCols = Seq("item_a"), score = col("_score"),
+          id = col("item_b"), scoreName = "score", idName = "item_b")
+        .orderBy(col("item_a"), col("rank"))
+    }),
+
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
     // the calendar-bounded day key, exact interpolated percentiles
@@ -4129,6 +4173,62 @@ object SparkEntry {
         |  round((sum(floor((n + w - 1) / w) * w) - sum(n)) * 1.0 / sum(n)
         |    + 1e-9, 4) AS waste_ratio
         |FROM e GROUP BY w ORDER BY w""".stripMargin,
+
+    // 8 unrolled peel rounds over the shared co-engagement pair CTE.
+    // Every aN references sym and its predecessor TWICE, so each CTE
+    // carries AS MATERIALIZED: inlined, the reference tree doubles per
+    // round and the 8-round plan explodes ~2^8 copies of the pair join
+    // (observed: the un-hinted oracle ran minutes at sf0.1; hinted,
+    // sub-second). The final select recomputes in-core degrees over
+    // the fixpoint set
+    "q202_kcore" ->
+      ("WITH " + coengagementPairsSql + """,
+        |sym AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pairs
+        |        UNION ALL SELECT ib, ia FROM pairs),
+        |a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym),
+        |a1 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a0 x ON s.a = x.id
+        |  JOIN a0 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a2 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a1 x ON s.a = x.id
+        |  JOIN a1 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a3 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a2 x ON s.a = x.id
+        |  JOIN a2 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a4 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a3 x ON s.a = x.id
+        |  JOIN a3 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a5 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a4 x ON s.a = x.id
+        |  JOIN a4 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a6 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a5 x ON s.a = x.id
+        |  JOIN a5 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a7 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a6 x ON s.a = x.id
+        |  JOIN a6 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3),
+        |a8 AS MATERIALIZED (SELECT s.a AS id FROM sym s
+        |  JOIN a7 x ON s.a = x.id
+        |  JOIN a7 y ON s.b = y.id GROUP BY s.a HAVING count(*) >= 3)
+        |SELECT s.a AS id, CAST(count(*) AS BIGINT) AS core_degree
+        |FROM sym s JOIN a8 x ON s.a = x.id JOIN a8 y ON s.b = y.id
+        |GROUP BY s.a ORDER BY id""").stripMargin,
+
+    "q203_covisitation" ->
+      """WITH ev AS (SELECT user_id, event_id % 4000 AS item,
+        |    CAST(ts AS TIMESTAMP) AS uts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    1.0 / (1.0 + (epoch_us(b.uts) - epoch_us(a.uts)) / 6e7) AS w
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND b.uts >= a.uts AND b.uts < a.uts + INTERVAL 30 MINUTE
+        |  WHERE a.item <> b.item),
+        |s AS (SELECT item_a, item_b, round(sum(w) + 1e-9, 4) AS score
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        |    ORDER BY score DESC, item_b) AS rank FROM s)
+        |SELECT item_a, item_b, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY item_a, rank""".stripMargin,
 
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly

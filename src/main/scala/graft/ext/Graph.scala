@@ -409,6 +409,51 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+  /** k-core of the undirected graph: iteratively peel nodes whose
+    * degree within the surviving subgraph is < k until nothing changes;
+    * returns (id, core_degree) for the members — the standard
+    * "dense-enough neighborhood" filter (spam rings, engaged-community
+    * cuts) next to [[triangleCount]]'s local density.
+    *
+    * SCALE SHAPE: each round is two node-keyed semi-joins of the edge
+    * list against the surviving node set plus one count aggregate —
+    * all keyed on high-cardinality node ids. The fixpoint check rides
+    * the SAME count() that sizes the round (one job per round, the
+    * q112 discipline), and because the alive set shrinks monotonically,
+    * equal consecutive sizes imply an identical set. Each round's
+    * |alive| frame is cached and its predecessor released, so executor
+    * storage holds one round and lineage reads from the cache. Rounds
+    * are bounded by the peel depth (≤ graph degeneracy ordering), 6 at
+    * the oracle SF. At the fixpoint the last aggregate's count IS the
+    * in-core degree, so membership and degree come out of one frame.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int)
+  : DataFrame = {
+    val (sym, symOwned) = acquire(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    var alive = graft.core.Caches.cached(
+      sym.select(col("a").as("id")).distinct()
+        .select(col("id"), lit(0L).as("core_degree")))
+    var n = alive.count()
+    var out: DataFrame = alive
+    var done = n == 0
+    while (!done) {
+      val next = graft.core.Caches.cached(sym
+        .join(alive.select(col("id").as("a")), Seq("a"))
+        .join(alive.select(col("id").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .select(col("a").as("id"), col("core_degree")))
+      val m = next.count()
+      alive.unpersist(blocking = false)
+      if (m == n || m == 0) { out = next; done = true }
+      else { alive = next; n = m }
+    }
+    release(sym, symOwned)
+    out
+  }
+
   /** Multi-source BFS: minimum hop distance from ANY seed node, capped
     * at `maxHops` — reachability ("within k hops of a flagged item"),
     * expansion sets for candidate generation, blast-radius audits.

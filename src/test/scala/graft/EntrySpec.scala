@@ -23,7 +23,8 @@ class EntrySpec extends SparkTestBase {
   // and the sf0.1 bench empty-result tripwire (Bench.scala).
   // (q96/q175 stay out: their COUNT/corr rows exist even over zero edges)
   private val emptyAtTinySf = Set("q83_cooccurrence", "q86_pagerank",
-    "q100_label_communities", "q141_bfs_hops", "q174_pagerank_weighted")
+    "q100_label_communities", "q141_bfs_hops", "q174_pagerank_weighted",
+    "q202_kcore")
 
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -74,6 +74,18 @@ class GraphSpec extends SparkTestBase {
       .as[Long].collect().head === 0L)
   }
 
+  test("kCore: pendant chain peels away, triangle survives k=2, k=3 empties") {
+    // triangle {1,2,3} + chain 3-4-5: node 5 (deg 1) peels first, THEN
+    // node 4 (deg drops 2→1) — the two-round cascade a single
+    // degree-filter pass would miss
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core2 = Graph.kCore(g, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graph.kCore(g, "a", "b", k = 3).count() === 0L)
+  }
+
   test("bfsHops: min hop from any seed, cap respected, early exit") {
     def sym(pairs: (Long, Long)*) = {
       val p = pairs.toSeq.toDF("src", "dst")
