@@ -1468,6 +1468,67 @@ object SparkEntry {
         .orderBy(col("item_a"), col("rank"))
     }),
 
+    // Adamic–Adar link prediction: top-50 non-adjacent item pairs by
+    // Σ 1/ln(deg(shared neighbor)) — the "what edge forms next"
+    // candidate generator over the staged co-engagement graph. One
+    // Σ deg² wedge join (triangle-stream-bounded), anti-join vs the
+    // edge list, k-bounded global cut
+    "q204_adamic_adar" -> ((s, dir) =>
+      ext.Graph.adamicAdar(coengagementPairs(s, dir), "item_a", "item_b",
+          k = 50)
+        .select(col("a").as("item_a"), col("b").as("item_b"),
+          col("n_common"), col("score"))),
+
+    // per-node local clustering coefficient: 2·tri/(d·(d−1)) — how
+    // clique-like each item's neighborhood is; q96's triangle stream
+    // kept per-vertex instead of globally summed
+    "q205_clustering_coeff" -> ((s, dir) =>
+      ext.Graph.localClustering(coengagementPairs(s, dir),
+        "item_a", "item_b")),
+
+    // modularity of the 2-round label-prop partition: per-community
+    // Q-contribution e_c/m − (d_c/2m)² — the standard partition-quality
+    // score over q100's communities; three |V|/|C|-bounded aggregates
+    // plus a broadcast 1-row edge total
+    "q206_modularity" -> ((s, dir) => {
+      val pairs = coengagementPairs(s, dir)
+      val labels = ext.Graph.labelPropagation(
+        coengagementGraphWarm(s, dir), iters = 2)
+      val deg = pairs.select(col("item_a").as("id"))
+        .unionByName(pairs.select(col("item_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("_d"))
+      val mTot = pairs.agg(count(lit(1)).as("_m"))
+      val mem = labels.join(deg, Seq("id"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"), sum(col("_d")).as("deg_sum"))
+      val intra = pairs
+        .join(labels.select(col("id").as("item_a"), col("label").as("_la")),
+          Seq("item_a"))
+        .join(labels.select(col("id").as("item_b"), col("label").as("_lb")),
+          Seq("item_b"))
+        .filter(col("_la") === col("_lb"))
+        .groupBy(col("_la").as("community"))
+        .agg(count(lit(1)).as("intra_edges"))
+      mem.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mTot))
+        .select(col("community"), col("n_members"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("deg_sum"),
+          round(coalesce(col("intra_edges"), lit(0L)) / col("_m")
+            - pow(col("deg_sum") / (lit(2.0) * col("_m")), 2) + lit(1e-9),
+            4).as("q_contrib"))
+        .orderBy(col("community"))
+    }),
+
+    // neighbor-set Jaccard per existing edge (SCAN-style structural
+    // similarity): shared neighbors / union of neighborhoods minus the
+    // endpoints — AA's wedge stream inner-joined back onto the edges
+    "q207_neighbor_jaccard" -> ((s, dir) =>
+      ext.Graph.neighborJaccard(coengagementPairs(s, dir),
+          "item_a", "item_b")
+        .select(col("a").as("item_a"), col("b").as("item_b"),
+          col("n_common"), col("jaccard"))),
+
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
     // the calendar-bounded day key, exact interpolated percentiles
@@ -4229,6 +4290,110 @@ object SparkEntry {
         |    ORDER BY score DESC, item_b) AS rank FROM s)
         |SELECT item_a, item_b, score, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY item_a, rank""".stripMargin,
+
+    // same symmetrized wedge enumeration (shared neighbor = join key),
+    // NOT EXISTS anti vs the canonical a<b pair list, identical
+    // (rounded score desc, a, b) global cut
+    "q204_adamic_adar" ->
+      ("WITH " + coengagementPairsSql + """,
+        |sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |        UNION ALL SELECT ib, ia FROM pairs),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        |wed AS (SELECT x.b AS a, y.b AS b, x.a AS cn FROM sym x
+        |  JOIN sym y ON x.a = y.a AND x.b < y.b),
+        |sc AS (SELECT wed.a, wed.b, count(*) AS n_common,
+        |    round(sum(1.0 / ln(deg.d)) + 1e-9, 4) AS score
+        |  FROM wed JOIN deg ON deg.a = wed.cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+        |    WHERE p.ia = wed.a AND p.ib = wed.b)
+        |  GROUP BY 1, 2)
+        |SELECT a AS item_a, b AS item_b,
+        |  CAST(n_common AS BIGINT) AS n_common, score
+        |FROM sc ORDER BY score DESC, a, b LIMIT 50""").stripMargin,
+
+    // same ordered a<b<c triangle enumeration, 3-way vertex unpivot,
+    // degree from the symmetrized pair list
+    "q205_clustering_coeff" ->
+      ("WITH " + coengagementPairsSql + """,
+        |e AS (SELECT ia AS a, ib AS b FROM pairs),
+        |tri AS (SELECT x.a, x.b, y.b AS c FROM e x
+        |  JOIN e y ON x.b = y.a
+        |  JOIN e z ON z.a = x.a AND z.b = y.b),
+        |tpn AS (SELECT id, count(*) AS n_tri FROM (
+        |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) t GROUP BY id),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) t
+        |  GROUP BY id)
+        |SELECT deg.id, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+        |  round(2.0 * COALESCE(n_tri, 0) / (degree * (degree - 1))
+        |    + 1e-9, 4) AS coeff
+        |FROM deg LEFT JOIN tpn ON tpn.id = deg.id
+        |WHERE degree >= 2 ORDER BY deg.id""").stripMargin,
+
+    // q100's two unrolled label-prop rounds verbatim, then the
+    // modularity decomposition over the final labels
+    "q206_modularity" ->
+      ("WITH " + coengagementPairsSql + """,
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |          UNION ALL SELECT ib, ia FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |          UNION SELECT DISTINCT dst AS id FROM edges),
+        |l0 AS (SELECT id, id AS lbl FROM nodes),
+        |c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
+        |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1) a
+        |  ON a.id = nd.id),
+        |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+        |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
+        |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+        |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) a
+        |  ON a.id = nd.id),
+        |m AS (SELECT count(*) AS m FROM pairs),
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |    SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs) t
+        |  GROUP BY id),
+        |mem AS (SELECT l2.lbl AS community, count(*) AS n_members,
+        |    sum(deg.d) AS deg_sum
+        |  FROM l2 JOIN deg ON deg.id = l2.id GROUP BY 1),
+        |intra AS (SELECT la.lbl AS community, count(*) AS intra_edges
+        |  FROM pairs JOIN l2 la ON la.id = pairs.ia
+        |  JOIN l2 lb ON lb.id = pairs.ib
+        |  WHERE la.lbl = lb.lbl GROUP BY 1)
+        |SELECT mem.community, CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  CAST(deg_sum AS BIGINT) AS deg_sum,
+        |  round(COALESCE(intra_edges, 0) * 1.0 / m.m
+        |    - pow(deg_sum / (2.0 * m.m), 2) + 1e-9, 4) AS q_contrib
+        |FROM mem LEFT JOIN intra ON intra.community = mem.community
+        |CROSS JOIN m ORDER BY mem.community""").stripMargin,
+
+    // same wedge counts inner-joined to the edge list; union size =
+    // da + db − common − 2 (endpoints excluded), 0-guarded
+    "q207_neighbor_jaccard" ->
+      ("WITH " + coengagementPairsSql + """,
+        |sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |        UNION ALL SELECT ib, ia FROM pairs),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        |cn AS (SELECT x.b AS a, y.b AS b, count(*) AS n_common
+        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2)
+        |SELECT p.ia AS item_a, p.ib AS item_b,
+        |  CAST(COALESCE(cn.n_common, 0) AS BIGINT) AS n_common,
+        |  round(CASE WHEN da.d + db.d - COALESCE(cn.n_common, 0) - 2 <= 0
+        |      THEN 0.0
+        |      ELSE COALESCE(cn.n_common, 0) * 1.0
+        |        / (da.d + db.d - COALESCE(cn.n_common, 0) - 2) END
+        |    + 1e-9, 4) AS jaccard
+        |FROM pairs p LEFT JOIN cn ON cn.a = p.ia AND cn.b = p.ib
+        |JOIN deg da ON da.a = p.ia JOIN deg db ON db.a = p.ib
+        |ORDER BY item_a, item_b""").stripMargin,
 
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly

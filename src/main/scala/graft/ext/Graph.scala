@@ -409,6 +409,127 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+  /** Adamic–Adar link prediction over an undirected pair list: for
+    * every NON-adjacent pair (a, b) with at least one common neighbor
+    * w, score = Σ_w 1/ln(deg(w)) — high-degree shared neighbors carry
+    * less evidence than rare ones. The classic "who should be
+    * connected next" candidate generator (friend/item suggestion) next
+    * to [[triangleCount]]'s closed wedges: AA scores the OPEN ones.
+    *
+    * SCALE SHAPE: one symmetrized wedge self-join keyed on the shared
+    * neighbor (Σ deg² rows — the same stream [[triangleCount]] walks,
+    * bounded by the edge generator's corpus-scaled support threshold),
+    * a pair-keyed sum, one LEFT-ANTI join against the existing edges,
+    * and a k-bounded global TakeOrderedAndProject. Common neighbors
+    * always have deg ≥ 2, so ln(deg) never divides by zero.
+    *
+    * Returns (a, b, n_common, score) — top `k` by (rounded score desc,
+    * a, b), the deterministic cross-engine cut.
+    */
+  def adamicAdar(pairs: DataFrame, aCol: String, bCol: String, k: Int)
+  : DataFrame = {
+    val (sym, symOwned) = acquire(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("_d"))
+    val wedges = sym.select(col("a").as("_w"), col("b").as("a"))
+      .join(sym.select(col("a").as("_w"), col("b").as("b")), Seq("_w"))
+      .filter(col("a") < col("b"))
+    val scored = wedges
+      .join(deg.select(col("a").as("_w"), col("_d")), Seq("_w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("_d"))) + lit(1e-9), 4).as("score"))
+      .join(pairs.select(col(aCol).as("a"), col(bCol).as("b")),
+        Seq("a", "b"), "left_anti")
+    val out = graft.core.Caches.materialized(
+      scored.orderBy(col("score").desc, col("a"), col("b")).limit(k))
+    release(sym, symOwned)
+    out
+  }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (d·(d−1)) for
+    * nodes with degree ≥ 2 — how close each node's neighborhood is to
+    * a clique. The per-node refinement of [[triangleCount]]'s global
+    * total (spam-ring shapes score high, broadcast hubs score low).
+    *
+    * SCALE SHAPE: the identical ordered (a<b<c) wedge join as
+    * [[triangleCount]] (each triangle enumerated once), then one
+    * 3-way vertex explode collapsed onto the |V|-bounded node frame
+    * and a broadcast-sized degree join. No per-node neighborhood
+    * materialization — the coefficient falls out of counts.
+    *
+    * Returns (id, degree, n_tri, coeff) ordered by id.
+    */
+  def localClustering(pairs: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val (e, eOwned) = acquire(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val tri = e.join(e.select(col("a").as("b"), col("b").as("c")),
+        Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val out = graft.core.Caches.materialized(
+      deg.filter(col("degree") >= 2)
+        .join(triPerNode, Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("degree") * (col("degree") - lit(1))) + lit(1e-9), 4)
+            .as("coeff"))
+        .orderBy(col("id")))
+    release(e, eOwned)
+    out
+  }
+
+  /** Neighbor-set Jaccard similarity per EXISTING edge: common = #
+    * shared neighbors of (a, b); union = deg(a) + deg(b) − common − 2
+    * (each endpoint removed from the other's neighborhood); J =
+    * common/union, 0 when the union is empty. The structural-
+    * similarity edge weight (SCAN-style) — AA scores open pairs,
+    * this scores the closed ones.
+    *
+    * Same Σ deg² wedge stream as [[adamicAdar]], inner-joined back to
+    * the pair list; edges with NO shared neighbor surface with
+    * n_common = 0 via the left join. Returns (a, b, n_common,
+    * jaccard) ordered by (a, b).
+    */
+  def neighborJaccard(pairs: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val (sym, symOwned) = acquire(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("_d"))
+    val common = sym.select(col("a").as("_w"), col("b").as("a"))
+      .join(sym.select(col("a").as("_w"), col("b").as("b")), Seq("_w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    val out = graft.core.Caches.materialized(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .join(common, Seq("a", "b"), "left")
+        .join(deg.select(col("a"), col("_d").as("_da")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("_d").as("_db")), Seq("b"))
+        .select(col("a"), col("b"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round(
+            when(col("_da") + col("_db")
+                - coalesce(col("n_common"), lit(0L)) - lit(2) <= 0, 0.0)
+              .otherwise(coalesce(col("n_common"), lit(0L))
+                / (col("_da") + col("_db")
+                   - coalesce(col("n_common"), lit(0L)) - lit(2)))
+              + lit(1e-9), 4).as("jaccard"))
+        .orderBy(col("a"), col("b")))
+    release(sym, symOwned)
+    out
+  }
+
   /** k-core of the undirected graph: iteratively peel nodes whose
     * degree within the surviving subgraph is < k until nothing changes;
     * returns (id, core_degree) for the members — the standard

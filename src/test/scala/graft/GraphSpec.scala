@@ -171,4 +171,43 @@ class GraphSpec extends SparkTestBase {
     assert(~=(got.values.map(_._1).sum, 1.0))
     assert(~=(got.values.map(_._2).sum, 1.0))
   }
+
+  // shared fixture: square 1-2-3-4 with diagonal (1,3) — canonical a<b
+  private def squarePairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("pa", "pb")
+
+  test("adamicAdar: only the non-adjacent pair scores, hand-computed") {
+    // (2,4) is the sole non-edge with common neighbors {1, 3}, both
+    // degree 3 → score = 2/ln(3); adjacent pairs are anti-joined out
+    val got = Graph.adamicAdar(squarePairs, "pa", "pb", k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((2L, 4L, 2L,
+      BigDecimal(2.0 / math.log(3.0) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("localClustering: diagonal square, hand-computed coefficients") {
+    // triangles (1,2,3) and (1,3,4): nodes 1,3 have d=3,tri=2 →
+    // 2·2/(3·2) = 2/3; nodes 2,4 have d=2,tri=1 → 1.0
+    val got = Graph.localClustering(squarePairs, "pa", "pb")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 0.6667), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 2L, 0.6667), (4L, 2L, 1L, 1.0)))
+  }
+
+  test("neighborJaccard: per-edge overlap incl. the zero-union edge") {
+    val got = Graph.neighborJaccard(squarePairs, "pa", "pb")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // diagonal (1,3): common {2,4}, union 3+3−2−2 = 2 → J = 1.0;
+    // every side edge: one common neighbor over union 2 → 0.5
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5), (1L, 3L, 2L, 1.0), (1L, 4L, 1L, 0.5),
+      (2L, 3L, 1L, 0.5), (3L, 4L, 1L, 0.5)))
+    // isolated edge: no common neighbors, union 0 → defined as 0.0
+    val lone = Graph.neighborJaccard(
+      Seq((7L, 8L)).toDF("pa", "pb"), "pa", "pb")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(lone === Seq((7L, 8L, 0L, 0.0)))
+  }
 }
