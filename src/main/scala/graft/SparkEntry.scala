@@ -1514,9 +1514,11 @@ object SparkEntry {
         .select(col("community"), col("n_members"),
           coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
           col("deg_sum"),
-          round(coalesce(col("intra_edges"), lit(0L)) / col("_m")
+          // + 0.0 canonicalizes -0.0 (tiny negative contributions round
+          // to negative zero in some engines; the driver compares BITS)
+          (round(coalesce(col("intra_edges"), lit(0L)) / col("_m")
             - pow(col("deg_sum") / (lit(2.0) * col("_m")), 2) + lit(1e-9),
-            4).as("q_contrib"))
+            4) + lit(0.0)).as("q_contrib"))
         .orderBy(col("community"))
     }),
 
@@ -1528,6 +1530,153 @@ object SparkEntry {
           "item_a", "item_b")
         .select(col("a").as("item_a"), col("b").as("item_b"),
           col("n_common"), col("jaccard"))),
+
+    // Kendall tau-b between daily volume and daily mean value per
+    // event type: pairwise concordance over the CALENDAR-bounded daily
+    // frame (the corpus collapses map-side first, so the day² pair
+    // join is ~500 rows per type at any SF). Daily means are rounded
+    // to 4dp BEFORE the pairwise compare — tie classification on raw
+    // float averages would be engine-order-dependent
+    "q208_kendall_tau" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_x"),
+          round(avg(col("value")) + lit(1e-9), 4).as("_y"))
+      val a = d.select(col("event_type"), col("day").as("_da"),
+        col("_x").as("_xa"), col("_y").as("_ya"))
+      val b = d.select(col("event_type"), col("day").as("_db"),
+        col("_x").as("_xb"), col("_y").as("_yb"))
+      a.join(b, Seq("event_type")).filter(col("_da") < col("_db"))
+        .select(col("event_type"), (col("_xb") - col("_xa")).as("_dx"),
+          (col("_yb") - col("_ya")).as("_dy"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("_dx") > 0 && col("_dy") > 0)
+            || (col("_dx") < 0 && col("_dy") < 0), 1L).otherwise(0L))
+            .as("_c"),
+          sum(when((col("_dx") > 0 && col("_dy") < 0)
+            || (col("_dx") < 0 && col("_dy") > 0), 1L).otherwise(0L))
+            .as("_d"),
+          sum(when(col("_dx") === 0, 1L).otherwise(0L)).as("_tx"),
+          sum(when(col("_dy") === 0, 1L).otherwise(0L)).as("_ty"))
+        .select(col("event_type"), col("n_pairs"),
+          // + 0.0 canonicalizes a -0.0 round (driver compares bits)
+          (round((col("_c") - col("_d"))
+            / sqrt((col("n_pairs") - col("_tx"))
+              * (col("n_pairs") - col("_ty"))) + lit(1e-9), 4) + lit(0.0))
+            .as("tau_b"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Theil–Sen robust trend: median of pairwise daily-revenue slopes
+    // per event type — outlier-days don't move it, unlike q92's OLS.
+    // Same aggregate-then-pair inversion as q208: slopes are exact
+    // rationals of ROUNDED daily sums over integer day gaps, median
+    // via the shared interpolated-percentile semantics
+    "q209_theil_sen" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("_r"))
+        .withColumn("_dn",
+          datediff(col("day"), to_date(lit("1970-01-01"))))
+      val a = d.select(col("event_type"), col("_dn").as("_na"),
+        col("_r").as("_ra"))
+      val b = d.select(col("event_type"), col("_dn").as("_nb"),
+        col("_r").as("_rb"))
+      a.join(b, Seq("event_type")).filter(col("_na") < col("_nb"))
+        .select(col("event_type"),
+          ((col("_rb") - col("_ra")) / (col("_nb") - col("_na")))
+            .as("_s"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (round(percentile(col("_s"), lit(0.5)) + lit(1e-9), 4)
+            + lit(0.0)).as("sen_slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Kruskal–Wallis H across sources on document length: rank-based
+    // one-way ANOVA (q186's two-sample U generalized to k groups).
+    // Ranks live on the VALUE-LEVEL frame (q179's trick — the window
+    // orders |distinct n_chars| rows, not the corpus), R_j collapses
+    // per source, and the tie term rides the same value frame
+    "q210_kruskal_wallis" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        col("n_chars"))
+      val vf = docs.groupBy(col("n_chars"))
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_ar",
+          sum(col("_cnt")).over(Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("_cnt") + (col("_cnt") + lit(1)) / lit(2.0))
+      val tot = vf.agg(sum(col("_cnt")).cast("double").as("_n"),
+        sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt"))
+          .cast("double").as("_tie"))
+      val rj = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("_c"))
+        .join(vf.select(col("n_chars"), col("_ar")), Seq("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("_c")).as("_nj"),
+          sum(col("_c") * col("_ar")).as("_rj"))
+      rj.agg(count(lit(1)).as("k"),
+          sum(col("_rj") * col("_rj") / col("_nj")).as("_s"))
+        .crossJoin(broadcast(tot))
+        .select(col("_n").cast("long").as("n"), col("k"),
+          round(lit(12.0) / (col("_n") * (col("_n") + 1)) * col("_s")
+            - lit(3.0) * (col("_n") + 1) + lit(1e-9), 4).as("h"),
+          round((lit(12.0) / (col("_n") * (col("_n") + 1)) * col("_s")
+            - lit(3.0) * (col("_n") + 1))
+            / (lit(1.0) - col("_tie")
+               / (pow(col("_n"), 3) - col("_n"))) + lit(1e-9), 4)
+            .as("h_tie_corrected"))
+    }),
+
+    // Cramér's V for lang × source balance: chi-square independence
+    // via the missing-cell-free identity chi2 = n·(Σ o²/(rt·ct) − 1)
+    // (zero cells contribute only through the marginals, so observed
+    // cells suffice), V = sqrt(chi2 / (n·min(r−1, c−1)))
+    "q211_cramers_v" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"), col("source"))
+      // ONE corpus scan: every total derives from the r×c cells frame
+      val cells = core.Caches.cached(docs
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("_o")))
+      val rowt = cells.groupBy(col("lang")).agg(sum(col("_o")).as("_rt"))
+      val colt = cells.groupBy(col("source"))
+        .agg(sum(col("_o")).as("_ct"))
+      val tot = cells.agg(sum(col("_o")).cast("double").as("_nt"),
+        countDistinct(col("lang")).as("_r"),
+        countDistinct(col("source")).as("_c2"))
+      cells.join(rowt, Seq("lang")).join(colt, Seq("source"))
+        .agg(sum(col("_o") * col("_o") / (col("_rt") * col("_ct")))
+          .as("_s"))
+        .crossJoin(broadcast(tot))
+        .select(col("_nt").cast("long").as("n"),
+          col("_r").as("n_lang"), col("_c2").as("n_source"),
+          round(col("_nt") * (col("_s") - 1) + lit(1e-9), 4).as("chi2"),
+          round(sqrt((col("_s") - 1)
+            / least(col("_r") - 1, col("_c2") - 1)) + lit(1e-9), 4)
+            .as("cramers_v"))
+    }),
+
+    // 10% two-sided trimmed mean per event type next to the plain
+    // mean: interpolated P10/P90 cuts (identical arithmetic both
+    // engines), then one filtered re-aggregate — the robust center
+    // q140's winsorize clamps toward, here by exclusion
+    "q212_trimmed_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val cuts = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")) + lit(1e-9), 4).as("mean"),
+          percentile(col("value"), lit(0.1)).as("_lo"),
+          percentile(col("value"), lit(0.9)).as("_hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .filter(col("value").between(col("_lo"), col("_hi")))
+        .groupBy(col("event_type"), col("n"), col("mean"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("value")) + lit(1e-9), 4).as("trimmed_mean"))
+        .select(col("event_type"), col("n"), col("n_kept"), col("mean"),
+          col("trimmed_mean"))
+        .orderBy(col("event_type"))
+    }),
 
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
@@ -4370,7 +4519,7 @@ object SparkEntry {
         |  CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges,
         |  CAST(deg_sum AS BIGINT) AS deg_sum,
         |  round(COALESCE(intra_edges, 0) * 1.0 / m.m
-        |    - pow(deg_sum / (2.0 * m.m), 2) + 1e-9, 4) AS q_contrib
+        |    - pow(deg_sum / (2.0 * m.m), 2) + 1e-9, 4) + 0.0 AS q_contrib
         |FROM mem LEFT JOIN intra ON intra.community = mem.community
         |CROSS JOIN m ORDER BY mem.community""").stripMargin,
 
@@ -4394,6 +4543,97 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN cn ON cn.a = p.ia AND cn.b = p.ib
         |JOIN deg da ON da.a = p.ia JOIN deg db ON db.a = p.ib
         |ORDER BY item_a, item_b""").stripMargin,
+
+    // same rounded daily frame, same pairwise concordance classes,
+    // tau-b denominator sqrt((n0-tx)(n0-ty))
+    "q208_kendall_tau" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS x, round(avg(value) + 1e-9, 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND a.day < b.day),
+        |g AS (SELECT event_type, count(*) AS n_pairs,
+        |    sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+        |      THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+        |      THEN 1 ELSE 0 END) AS dd,
+        |    sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  round((c - dd) / sqrt((n_pairs - tx) * (n_pairs - ty))
+        |    + 1e-9, 4) + 0.0 AS tau_b
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // same rounded daily sums, epoch-day gaps, interpolated median
+    "q209_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value) + 1e-9, 4) AS r,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS dn
+        |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+        |p AS (SELECT a.event_type,
+        |    (b.r - a.r) / (b.dn - a.dn) AS s
+        |  FROM d a JOIN d b ON a.event_type = b.event_type
+        |    AND a.dn < b.dn)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(s, 0.5) + 1e-9, 4) + 0.0 AS sen_slope
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same value-level tie-averaged ranks (rank() + (ties-1)/2), per-
+    // source rank sums, H with the (1 - Σ(t³-t)/(N³-N)) tie correction
+    "q210_kruskal_wallis" ->
+      """WITH r AS (SELECT source,
+        |    rank() OVER (ORDER BY n_chars)
+        |      + (count(*) OVER (PARTITION BY n_chars) - 1) / 2.0 AS ar
+        |  FROM documents),
+        |rj AS (SELECT source, count(*) AS nj, sum(ar) AS rjs
+        |  FROM r GROUP BY source),
+        |ties AS (SELECT sum(c * c * c - c) AS tie FROM (
+        |  SELECT count(*) AS c FROM documents GROUP BY n_chars) t),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT count(*) AS k, sum(rjs * rjs / nj) AS sv FROM rj)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(12.0 / (n * (n + 1)) * sv - 3.0 * (n + 1) + 1e-9, 4)
+        |    AS h,
+        |  round((12.0 / (n * (n + 1)) * sv - 3.0 * (n + 1))
+        |    / (1.0 - tie / (pow(n, 3) - n)) + 1e-9, 4)
+        |    AS h_tie_corrected
+        |FROM s CROSS JOIN tot CROSS JOIN ties""".stripMargin,
+
+    // same observed-cells-only identity chi2 = n(Σ o²/(rt·ct) − 1)
+    "q211_cramers_v" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+        |  FROM documents),
+        |s AS (SELECT sum(o * o * 1.0 / (rt.rt * ct.ct)) AS sv
+        |  FROM cells JOIN rt ON cells.lang = rt.lang
+        |  JOIN ct ON cells.source = ct.source)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_lang,
+        |  CAST(c AS BIGINT) AS n_source,
+        |  round(n * (sv - 1) + 1e-9, 4) AS chi2,
+        |  round(sqrt((sv - 1) / least(r - 1, c - 1)) + 1e-9, 4)
+        |    AS cramers_v
+        |FROM s CROSS JOIN tot""".stripMargin,
+
+    // same interpolated P10/P90 cuts, inclusive band, re-aggregate
+    "q212_trimmed_mean" ->
+      """WITH c AS (SELECT event_type, count(*) AS n,
+        |    round(avg(value) + 1e-9, 4) AS mean,
+        |    quantile_cont(value, 0.1) AS lo,
+        |    quantile_cont(value, 0.9) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_kept, c.mean,
+        |  round(avg(e.value) + 1e-9, 4) AS trimmed_mean
+        |FROM events e JOIN c ON e.event_type = c.event_type
+        |WHERE e.value BETWEEN c.lo AND c.hi
+        |GROUP BY e.event_type, c.n, c.mean
+        |ORDER BY e.event_type""".stripMargin,
 
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly

@@ -21,10 +21,12 @@ class EntrySpec extends SparkTestBase {
   // co-engagement, not a broken pipeline. Their non-emptiness gates
   // live where the graph is real: the sf0.01 oracle (driver CORRECTNESS)
   // and the sf0.1 bench empty-result tripwire (Bench.scala).
-  // (q96/q175 stay out: their COUNT/corr rows exist even over zero edges)
+  // (q96/q175 stay out: their COUNT/corr rows exist even over zero edges;
+  // q204/q205 need a degree-2 node, q206/q207 an edge — none at sf0.001)
   private val emptyAtTinySf = Set("q83_cooccurrence", "q86_pagerank",
     "q100_label_communities", "q141_bfs_hops", "q174_pagerank_weighted",
-    "q202_kcore")
+    "q202_kcore", "q204_adamic_adar", "q205_clustering_coeff",
+    "q206_modularity", "q207_neighbor_jaccard")
 
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
