@@ -1444,29 +1444,7 @@ object SparkEntry {
     // products, never a per-user cross product), pair scores collapse
     // onto the ≤|items|² frame, and the per-item top-5 is the
     // k-bounded TopKScoredAggregator, ranked on the ROUNDED score
-    "q203_covisitation" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .filter(col("event_type").isin("view", "click"))
-        .select(col("user_id"), (col("event_id") % 4000).as("item"),
-          col("ts"))
-      val scored = operators.Relational.rangeJoinBucketed(
-          ev.select(col("user_id"), col("item").as("item_a"),
-            col("ts").as("ts_a")),
-          ev.select(col("user_id"), col("item").as("item_b"),
-            col("ts").as("ts_b")),
-          Seq("user_id"), "ts_a", "ts_b", 30L * 60 * 1000000L)
-        .filter(col("item_a") =!= col("item_b"))
-        .select(col("item_a"), col("item_b"),
-          (lit(1.0) / (lit(1.0)
-            + (unix_micros(col("ts_b")) - unix_micros(col("ts_a")))
-              / lit(6e7))).as("_w"))
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(round(sum(col("_w")) + lit(1e-9), 4).as("_score"))
-      operators.Relational.topKPerGroupAgg(scored, k = 5,
-          groupCols = Seq("item_a"), score = col("_score"),
-          id = col("item_b"), scoreName = "score", idName = "item_b")
-        .orderBy(col("item_a"), col("rank"))
-    }),
+    "q203_covisitation" -> ((s, dir) => covisitationTop5(s, dir)),
 
     // Adamic–Adar link prediction: top-50 non-adjacent item pairs by
     // Σ 1/ln(deg(shared neighbor)) — the "what edge forms next"
@@ -1676,6 +1654,230 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("n_kept"), col("mean"),
           col("trimmed_mean"))
         .orderBy(col("event_type"))
+    }),
+
+    // view→purchase conversion lag: per-user FIRST view and FIRST
+    // purchase collapse in one conditional-min aggregate (no window,
+    // no self-join); converted = first purchase strictly after first
+    // view; lag percentiles interpolated over the per-user frame
+    "q213_conversion_lag" -> ((s, dir) => {
+      val f = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("_fv"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("_fp"))
+      f.filter(col("_fv").isNotNull)
+        .select(when(col("_fp") > col("_fv"),
+          (unix_micros(col("_fp")) - unix_micros(col("_fv")))
+            / lit(3.6e9)).as("_lag_h"))
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("_lag_h")).as("n_converted"),
+          round(count(col("_lag_h")) / count(lit(1)).cast("double")
+            + lit(1e-9), 4).as("conv_rate"),
+          round(percentile(col("_lag_h"), lit(0.25)) + lit(1e-9), 4)
+            .as("p25_h"),
+          round(percentile(col("_lag_h"), lit(0.5)) + lit(1e-9), 4)
+            .as("p50_h"),
+          round(percentile(col("_lag_h"), lit(0.75)) + lit(1e-9), 4)
+            .as("p75_h"))
+    }),
+
+    // top-10 session-opening paths: q103's gap sessionizer, then the
+    // first 3 event types pivot out of ONE conditional-max aggregate
+    // (concat_ws skips the nulls of shorter sessions) — the Sankey
+    // entry-flow panel. All windows ride the high-cardinality user id
+    "q214_path_prefix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("_ns",
+          when(lag(col("_us"), 1).over(w).isNull
+            || col("_us") - lag(col("_us"), 1).over(w) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("_seq", sum(col("_ns")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("_seq"))
+            .orderBy(col("_us"), col("event_id"))))
+      e.filter(col("_rn") <= 3)
+        .groupBy(col("user_id"), col("_seq"))
+        .agg(concat_ws(">",
+          max(when(col("_rn") === 1, col("event_type"))),
+          max(when(col("_rn") === 2, col("event_type"))),
+          max(when(col("_rn") === 3, col("event_type")))).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+    }),
+
+    // CUSUM mean-shift scan per event type: standardized cumulative
+    // deviation of daily counts, peak |S| day out — the sequential
+    // drift alarm next to q190's single-split changepoint. The running
+    // sum orders the CALENDAR-bounded daily frame; the argmax ranks on
+    // the ROUNDED statistic (engine-stable ties, day asc breaker)
+    "q215_cusum" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_x"))
+      val st = d.groupBy(col("event_type"))
+        .agg(avg(col("_x")).as("_mu"), stddev_pop(col("_x")).as("_sd"),
+          count(lit(1)).as("n_days"))
+      val cum = d.join(broadcast(st), Seq("event_type"))
+        .withColumn("_s", sum(
+          when(col("_sd") > 0, (col("_x") - col("_mu")) / col("_sd"))
+            .otherwise(lit(0.0)))
+          .over(Window.partitionBy(col("event_type")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_sr", round(abs(col("_s")) + lit(1e-9), 4))
+      cum.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("_sr").desc, col("day"))))
+        .filter(col("_rk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("day").as("peak_day"),
+          ((round(col("_s") + lit(1e-9), 4)) + lit(0.0))
+            .as("peak_cusum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // per-source 3-gram novelty: share of a doc's shingles whose FIRST
+    // corpus occurrence (min doc_id) is the doc itself — the curriculum
+    // /redundancy signal near-dup thresholds miss. Posting-bounded
+    // (Σ tokens): min-per-shingle is a mergeable aggregate, no pair
+    // join, so no hot-posting cap needed
+    "q216_ngram_novelty" -> ((s, dir) => {
+      val posts = t(s, dir, "documents")
+        .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+        .select(col("doc_id"), col("source"),
+          functions.ShingleHashes(col("text"), 3).as("_sh"))
+        .select(col("doc_id"), col("source"),
+          size(col("_sh")).as("_n"), explode(col("_sh")).as("_k"))
+      val firsts = posts.groupBy(col("_k"))
+        .agg(min(col("doc_id")).as("_first"))
+      posts.join(firsts, Seq("_k"))
+        .groupBy(col("doc_id"), col("source"), col("_n"))
+        .agg(sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L))
+          .as("_novel"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("_novel") / col("_n")) + lit(1e-9), 4)
+            .as("avg_novelty"))
+        .orderBy(col("source"))
+    }),
+
+    // recommender exposure audit over q203's covisitation top-5 lists:
+    // catalog coverage + Gini concentration of how often each item is
+    // recommended — the aggregate-diversity eval (Steck/Castells line)
+    // next to q126's per-query ranking quality. Bounded: the rec list
+    // is ≤ 5·|items| rows, the exposure frame ≤ |items|
+    "q217_rec_coverage" -> ((s, dir) => {
+      val recs = covisitationTop5(s, dir)
+      val cat = t(s, dir, "events")
+        .agg(countDistinct(col("event_id") % 4000).as("catalog"))
+      val gin = operators.Relational.giniConcentration(
+        recs.select(lit("all").as("_g"), col("item_b")), "_g", "item_b")
+      gin.crossJoin(broadcast(cat))
+        .select(col("catalog"), col("n_keys").as("n_recommended"),
+          round(col("n_keys") / col("catalog").cast("double")
+            + lit(1e-9), 4).as("coverage"),
+          col("gini").as("exposure_gini"))
+    }),
+
+    // Heaps' law fit: vocabulary size vs corpus size on a log-log
+    // grid. SCALE SHAPE: docs collapse onto 20 doc-id buckets
+    // map-side (integer bucket arithmetic, identical both engines),
+    // token first-occurrences are one mergeable min per token, and
+    // the cumulative/regression runs over the 20-row checkpoint
+    // frame — no corpus-ordered window
+    "q218_heaps_law" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), ext.TextOps.tokens(col("text")).as("_t"))
+      val mx = docs.agg(max(col("doc_id")).as("_mx"))
+      def bucket = greatest(lit(1L),
+        expr("(doc_id * 20 + _mx - 1) div _mx"))
+      val tok = docs.select(col("doc_id"), size(col("_t")).as("_n"))
+        .crossJoin(broadcast(mx))
+        .groupBy(bucket.as("_b")).agg(sum(col("_n")).as("_tokc"))
+      val typ = docs.select(col("doc_id"), explode(col("_t")).as("_tk"))
+        .groupBy(col("_tk")).agg(min(col("doc_id")).as("doc_id"))
+        .crossJoin(broadcast(mx))
+        .groupBy(bucket.as("_b")).agg(count(lit(1)).as("_typc"))
+      tok.join(typ, Seq("_b"), "full_outer").na.fill(0L)
+        .withColumn("_tokcum", sum(col("_tokc")).over(
+          Window.orderBy(col("_b")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_typcum", sum(col("_typc")).over(
+          Window.orderBy(col("_b")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("_tokcum") > 0 && col("_typcum") > 0)
+        .agg(count(lit(1)).as("n_checkpoints"),
+          max(col("_tokcum")).as("total_tokens"),
+          max(col("_typcum")).as("total_types"),
+          round(regr_slope(log(col("_typcum")), log(col("_tokcum")))
+            + lit(1e-9), 4).as("heaps_beta"),
+          round(regr_intercept(log(col("_typcum")), log(col("_tokcum")))
+            + lit(1e-9), 4).as("heaps_log_k"))
+    }),
+
+    // snapshot diff audit between the day-15 state and the final
+    // state: per-user (event count, last event type) from ONE
+    // conditional aggregate each (struct-max argmax), one full-outer
+    // key join, change classes out — the table-diff primitive next to
+    // q110's snapshot and q171's MERGE apply
+    "q219_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def snap(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_n"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("_last"))
+        .select(col("user_id"), col("_n"),
+          col("_last.event_type").as("_lt"))
+      val s1 = snap(ev.filter(
+        to_date(col("ts")) <= lit("2024-01-15").cast("date")))
+      val s2 = snap(ev)
+      s1.select(col("user_id"), col("_n").as("_n1"), col("_lt").as("_lt1"))
+        .join(s2.select(col("user_id"), col("_n").as("_n2"),
+          col("_lt").as("_lt2")), Seq("user_id"), "full_outer")
+        .select(when(col("_n1").isNull, "new")
+          .when(col("_n1") === col("_n2")
+            && col("_lt1") === col("_lt2"), "unchanged")
+          .otherwise("changed").as("change_class"))
+        .groupBy(col("change_class")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("change_class"))
+    }),
+
+    // near-dup cluster size histogram off the staged chain pair list:
+    // how much of the corpus sits in how-big duplicate families — the
+    // dedup-planning panel next to q177's per-source density
+    "q220_cluster_sizes" -> ((s, dir) =>
+      ext.Dedup.duplicateClusters(chainPairList(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
+    // dropDuplicatesWithinWatermark through the REAL stream seam: the
+    // staged source self-unioned (every micro-batch delivers each row
+    // twice — the at-least-once-delivery shape exactly-once sinks
+    // must collapse), watermarked dedup state keyed on event_id,
+    // APPEND materialization hash-checked against plain batch
+    // distinct. Self-union reads ONE file source (both branches share
+    // offsets), so the duplicate pairs land in the same trigger and
+    // no cross-source skew can outrun the 1 h watermark
+    "q221_stream_dedup_materialized" -> ((s, dir) => {
+      val src = stagedEventStreamSrc(s, dir)
+      val st = streaming.EventStreams.readEventStream(
+        s, src.toString, s.read.parquet(src.toString).schema)
+      val deduped = st.unionByName(st)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q221_out").toString
+      streaming.EventStreams.withShufflePartitions(s, 8) {
+        streaming.EventStreams.materializeAppendToParquet(s, deduped, out)
+      }.orderBy(col("event_id"))
     }),
 
     // daily purchase-value bands: exact P10/P50/P90 per day — the
@@ -3536,6 +3738,39 @@ object SparkEntry {
     * self-join are built once per events fingerprint; all four graph
     * queries (and both bench passes) read the ~42k-row parquet.
     */
+  /** q203's session-style covisitation recs, factored out so q217 can
+    * evaluate the recommender it produces: per item, the top-5 items
+    * whose views/clicks FOLLOW it within 30 minutes by the same user,
+    * scored by time-decayed co-occurrence Σ 1/(1+Δmin). The
+    * time-bounded self-join rides rangeJoinBucketed (per-band occupancy
+    * products, never a per-user cross product); pair scores collapse
+    * onto the ≤|items|² frame; top-5 is the k-bounded
+    * TopKScoredAggregator on the ROUNDED score.
+    */
+  private def covisitationTop5(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), (col("event_id") % 4000).as("item"),
+        col("ts"))
+    val scored = operators.Relational.rangeJoinBucketed(
+        ev.select(col("user_id"), col("item").as("item_a"),
+          col("ts").as("ts_a")),
+        ev.select(col("user_id"), col("item").as("item_b"),
+          col("ts").as("ts_b")),
+        Seq("user_id"), "ts_a", "ts_b", 30L * 60 * 1000000L)
+      .filter(col("item_a") =!= col("item_b"))
+      .select(col("item_a"), col("item_b"),
+        (lit(1.0) / (lit(1.0)
+          + (unix_micros(col("ts_b")) - unix_micros(col("ts_a")))
+            / lit(6e7))).as("_w"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(round(sum(col("_w")) + lit(1e-9), 4).as("_score"))
+    operators.Relational.topKPerGroupAgg(scored, k = 5,
+        groupCols = Seq("item_a"), score = col("_score"),
+        id = col("item_b"), scoreName = "score", idName = "item_b")
+      .orderBy(col("item_a"), col("rank"))
+  }
+
   private[graft] def coengagementPairs(s: SparkSession, dir: String)
   : DataFrame =
     stagedFrame(s, dir, "events", "coeng_4000_64") {
@@ -3578,6 +3813,49 @@ object SparkEntry {
     core.Caches.cached(ext.Graph.outDegOf(e))
     edges
   }
+
+  /** Shared oracle: the chained corpus (75%/50% prefix copies),
+    * exact 3-gram Jaccard >= 0.6 pairs, and the recursive
+    * transitive-closure CTE down to `reach(id, lbl)` - the ground
+    * truth q78, q112, and q220 all read. Callers append their own
+    * final SELECT over `reach`.
+    */
+  private val chainClustersSql: String =
+    """WITH RECURSIVE
+        |base AS (SELECT doc_id, lang, source, text FROM documents),
+        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
+        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
+        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
+        |      1)), ' ') AS text
+        |  FROM base WHERE doc_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
+        |           UNION ALL SELECT * FROM m2),
+        |d AS (SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |      AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
 
   /** Shared oracle CTE body for the co-engagement graph: `items` →
     * `capped` (identical ≤64 row_number cap) → `pairs(ia, ib,
@@ -4635,6 +4913,199 @@ object SparkEntry {
         |GROUP BY e.event_type, c.n, c.mean
         |ORDER BY e.event_type""".stripMargin,
 
+    // same conditional-min firsts, strict fp > fv conversion, hours
+    "q213_conversion_lag" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CASE WHEN fp > fv
+        |    THEN (epoch_us(fp) - epoch_us(fv)) / 3.6e9 END AS lag_h
+        |  FROM f WHERE fv IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+        |  CAST(count(lag_h) AS BIGINT) AS n_converted,
+        |  round(count(lag_h) * 1.0 / count(*) + 1e-9, 4) AS conv_rate,
+        |  round(quantile_cont(lag_h, 0.25) + 1e-9, 4) AS p25_h,
+        |  round(quantile_cont(lag_h, 0.50) + 1e-9, 4) AS p50_h,
+        |  round(quantile_cont(lag_h, 0.75) + 1e-9, 4) AS p75_h
+        |FROM l""".stripMargin,
+
+    // q103's sessionizer verbatim, then the 3-step conditional-max
+    // pivot (concat_ws skips NULLs in both engines)
+    "q214_path_prefix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, event_type, us, event_id,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f),
+        |h AS (SELECT user_id, seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, seq
+        |      ORDER BY us, event_id) AS rn FROM g),
+        |p AS (SELECT user_id, seq, concat_ws('>',
+        |    max(CASE WHEN rn = 1 THEN event_type END),
+        |    max(CASE WHEN rn = 2 THEN event_type END),
+        |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM h WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+
+    // same standardized running sum over the daily frame, argmax on
+    // the ROUNDED |S| with day-asc tie-break
+    "q215_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(x) AS mu, stddev_pop(x) AS sd,
+        |    count(*) AS n_days FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, st.n_days, d.day,
+        |    sum(CASE WHEN st.sd > 0 THEN (d.x - st.mu) / st.sd
+        |        ELSE 0.0 END)
+        |      OVER (PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM d JOIN st ON d.event_type = st.event_type),
+        |r AS (SELECT event_type, n_days, day, s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(abs(s) + 1e-9, 4) DESC, day) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  day AS peak_day,
+        |  round(s + 1e-9, 4) + 0.0 AS peak_cusum
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // same 3-gram construction as the q32 oracle (≥3-token docs),
+    // min-doc first occurrence, per-doc novel share, per-source mean
+    "q216_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents) WHERE len(t) >= 3),
+        |p AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS k
+        |  FROM d),
+        |f AS (SELECT k, min(doc_id) AS first_doc FROM p GROUP BY k),
+        |nv AS (SELECT p.doc_id, p.source, p.n,
+        |    sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+        |      AS novel
+        |  FROM p JOIN f ON f.k = p.k GROUP BY 1, 2, 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(novel * 1.0 / n) + 1e-9, 4) AS avg_novelty
+        |FROM nv GROUP BY source ORDER BY source""".stripMargin,
+
+    // q203's rec CTEs, exposure counts, q147's Gini formula, distinct
+    // catalog denominator
+    "q217_rec_coverage" ->
+      """WITH ev AS (SELECT user_id, event_id % 4000 AS item,
+        |    CAST(ts AS TIMESTAMP) AS uts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pp AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    1.0 / (1.0 + (epoch_us(b.uts) - epoch_us(a.uts)) / 6e7) AS w
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND b.uts >= a.uts AND b.uts < a.uts + INTERVAL 30 MINUTE
+        |  WHERE a.item <> b.item),
+        |sc AS (SELECT item_a, item_b, round(sum(w) + 1e-9, 4) AS score
+        |  FROM pp GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        |    ORDER BY score DESC, item_b) AS rank FROM sc),
+        |x AS (SELECT item_b AS item, CAST(count(*) AS BIGINT) AS x
+        |  FROM rk WHERE rank <= 5 GROUP BY 1),
+        |g AS (SELECT x, CAST(row_number() OVER (ORDER BY x, item)
+        |    AS BIGINT) AS i FROM x),
+        |cat AS (SELECT count(DISTINCT event_id % 4000) AS catalog
+        |  FROM events)
+        |SELECT CAST(catalog AS BIGINT) AS catalog,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_recommended,
+        |  round((SELECT count(*) FROM x) * 1.0 / catalog + 1e-9, 4)
+        |    AS coverage,
+        |  (SELECT round(2.0 * sum(i * x)
+        |      / (count(*) * CAST(sum(x) AS DOUBLE))
+        |      - (count(*) + 1) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+        |      + 0.0 FROM g) AS exposure_gini
+        |FROM cat""".stripMargin,
+
+    // same 20-bucket integer grid, token min-doc first occurrence,
+    // cumulative checkpoints, log-log regression
+    "q218_heaps_law" ->
+      """WITH dd AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS mx FROM dd),
+        |tok AS (SELECT greatest((doc_id * 20 + mx - 1) // mx, 1) AS b,
+        |    sum(len(t)) AS tokc
+        |  FROM dd CROSS JOIN mx GROUP BY 1),
+        |fmin AS (SELECT tk, min(doc_id) AS fd FROM (
+        |    SELECT unnest(t) AS tk, doc_id FROM dd) u GROUP BY tk),
+        |typ AS (SELECT greatest((fd * 20 + mx - 1) // mx, 1) AS b,
+        |    count(*) AS typc
+        |  FROM fmin CROSS JOIN mx GROUP BY 1),
+        |grid AS (SELECT COALESCE(tok.b, typ.b) AS b,
+        |    COALESCE(tokc, 0) AS tokc, COALESCE(typc, 0) AS typc
+        |  FROM tok FULL JOIN typ ON tok.b = typ.b),
+        |cum AS (SELECT b,
+        |    sum(tokc) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS tokcum,
+        |    sum(typc) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS typcum
+        |  FROM grid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+        |  CAST(max(tokcum) AS BIGINT) AS total_tokens,
+        |  CAST(max(typcum) AS BIGINT) AS total_types,
+        |  round(regr_slope(ln(typcum), ln(tokcum)) + 1e-9, 4)
+        |    AS heaps_beta,
+        |  round(regr_intercept(ln(typcum), ln(tokcum)) + 1e-9, 4)
+        |    AS heaps_log_k
+        |FROM cum WHERE tokcum > 0 AND typcum > 0""".stripMargin,
+
+    // same per-user (count, last-event) snapshots (ts, event_id
+    // argmax), full-outer classify
+    "q219_snapshot_diff" ->
+      """WITH e1 AS (SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+        |c1 AS (SELECT user_id, count(*) AS n1 FROM e1 GROUP BY 1),
+        |l1 AS (SELECT user_id, event_type AS lt1 FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn FROM e1) WHERE rn = 1),
+        |c2 AS (SELECT user_id, count(*) AS n2 FROM events GROUP BY 1),
+        |l2 AS (SELECT user_id, event_type AS lt2 FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |      AS rn FROM events) WHERE rn = 1),
+        |s1 AS (SELECT c1.user_id, n1, lt1 FROM c1
+        |  JOIN l1 ON c1.user_id = l1.user_id),
+        |s2 AS (SELECT c2.user_id, n2, lt2 FROM c2
+        |  JOIN l2 ON c2.user_id = l2.user_id),
+        |d AS (SELECT CASE WHEN s1.user_id IS NULL THEN 'new'
+        |    WHEN s1.n1 = s2.n2 AND s1.lt1 = s2.lt2 THEN 'unchanged'
+        |    ELSE 'changed' END AS change_class
+        |  FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT change_class, CAST(count(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same transitive closure, collapsed to a size histogram
+    "q220_cluster_sizes" ->
+      (chainClustersSql + """,
+        |cl AS (SELECT id, min(lbl) AS cluster_id FROM reach
+        |  GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl
+        |  GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY 1 ORDER BY 1""").stripMargin,
+
+    // the streaming dedup must collapse the doubled delivery back to
+    // exactly the batch-distinct relation
+    "q221_stream_dedup_materialized" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly
     "q200_stream_join_materialized" ->
@@ -5205,84 +5676,16 @@ object SparkEntry {
     // components via a recursive CTE — min label reachable from each
     // node over the bidirected edge list
     "q78_dedup_clusters" ->
-      """WITH RECURSIVE
-        |base AS (SELECT doc_id, lang, source, text FROM documents),
-        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
-        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
-        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
-        |      1)), ' ') AS text
-        |  FROM base WHERE doc_id < 30),
-        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
-        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
-        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
-        |      1)), ' ') AS text
-        |  FROM base WHERE doc_id < 30),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
-        |           UNION ALL SELECT * FROM m2),
-        |d AS (SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(t) - 2, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, lang, source,
-        |          regexp_split_to_array(lower(text), '\s+') AS t
-        |        FROM corpus)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, lbl) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      (chainClustersSql + """
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY id ORDER BY doc_id""").stripMargin,
 
     // identical ground truth: the algorithm differs, the transitive
     // closure must not (oracle shared verbatim with q78)
     "q112_clusters_altstar" ->
-      """WITH RECURSIVE
-        |base AS (SELECT doc_id, lang, source, text FROM documents),
-        |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
-        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
-        |    greatest((3 * len(regexp_split_to_array(text, '\s+'))) // 4,
-        |      1)), ' ') AS text
-        |  FROM base WHERE doc_id < 30),
-        |m2 AS (SELECT doc_id + 200000 AS doc_id, lang, source,
-        |  array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1,
-        |    greatest(len(regexp_split_to_array(text, '\s+')) // 2,
-        |      1)), ' ') AS text
-        |  FROM base WHERE doc_id < 30),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM m1
-        |           UNION ALL SELECT * FROM m2),
-        |d AS (SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(len(t) - 2, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, lang, source,
-        |          regexp_split_to_array(lower(text), '\s+') AS t
-        |        FROM corpus)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, lbl) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      (chainClustersSql + """
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY id ORDER BY doc_id""").stripMargin,
 
     // q78's transitive closure, rolled up to the savings histogram
     "q158_dedup_savings" ->
