@@ -1880,6 +1880,89 @@ object SparkEntry {
       }.orderBy(col("event_id"))
     }),
 
+    // sample-ratio-mismatch audit for q130's md5 variant assignment:
+    // chi-square of the observed A/B user split against 50/50 —
+    // (nA−nB)²/n with the 95% flag. The experiment-health gate run
+    // BEFORE any Welch read-out; one distinct + one 2-cell aggregate
+    "q222_srm_audit" -> ((s, dir) => {
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .select((u < 0.5).as("_isa"))
+        .agg(sum(when(col("_isa"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("_isa"), 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(pow(col("n_a") - col("n_b"), 2)
+            / (col("n_a") + col("n_b")) + lit(1e-9), 4).as("chi2"),
+          (pow(col("n_a") - col("n_b"), 2)
+            / (col("n_a") + col("n_b")) > 3.841).cast("long")
+            .as("srm_flag"))
+    }),
+
+    // equi-WIDTH value histogram per event type (q87 is equi-depth):
+    // 20 fixed bins over the per-type [min, max], bin = identical
+    // float expression both engines, counts collapse map-side
+    "q223_equiwidth_hist" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val mm = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("_mn"), max(col("value")).as("_mx"))
+      ev.join(broadcast(mm), Seq("event_type"))
+        .select(col("event_type"),
+          least(floor((col("value") - col("_mn")) * lit(20.0)
+            / (col("_mx") - col("_mn"))), lit(19.0)).cast("long")
+            .as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // audience-overlap Jaccard between event types: |users(a)∩users(b)|
+    // over the union — segment-overlap matrix. The self-join rides the
+    // distinct (type, user) frame, so per-user fan-out is ≤ |types|²
+    // rows — never events²
+    "q224_audience_overlap" -> ((s, dir) => {
+      val tu = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_c"))
+      tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("_c").as("_ca"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("_c").as("_cb"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          round(col("n_common")
+            / (col("_ca") + col("_cb") - col("n_common")).cast("double")
+            + lit(1e-9), 4).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // duplication × quality interaction: mean q27 quality for docs
+    // inside vs outside a near-dup cluster (staged chain pair list) —
+    // the "are our duplicates junk?" panel that decides keep-best vs
+    // drop-all retention policy
+    "q225_dup_quality" -> ((s, dir) => {
+      val pairs = chainPairList(s, dir)
+      val clustered = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .filter(col("doc_id") < 100000).distinct()
+      ext.TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("quality"))
+        .join(clustered.withColumn("_dup", lit(1L)), Seq("doc_id"),
+          "left")
+        .select(coalesce(col("_dup"), lit(0L)).as("is_clustered"),
+          col("quality"))
+        .groupBy(col("is_clustered"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"))
+        .orderBy(col("is_clustered"))
+    }),
+
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
     // the calendar-bounded day key, exact interpolated percentiles
@@ -5105,6 +5188,84 @@ object SparkEntry {
     "q221_stream_dedup_materialized" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // q130's md5 assignment verbatim over distinct users, 50/50 chi2
+    "q222_srm_audit" ->
+      """WITH us AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT (CAST(CAST(concat('0x', substr(
+        |      md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |    AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM us),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  round(pow(n_a - n_b, 2) / (n_a + n_b) + 1e-9, 4) AS chi2,
+        |  CAST(pow(n_a - n_b, 2) / (n_a + n_b) > 3.841 AS BIGINT)
+        |    AS srm_flag
+        |FROM a""".stripMargin,
+
+    // same (v − mn)·20/(mx − mn) bin expression, same clamp
+    "q223_equiwidth_hist" ->
+      """WITH mm AS (SELECT event_type, min(value) AS mn,
+        |    max(value) AS mx FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(least(floor((e.value - mn) * 20.0 / (mx - mn)), 19)
+        |    AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN mm ON e.event_type = mm.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same distinct (type, user) frame, user-keyed pair join
+    "q224_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS c FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+        |  round(n_common * 1.0 / (ca.c + cb.c - n_common) + 1e-9, 4)
+        |    AS jaccard
+        |FROM p JOIN sz ca ON ca.event_type = type_a
+        |JOIN sz cb ON cb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // chain pair list membership (base docs only) × the q27 quality
+    // formula; `reach` goes unused and DuckDB skips it
+    "q225_dup_quality" ->
+      (chainClustersSql + """,
+        |f AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it','that','for')))
+        |      / greatest(len(toks), 1) + 1e-9, 4) AS stopword_ratio,
+        |    round(list_unique(toks) / greatest(len(toks), 1) + 1e-9, 4)
+        |      AS distinct_ratio,
+        |    round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |      / greatest(length(text), 1) + 1e-9, 4) AS punct_ratio
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents) tq),
+        |q AS (SELECT doc_id, round(
+        |    CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+        |    + 0.3 * distinct_ratio
+        |    + 0.2 * least(stopword_ratio * 2, 1.0)
+        |    + CASE WHEN punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END
+        |    + 1e-9, 4) AS quality
+        |  FROM f),
+        |cb AS (SELECT DISTINCT id_a AS doc_id FROM pairs
+        |    WHERE id_a < 100000
+        |  UNION SELECT id_b FROM pairs WHERE id_b < 100000)
+        |SELECT CAST(CASE WHEN cb.doc_id IS NULL THEN 0 ELSE 1 END
+        |    AS BIGINT) AS is_clustered,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(quality) + 1e-9, 4) AS avg_quality
+        |FROM q LEFT JOIN cb ON q.doc_id = cb.doc_id
+        |GROUP BY 1 ORDER BY 1""").stripMargin,
 
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly
