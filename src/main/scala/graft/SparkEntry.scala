@@ -1963,6 +1963,112 @@ object SparkEntry {
         .orderBy(col("is_clustered"))
     }),
 
+    // classifier quality report over q28's LangId: per TRUE language,
+    // support / predicted-count / true-positives → precision, recall,
+    // F1 — the eval layer above the raw confusion matrix. Three
+    // |classes|-bounded aggregates off one scored scan
+    "q226_langid_prf" -> ((s, dir) => {
+      val cm = t(s, dir, "documents")
+        .select(col("lang"), graft.functions.LangId(col("text"))
+          .as("_pred"))
+      val nt = cm.groupBy(col("lang")).agg(count(lit(1)).as("support"))
+      val np = cm.groupBy(col("_pred").as("lang"))
+        .agg(count(lit(1)).as("_np"))
+      val tp = cm.filter(col("lang") === col("_pred"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("_tp"))
+      nt.join(np, Seq("lang"), "left").join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("support"),
+          coalesce(col("_np"), lit(0L)).as("n_pred"),
+          coalesce(col("_tp"), lit(0L)).as("tp"),
+          round(when(coalesce(col("_np"), lit(0L)) > 0,
+            coalesce(col("_tp"), lit(0L))
+              / col("_np").cast("double")).otherwise(0.0)
+            + lit(1e-9), 4).as("precision"),
+          round(coalesce(col("_tp"), lit(0L))
+            / col("support").cast("double") + lit(1e-9), 4).as("recall"),
+          round(when(coalesce(col("_np"), lit(0L)) > 0
+              && coalesce(col("_tp"), lit(0L)) > 0,
+            lit(2.0) * coalesce(col("_tp"), lit(0L))
+              / (col("_np") + col("support")).cast("double"))
+            .otherwise(0.0) + lit(1e-9), 4).as("f1"))
+        .orderBy(col("lang"))
+    }),
+
+    // embedding L2-norm health per label: norms ROUNDED to 6dp before
+    // any statistic (array-sum float order differs across engines;
+    // after the round both see identical inputs), mean + interpolated
+    // p99 + count above it — the vector-sanity gate before any ANN
+    // build
+    "q227_embedding_norms" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+            .as("_norm"))
+      val st = e.groupBy(col("label")).agg(count(lit(1)).as("n"),
+        round(avg(col("_norm")) + lit(1e-9), 4).as("mean_norm"),
+        percentile(col("_norm"), lit(0.99)).as("_p99"))
+      e.join(broadcast(st), Seq("label"))
+        .groupBy(col("label"), col("n"), col("mean_norm"), col("_p99"))
+        .agg(sum(when(col("_norm") > col("_p99"), 1L).otherwise(0L))
+          .as("n_above"))
+        .select(col("label"), col("n"), col("mean_norm"),
+          round(col("_p99") + lit(1e-9), 4).as("p99_norm"),
+          col("n_above"))
+        .orderBy(col("label"))
+    }),
+
+    // revenue Pareto deciles: per-user spend assigned to a decile by
+    // comparison against 9 broadcast interpolated cuts (q192's
+    // map-side assignment — no corpus-ordered ntile), per-decile user
+    // count, revenue, and top-down cumulative share over the ≤10-row
+    // frame — the Lorenz/whale panel behind q168's summary
+    "q228_revenue_deciles" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("_sp"))
+      val cutExprs = (1 to 9).map(i =>
+        percentile(col("_sp"), lit(i / 10.0)).as(s"_c$i"))
+      val cuts = spend.agg(cutExprs.head, cutExprs.tail: _*)
+      val dec = spend.crossJoin(broadcast(cuts))
+        .select(col("_sp"),
+          (1 to 9).map(i => when(col("_sp") > col(s"_c$i"), 1L)
+            .otherwise(0L))
+            .reduce(_ + _).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("_sp")) + lit(1e-9), 4).as("revenue"))
+      val tot = dec.agg(sum(col("revenue")).as("_tot"))
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          round(sum(col("revenue")).over(
+            Window.orderBy(col("decile").desc).rowsBetween(
+              Window.unboundedPreceding, Window.currentRow))
+            / col("_tot") + lit(1e-9), 4))
+        .select(col("decile"), col("n_users"), col("revenue"),
+          col("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
+    // per-source token Shannon entropy: H = ln N − Σ c·ln c / N off
+    // the (source, token) count frame — the diversity thermometer
+    // next to q82's divergence and q165's type/token profile
+    "q229_token_entropy" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(ext.TextOps.tokens(col("text"))).as("_tk"))
+        .groupBy(col("source"), col("_tk"))
+        .agg(count(lit(1)).as("_c"))
+      tc.groupBy(col("source"))
+        .agg(sum(col("_c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(log(sum(col("_c")))
+            - sum(col("_c") * log(col("_c"))) / sum(col("_c"))
+            + lit(1e-9), 4).as("entropy"))
+        .orderBy(col("source"))
+    }),
+
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
     // the calendar-bounded day key, exact interpolated percentiles
@@ -5266,6 +5372,109 @@ object SparkEntry {
         |  round(avg(quality) + 1e-9, 4) AS avg_quality
         |FROM q LEFT JOIN cb ON q.doc_id = cb.doc_id
         |GROUP BY 1 ORDER BY 1""").stripMargin,
+
+    // q28's heuristic verbatim, rolled up to per-true-class P/R/F1
+    "q226_langid_prf" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','un','una','es','por'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','que','en','un','une','est','pour'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','就','不','人'))) AS h_zh
+        |  FROM (SELECT lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(h_en,h_es,h_fr,h_de,h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'fr'
+        |       WHEN h_es = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'es'
+        |       WHEN h_en = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |  FROM h),
+        |nt AS (SELECT lang, count(*) AS support FROM p GROUP BY 1),
+        |np AS (SELECT lang_pred AS lang, count(*) AS np FROM p
+        |  GROUP BY 1),
+        |tp AS (SELECT lang, count(*) AS tp FROM p
+        |  WHERE lang = lang_pred GROUP BY 1)
+        |SELECT nt.lang, CAST(support AS BIGINT) AS support,
+        |  CAST(COALESCE(np.np, 0) AS BIGINT) AS n_pred,
+        |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        |  round(CASE WHEN COALESCE(np.np, 0) > 0
+        |    THEN COALESCE(tp.tp, 0) * 1.0 / np.np ELSE 0.0 END
+        |    + 1e-9, 4) AS precision,
+        |  round(COALESCE(tp.tp, 0) * 1.0 / support + 1e-9, 4)
+        |    AS recall,
+        |  round(CASE WHEN COALESCE(np.np, 0) > 0
+        |      AND COALESCE(tp.tp, 0) > 0
+        |    THEN 2.0 * tp.tp / (np.np + support) ELSE 0.0 END
+        |    + 1e-9, 4) AS f1
+        |FROM nt LEFT JOIN np ON np.lang = nt.lang
+        |LEFT JOIN tp ON tp.lang = nt.lang
+        |ORDER BY nt.lang""".stripMargin,
+
+    // norms rounded to 6dp first (identical inputs both engines),
+    // interpolated p99, strict-above count
+    "q227_embedding_norms" ->
+      """WITH e AS (SELECT label,
+        |    round(sqrt(list_sum(list_transform(
+        |      CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+        |  FROM embeddings),
+        |st AS (SELECT label, count(*) AS n,
+        |    round(avg(norm) + 1e-9, 4) AS mean_norm,
+        |    quantile_cont(norm, 0.99) AS p99
+        |  FROM e GROUP BY 1)
+        |SELECT e.label, CAST(n AS BIGINT) AS n, mean_norm,
+        |  round(p99 + 1e-9, 4) AS p99_norm,
+        |  CAST(sum(CASE WHEN e.norm > st.p99 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above
+        |FROM e JOIN st ON e.label = st.label
+        |GROUP BY e.label, n, mean_norm, p99 ORDER BY e.label""".stripMargin,
+
+    // same 9 interpolated cuts, strict-above decile assignment,
+    // top-down cumulative share
+    "q228_revenue_deciles" ->
+      """WITH sp AS (SELECT user_id, round(sum(value) + 1e-9, 4) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT quantile_cont(s, 0.1) AS c1,
+        |    quantile_cont(s, 0.2) AS c2, quantile_cont(s, 0.3) AS c3,
+        |    quantile_cont(s, 0.4) AS c4, quantile_cont(s, 0.5) AS c5,
+        |    quantile_cont(s, 0.6) AS c6, quantile_cont(s, 0.7) AS c7,
+        |    quantile_cont(s, 0.8) AS c8, quantile_cont(s, 0.9) AS c9
+        |  FROM sp),
+        |d AS (SELECT
+        |    (CASE WHEN s > c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c9 THEN 1 ELSE 0 END) AS decile, s
+        |  FROM sp CROSS JOIN c),
+        |g AS (SELECT decile, count(*) AS n_users,
+        |    round(sum(s) + 1e-9, 4) AS revenue
+        |  FROM d GROUP BY 1),
+        |tt AS (SELECT sum(revenue) AS tot FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_users AS BIGINT) AS n_users, revenue,
+        |  round(sum(revenue) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot
+        |    + 1e-9, 4) AS cum_share
+        |FROM g CROSS JOIN tt ORDER BY decile""".stripMargin,
+
+    // same (source, token) count frame, H = ln N − Σ c·ln c / N
+    "q229_token_entropy" ->
+      """WITH tc AS (SELECT source, tk, count(*) AS c FROM (
+        |    SELECT source, unnest(regexp_split_to_array(lower(text),
+        |      '\s+')) AS tk FROM documents) u
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
+        |    AS entropy
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
     // identical pair semantics to q94 — the STREAMING result (append
     // mode, match-time emission) must reproduce the batch join exactly
