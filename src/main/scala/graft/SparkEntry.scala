@@ -1786,21 +1786,27 @@ object SparkEntry {
     }),
 
     // Heaps' law fit: vocabulary size vs corpus size on a log-log
-    // grid. SCALE SHAPE: docs collapse onto 20 doc-id buckets
-    // map-side (integer bucket arithmetic, identical both engines),
-    // token first-occurrences are one mergeable min per token, and
-    // the cumulative/regression runs over the 20-row checkpoint
-    // frame — no corpus-ordered window
+    // grid — over 3-GRAM types (the unigram vocabulary of the
+    // synthetic corpus is 31 words and saturates in the first bucket;
+    // shingle types keep growing, the curve Heaps actually describes).
+    // SCALE SHAPE: docs collapse onto 20 doc-id buckets map-side
+    // (integer bucket arithmetic, identical both engines), shingle
+    // first-occurrences are one mergeable min per type, and the
+    // cumulative/regression runs over the 20-row checkpoint frame —
+    // no corpus-ordered window
     "q218_heaps_law" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), ext.TextOps.tokens(col("text")).as("_t"))
+        .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+        .select(col("doc_id"),
+          (size(split(lower(col("text")), "\\s+")) - 2).as("_n"),
+          functions.ShingleHashes(col("text"), 3).as("_sh"))
       val mx = docs.agg(max(col("doc_id")).as("_mx"))
       def bucket = greatest(lit(1L),
         expr("(doc_id * 20 + _mx - 1) div _mx"))
-      val tok = docs.select(col("doc_id"), size(col("_t")).as("_n"))
+      val tok = docs.select(col("doc_id"), col("_n"))
         .crossJoin(broadcast(mx))
         .groupBy(bucket.as("_b")).agg(sum(col("_n")).as("_tokc"))
-      val typ = docs.select(col("doc_id"), explode(col("_t")).as("_tk"))
+      val typ = docs.select(col("doc_id"), explode(col("_sh")).as("_tk"))
         .groupBy(col("_tk")).agg(min(col("doc_id")).as("doc_id"))
         .crossJoin(broadcast(mx))
         .groupBy(bucket.as("_b")).agg(count(lit(1)).as("_typc"))
@@ -5219,18 +5225,23 @@ object SparkEntry {
         |      + 0.0 FROM g) AS exposure_gini
         |FROM cat""".stripMargin,
 
-    // same 20-bucket integer grid, token min-doc first occurrence,
-    // cumulative checkpoints, log-log regression
+    // same 20-bucket integer grid, 3-gram min-doc first occurrence,
+    // cumulative checkpoints, log-log regression (q32's shingle
+    // construction, ≥3-token docs)
     "q218_heaps_law" ->
       """WITH dd AS (SELECT doc_id,
         |    regexp_split_to_array(lower(text), '\s+') AS t
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 3),
         |mx AS (SELECT max(doc_id) AS mx FROM dd),
         |tok AS (SELECT greatest((doc_id * 20 + mx - 1) // mx, 1) AS b,
-        |    sum(len(t)) AS tokc
+        |    sum(len(t) - 2) AS tokc
         |  FROM dd CROSS JOIN mx GROUP BY 1),
-        |fmin AS (SELECT tk, min(doc_id) AS fd FROM (
-        |    SELECT unnest(t) AS tk, doc_id FROM dd) u GROUP BY tk),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tk
+        |  FROM dd),
+        |fmin AS (SELECT tk, min(doc_id) AS fd FROM sh GROUP BY tk),
         |typ AS (SELECT greatest((fd * 20 + mx - 1) // mx, 1) AS b,
         |    count(*) AS typc
         |  FROM fmin CROSS JOIN mx GROUP BY 1),
