@@ -2075,6 +2075,95 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // rolling 7-day distinct actives (true rolling WAU — distinct
+    // can't slide, so INVERT: each (user, active-day) fans out to the
+    // 7 window-end days it supports, then one distinct count per day.
+    // Fan-out is 7×|user-days| (bounded), never 7× events
+    "q230_rolling_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(to_date(col("ts")).as("_d"), col("user_id")).distinct()
+      val grid = s.range(0, 7).select(col("id").cast("int").as("_i"))
+      val realDays = ud.select(col("_d").as("day")).distinct()
+      ud.crossJoin(broadcast(grid))
+        .select(date_add(col("_d"), col("_i")).as("day"), col("user_id"))
+        .join(realDays, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("day"))
+    }),
+
+    // nation revenue year-over-year: customer→nation enrichment (both
+    // dims broadcast), (nation, year) rollup, lag over the
+    // calendar-bounded frame; first year (no prior) dropped
+    "q231_nation_yoy" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(col("o_totalprice")) + lit(1e-9), 2)
+          .as("revenue"))
+      rev.withColumn("_prev", lag(col("revenue"), 1).over(
+          Window.partitionBy(col("nation")).orderBy(col("yr"))))
+        .filter(col("_prev").isNotNull)
+        .select(col("nation"), col("yr"), col("revenue"),
+          (round((col("revenue") - col("_prev")) / col("_prev")
+            + lit(1e-9), 4) + lit(0.0)).as("yoy_growth"))
+        .orderBy(col("nation"), col("yr"))
+    }),
+
+    // supplier↔part bipartite degree histograms off the distinct
+    // lineitem pair frame — catalog-shape profiling (how concentrated
+    // is sourcing), two bounded rollups union'd with a side tag
+    "q232_supplier_part_degrees" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      def hist(key: String, side: String) = sp
+        .groupBy(col(key)).agg(count(lit(1)).as("_deg"))
+        .groupBy(col("_deg").as("degree"))
+        .agg(count(lit(1)).as("n_keys"))
+        .select(lit(side).as("side"), col("degree"), col("n_keys"))
+      hist("l_suppkey", "parts_per_supplier")
+        .unionByName(hist("l_partkey", "suppliers_per_part"))
+        .orderBy(col("side"), col("degree"))
+    }),
+
+    // chi-square significance for co-engagement pairs: the 2×2 basket
+    // contingency per staged pair — χ² = N(n11·n00 − n10·n01)² /
+    // (ca·cb·(N−ca)·(N−cb)) — promotes q83's lift ranking to a test
+    // with a 95% flag; capped counts mirror the pair list's capping
+    "q233_cooccurrence_chi2" -> ((s, dir) => {
+      val capped = operators.Recommend.cappedBaskets(
+        t(s, dir, "events").select(col("user_id").as("basket"),
+          (col("event_id") % 4000).as("item")),
+        "basket", "item", 64)
+      val ic = capped.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
+      val nb = capped.agg(countDistinct(col("_b")).as("_nb"))
+      // all factors cast to double BEFORE multiplying: the 4-way
+      // integer denominator product overflows long at ~1e6 baskets
+      val (dn, da, db2, dp) = (col("_nb").cast("double"),
+        col("_ca").cast("double"), col("_cb").cast("double"),
+        col("pair_cnt").cast("double"))
+      val chi2 = dn * pow(dp * (dn - da - db2 + dp)
+          - (da - dp) * (db2 - dp), 2) /
+        (da * db2 * (dn - da) * (dn - db2))
+      coengagementPairs(s, dir)
+        .join(ic.select(col("_i").as("item_a"), col("_ci").as("_ca")),
+          Seq("item_a"))
+        .join(ic.select(col("_i").as("item_b"), col("_ci").as("_cb")),
+          Seq("item_b"))
+        .crossJoin(broadcast(nb))
+        .select(col("item_a"), col("item_b"), col("pair_cnt"),
+          round(chi2 + lit(1e-9), 4).as("chi2"),
+          (chi2 > 3.841).cast("long").as("significant"))
+        .orderBy(col("chi2").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }),
+
     // daily purchase-value bands: exact P10/P50/P90 per day — the
     // latency-band-style daily health panel; one group aggregate over
     // the calendar-bounded day key, exact interpolated percentiles
@@ -5474,6 +5563,71 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot
         |    + 1e-9, 4) AS cum_share
         |FROM g CROSS JOIN tt ORDER BY decile""".stripMargin,
+
+    // same 7-day fan-out inversion, real-activity-day semi filter
+    "q230_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |  FROM events),
+        |fan AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+        |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6))
+        |    AS i) g),
+        |rd AS (SELECT DISTINCT d AS day FROM ud)
+        |SELECT fan.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM fan JOIN rd ON fan.day = rd.day
+        |GROUP BY fan.day ORDER BY fan.day""".stripMargin,
+
+    // same enrichment + (nation, year) rollup + lag; first year drops
+    "q231_nation_yoy" ->
+      """WITH r AS (SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS INT) AS yr,
+        |    round(sum(o_totalprice) + 1e-9, 2) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT nation, yr, revenue,
+        |    lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev
+        |  FROM r)
+        |SELECT nation, yr, revenue,
+        |  round((revenue - prev) / prev + 1e-9, 4) + 0.0 AS yoy_growth
+        |FROM l WHERE prev IS NOT NULL
+        |ORDER BY nation, yr""".stripMargin,
+
+    // same distinct pair frame, two degree rollups, side tag
+    "q232_supplier_part_degrees" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey
+        |  FROM lineitem),
+        |s1 AS (SELECT 'parts_per_supplier' AS side, degree,
+        |    count(*) AS n_keys FROM (
+        |    SELECT count(*) AS degree FROM sp GROUP BY l_suppkey) t
+        |  GROUP BY degree),
+        |s2 AS (SELECT 'suppliers_per_part' AS side, degree,
+        |    count(*) AS n_keys FROM (
+        |    SELECT count(*) AS degree FROM sp GROUP BY l_partkey) t
+        |  GROUP BY degree)
+        |SELECT side, CAST(degree AS BIGINT) AS degree,
+        |  CAST(n_keys AS BIGINT) AS n_keys
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
+        |ORDER BY side, degree""".stripMargin,
+
+    // same capped counts and 2×2 χ² in double arithmetic, same
+    // (rounded χ² desc, ia, ib) cut
+    "q233_cooccurrence_chi2" ->
+      ("WITH " + coengagementPairsSql + """,
+        |ic AS (SELECT i, count(*) AS c FROM capped GROUP BY i),
+        |tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb
+        |  FROM capped),
+        |x AS (SELECT ia, ib, pair_cnt,
+        |    nb * pow(pair_cnt * (nb - ca.c - cb.c + pair_cnt)
+        |        - (ca.c - pair_cnt) * (cb.c - pair_cnt), 2)
+        |      / (ca.c * cb.c * (nb - ca.c) * (nb - cb.c)) AS chi2
+        |  FROM pairs JOIN ic ca ON ca.i = ia
+        |  JOIN ic cb ON cb.i = ib CROSS JOIN tot)
+        |SELECT ia AS item_a, ib AS item_b,
+        |  CAST(pair_cnt AS BIGINT) AS pair_cnt,
+        |  round(chi2 + 1e-9, 4) AS chi2,
+        |  CAST(chi2 > 3.841 AS BIGINT) AS significant
+        |FROM x ORDER BY round(chi2 + 1e-9, 4) DESC, item_a, item_b
+        |LIMIT 50""").stripMargin,
 
     // same (source, token) count frame, H = ln N − Σ c·ln c / N
     "q229_token_entropy" ->
