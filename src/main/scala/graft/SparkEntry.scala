@@ -2132,6 +2132,91 @@ object SparkEntry {
         .orderBy(col("side"), col("degree"))
     }),
 
+    // shingle document-frequency histogram (log2 buckets): how much
+    // of the 3-gram space is boilerplate — the observability panel
+    // that SIZES the dedup stack's hot-posting cap. Posting-bounded:
+    // one mergeable count per shingle, then a ≤64-row bucket rollup
+    "q234_shingle_df_hist" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+        .select(functions.ShingleHashes(col("text"), 3).as("_sh"))
+        .select(explode(col("_sh")).as("_k"))
+        .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
+      df.groupBy(floor(log(2.0, col("_df"))).cast("long")
+          .as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), max(col("_df")).as("max_df"))
+        .orderBy(col("df_bucket"))
+    }),
+
+    // embedding-space drift matrix: L2 distance between per-label MEAN
+    // vectors for every label pair — the mean-embedding (MMD-lite)
+    // two-sample statistic. Dims explode to a (label, pos) frame
+    // (|labels|·64 rows after the map-side avg), pair join on the tiny
+    // frame; per-dim means rounded 6dp so engine float order can't
+    // move the distance
+    "q235_label_centroid_dist" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("_pos", "_v")))
+        .groupBy(col("label"), col("_pos"))
+        .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      dims.select(col("label").as("label_a"), col("_pos"),
+          col("_m").as("_ma"))
+        .join(dims.select(col("label").as("label_b"), col("_pos"),
+          col("_m").as("_mb")), Seq("_pos"))
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(round(sqrt(sum(pow(col("_ma") - col("_mb"), 2)))
+          + lit(1e-9), 4).as("dist"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // daily-count autocorrelation at lags 1..7 per event type: the
+    // seasonality detector behind q173/q193's DOW baselines — corr of
+    // the calendar frame self-joined at each lag (integer counts, so
+    // cross-engine corr agrees as q50/q179 established)
+    "q236_daily_acf" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_x"))
+        .withColumn("_dn",
+          datediff(col("day"), to_date(lit("1970-01-01"))))
+      val grid = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      d.crossJoin(broadcast(grid))
+        .select(col("event_type"), col("lag"),
+          (col("_dn") + col("lag")).as("_dn2"), col("_x").as("_xa"))
+        .join(d.select(col("event_type"), col("_dn").as("_dn2"),
+          col("_x").as("_xb")), Seq("event_type", "_dn2"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (round(corr(col("_xa"), col("_xb")) + lit(1e-9), 4)
+            + lit(0.0)).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // order fulfillment lag by priority: order date → last line ship
+    // date, exact P50/P90 day-lags per priority — ops-latency panel
+    // off one order-keyed aggregate + a priority-bounded rollup
+    "q237_fulfillment_lag" -> ((s, dir) => {
+      val lagd = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("_ship"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("_odate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("_ship"), col("_odate")).as("_lag"))
+      lagd.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("_lag")) + lit(1e-9), 4).as("mean_days"),
+          round(percentile(col("_lag"), lit(0.5)) + lit(1e-9), 4)
+            .as("p50_days"),
+          round(percentile(col("_lag"), lit(0.9)) + lit(1e-9), 4)
+            .as("p90_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // chi-square significance for co-engagement pairs: the 2×2 basket
     // contingency per staged pair — χ² = N(n11·n00 − n10·n01)² /
     // (ca·cb·(N−ca)·(N−cb)) — promotes q83's lift ranking to a test
@@ -5563,6 +5648,66 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot
         |    + 1e-9, 4) AS cum_share
         |FROM g CROSS JOIN tt ORDER BY decile""".stripMargin,
+
+    // same distinct-per-doc 3-gram df counts, floor(log2) buckets
+    "q234_shingle_df_hist" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents) q WHERE len(t) >= 3),
+        |f AS (SELECT k, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(sh) AS k FROM d) u GROUP BY k)
+        |SELECT CAST(floor(log2(df)) AS BIGINT) AS df_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(max(df) AS BIGINT) AS max_df
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same per-dim rounded means (1-based unnest ordinality mapped to
+    // 0-based), pairwise L2 over the |labels|·dims frame
+    "q235_label_centroid_dist" ->
+      """WITH dims AS (SELECT label, pos - 1 AS pos,
+        |    round(avg(CAST(v AS DOUBLE)), 6) AS m
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u
+        |  GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(sqrt(sum(pow(a.m - b.m, 2))) + 1e-9, 4) AS dist
+        |FROM dims a JOIN dims b ON a.pos = b.pos
+        |  AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same lag self-join on the daily frame, same corr
+    "q236_daily_acf" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS x,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS dn
+        |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+        |g AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT a.event_type, g.lag, a.x AS xa, b.x AS xb
+        |  FROM d a CROSS JOIN g
+        |  JOIN d b ON a.event_type = b.event_type
+        |    AND b.dn = a.dn + g.lag)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(corr(xa, xb) + 1e-9, 4) + 0.0 AS acf
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same order-keyed span + priority rollup, interpolated cuts
+    "q237_fulfillment_lag" ->
+      """WITH sp AS (SELECT l.l_orderkey, o.o_orderpriority,
+        |    CAST(max(l.l_shipdate) AS DATE)
+        |      - CAST(o.o_orderdate AS DATE) AS lag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2, o.o_orderdate)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(avg(lag) + 1e-9, 4) AS mean_days,
+        |  round(quantile_cont(lag, 0.5) + 1e-9, 4) AS p50_days,
+        |  round(quantile_cont(lag, 0.9) + 1e-9, 4) AS p90_days
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same 7-day fan-out inversion, real-activity-day semi filter
     "q230_rolling_wau" ->
