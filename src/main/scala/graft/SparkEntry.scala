@@ -2217,6 +2217,282 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // monthly promo-revenue share (TPC-H Q14 shape): fraction of gross
+    // discounted revenue from PROMO-type parts per ship month — one
+    // lineitem⋈part equi-join (part is the dim side: broadcast here,
+    // shuffle-hash on p_partkey at cluster scale) feeding a calendar-
+    // bounded conditional aggregate; revenue sums are map-side partial
+    "q238_promo_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0.0))) * 100.0 / sum(rev) + lit(1e-9), 4)
+            .as("promo_share_pct"))
+        .orderBy(col("month"))
+    }),
+
+    // quarterly top supplier (TPC-H Q15 shape): the "revenue view +
+    // max" formulation becomes ONE supplier-keyed aggregate and a
+    // rank-1 window over the |suppliers×quarters|-bounded frame —
+    // revenue ROUNDED to cents before ranking so cross-engine float
+    // sum order can't flip near-ties; names broadcast-joined back
+    "q239_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(concat(year(col("l_shipdate")), lit("-Q"),
+          quarter(col("l_shipdate"))).as("qtr"), col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2)
+          .as("total_revenue"))
+      val w = Window.partitionBy(col("qtr"))
+        .orderBy(col("total_revenue").desc, col("l_suppkey"))
+      rev.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("qtr"), col("s_name"), col("total_revenue"))
+        .orderBy(col("qtr"))
+    }),
+
+    // returned-item customer ranking (TPC-H Q10 shape): revenue lost
+    // to R-flag returns per customer, nation-enriched top 20 — the
+    // returnflag filter reaches the lineitem scan, the aggregate runs
+    // BELOW the customer join so the big join input is |custkeys with
+    // returns|-sized, dims broadcast
+    "q240_returned_customers" -> ((s, dir) => {
+      val lost = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2)
+          .as("lost_revenue"), count(lit(1)).as("n_lines"))
+      lost.join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("c_acctbal").as("acctbal"),
+          col("lost_revenue"), col("n_lines"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // small-quantity lost-revenue probe (TPC-H Q17 shape): revenue
+    // from lineitems under 20% of their part's average quantity, one
+    // brand — the classic correlated subquery DECORRELATED by hand
+    // into a per-part window avg AFTER the brand semi-filter: ONE
+    // lineitem scan, one shuffle on the ~1/25 brand slice (vs the
+    // naive second full-scan aggregate). l_quantity is integer-valued
+    // so the window avg is float-order-exact cross-engine
+    "q241_small_qty_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#9")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("_avg_qty", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")) / 7.0 + lit(1e-9), 2)
+            .as("avg_yearly"))
+    }),
+
+    // large-volume customer orders (TPC-H Q18 shape): orders whose
+    // total quantity exceeds 300 (~0.1% tail) — HAVING on an order-
+    // keyed aggregate, then enrichment of only the survivors: the
+    // aggregate-below-join shape keeps both joins |survivors|-sized.
+    // Integer-valued quantities sum exactly, so the HAVING cut and
+    // the ordering are deterministic cross-engine
+    "q242_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("l_orderkey").as("orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_totalprice").as("totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("orderkey"))
+        .limit(100)
+    }),
+
+    // centroid silhouette of the label partition in embedding space:
+    // per vector a = L2 to its OWN label centroid, b = min L2 to any
+    // other, s = (b−a)/max(a,b) — the cluster-separation panel as
+    // SIMPLIFIED silhouette: the frame is |vectors|·|labels|, never
+    // pairwise vectors². Centroid means and distances rounded 6dp
+    // (q235's guard) so engine float-sum order can't move s
+    "q243_silhouette" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("_pos", "_v")))
+      val cent = ex.groupBy(col("label").as("_clab"), col("_pos"))
+        .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      val dist = ex.join(broadcast(cent), Seq("_pos"))
+        .groupBy(col("vec_id"), col("label"), col("_clab"))
+        .agg(round(sqrt(sum(pow(col("_v") - col("_m"), 2))), 6)
+          .as("_d"))
+      dist.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("_clab"), col("_d")))
+            .as("_a"),
+          min(when(col("label") =!= col("_clab"), col("_d"))).as("_b"))
+        .select(col("label"), ((col("_b") - col("_a"))
+          / greatest(col("_a"), col("_b"))).as("_s"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (round(avg(col("_s")) + lit(1e-9), 4) + lit(0.0))
+            .as("mean_silhouette"))
+        .orderBy(col("label"))
+    }),
+
+    // nearest-centroid classifier confusion matrix: predict each
+    // vector's label as the argmin-distance label centroid (struct-min
+    // on the 6dp-rounded distance, label ascending on exact ties) —
+    // the sanity classifier that bounds how linearly separable the
+    // label structure is; same |vectors|·|labels| frame as q243
+    "q244_centroid_classifier" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("_pos", "_v")))
+      val cent = ex.groupBy(col("label").as("_clab"), col("_pos"))
+        .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      ex.join(broadcast(cent), Seq("_pos"))
+        .groupBy(col("vec_id"), col("label"), col("_clab"))
+        .agg(round(sqrt(sum(pow(col("_v") - col("_m"), 2))), 6)
+          .as("_d"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("_d"), col("_clab"))).as("_p"))
+        .groupBy(col("label"), col("_p._clab").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred_label"))
+    }),
+
+    // CUPED variance reduction for the A/B read-out: covariate x =
+    // each user's PRE-period (Jan 1–15) total purchase value, metric
+    // y = post-period total; θ = cov(x,y)/var(x) pooled across
+    // variants (rounded 6dp before applying — θ is the one scalar
+    // that crosses frames), adjusted variance from the same per-
+    // variant moment sums. Two user-keyed conditional aggregates in
+    // ONE pass, a 2-row moments frame after — no second scan
+    "q245_cuped" -> ((s, dir) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      val m = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("ts") < split, col("value"))),
+            lit(0.0)).as("_x"),
+          coalesce(sum(when(col("ts") >= split, col("value"))),
+            lit(0.0)).as("_y"))
+      val u = ext.Sampling.hashScore(col("user_id"), 42L)
+        .cast("double") / lit(4503599627370496.0)
+      val g = m.withColumn("_isa", u < 0.5)
+      val mom = g.groupBy(col("_isa")).agg(
+        count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      val pooled = mom.agg(round(
+          (sum(col("_sxy")) - sum(col("_sx")) * sum(col("_sy"))
+            / sum(col("n"))) /
+          (sum(col("_sxx")) - sum(col("_sx")) * sum(col("_sx"))
+            / sum(col("n"))), 6).as("_theta"))
+      val n = col("n").cast("double")
+      val (my, mx) = (col("_sy") / n, col("_sx") / n)
+      val varY = (col("_syy") - n * my * my) / (n - 1.0)
+      val varAdj = (col("_syy") - lit(2.0) * col("_theta") * col("_sxy")
+        + col("_theta") * col("_theta") * col("_sxx")
+        - n * (my - col("_theta") * mx) * (my - col("_theta") * mx)) /
+        (n - 1.0)
+      mom.crossJoin(broadcast(pooled))
+        .select(col("_isa").as("is_a"), col("n"),
+          round(my + lit(1e-9), 4).as("mean_post"),
+          round(col("_theta") + lit(1e-9), 4).as("theta"),
+          round(varY + lit(1e-9), 4).as("var_raw"),
+          round(varAdj + lit(1e-9), 4).as("var_cuped"),
+          (round((lit(1.0) - varAdj / varY) * 100.0 + lit(1e-9), 4)
+            + lit(0.0)).as("var_reduction_pct"))
+        .orderBy(col("is_a"))
+    }),
+
+    // Brown–Forsythe variance-homogeneity test across event types:
+    // one-way ANOVA F over z = |value − type median| — the robust
+    // Levene variant behind "can I pool these groups". Exact medians
+    // broadcast back over ONE re-scan (the q212 two-pass shape), all
+    // F pieces from a |types|-bounded moments frame
+    "q246_brown_forsythe" -> ((s, dir) => {
+      val med = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.5)).as("_med"))
+      val z = t(s, dir, "events")
+        .join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("value") - col("_med")).as("_z"))
+      val gm = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_n"), sum(col("_z")).as("_s"),
+          sum(col("_z") * col("_z")).as("_q"))
+      gm.agg(count(lit(1)).as("_k"), sum(col("_n")).as("_bn"),
+          sum(col("_s")).as("_bs"),
+          sum(col("_q") - col("_s") * col("_s")
+            / col("_n").cast("double")).as("_ssw"),
+          sum(col("_s") * col("_s") / col("_n").cast("double"))
+            .as("_sqn"))
+        .select(col("_k").cast("long").as("k_groups"),
+          col("_bn").cast("long").as("n_total"),
+          (col("_k") - 1).cast("long").as("df1"),
+          (col("_bn") - col("_k")).cast("long").as("df2"),
+          round(((col("_sqn") - col("_bs") * col("_bs")
+              / col("_bn").cast("double"))
+            / (col("_k") - lit(1.0)).cast("double")) /
+            (col("_ssw") / (col("_bn") - col("_k")).cast("double"))
+            + lit(1e-9), 4).as("f_stat"))
+    }),
+
+    // Cohen's d / Hedges' g effect sizes per event type for the md5
+    // A/B split (q130's assignment): the magnitude panel next to
+    // q130's significance read-out — one conditional-moment aggregate
+    // per type, pooled-sd standardization, small-sample correction
+    "q247_cohens_d" -> ((s, dir) => {
+      val u = ext.Sampling.hashScore(col("user_id"), 42L)
+        .cast("double") / lit(4503599627370496.0)
+      val mom = t(s, dir, "events").withColumn("_isa", u < 0.5)
+        .groupBy(col("event_type")).agg(
+          count(when(col("_isa"), 1)).as("na"),
+          sum(when(col("_isa"), col("value"))).as("sa"),
+          sum(when(col("_isa"), col("value") * col("value"))).as("qa"),
+          count(when(!col("_isa"), 1)).as("nb"),
+          sum(when(!col("_isa"), col("value"))).as("sb"),
+          sum(when(!col("_isa"), col("value") * col("value"))).as("qb"))
+      val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
+      val (ma, mb) = (col("sa") / na, col("sb") / nb)
+      val sp = sqrt(((col("qa") - na * ma * ma)
+        + (col("qb") - nb * mb * mb)) / (na + nb - 2.0))
+      val d = (ma - mb) / sp
+      val gcorr = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0)
+      mom.select(col("event_type"), col("na"), col("nb"),
+          round(ma + lit(1e-9), 4).as("mean_a"),
+          round(mb + lit(1e-9), 4).as("mean_b"),
+          (round(d + lit(1e-9), 4) + lit(0.0)).as("cohens_d"),
+          (round(d * gcorr + lit(1e-9), 4) + lit(0.0)).as("hedges_g"))
+        .orderBy(col("event_type"))
+    }),
+
     // chi-square significance for co-engagement pairs: the 2×2 basket
     // contingency per staged pair — χ² = N(n11·n00 − n10·n01)² /
     // (ca·cb·(N−ca)·(N−cb)) — promotes q83's lift ranking to a test
@@ -5708,6 +5984,190 @@ object SparkEntry {
         |  round(quantile_cont(lag, 0.5) + 1e-9, 4) AS p50_days,
         |  round(quantile_cont(lag, 0.9) + 1e-9, 4) AS p90_days
         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same join + conditional monthly aggregate
+    "q238_promo_revenue" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+        |    AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same cents-rounded revenue frame + rank-1 per quarter
+    "q239_top_supplier" ->
+      """WITH rev AS (SELECT year(CAST(l_shipdate AS DATE)) || '-Q'
+        |      || quarter(CAST(l_shipdate AS DATE)) AS qtr,
+        |    l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        |      AS total_revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qtr
+        |    ORDER BY total_revenue DESC, l_suppkey) AS rk FROM rev)
+        |SELECT qtr, s_name, total_revenue
+        |FROM rk JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rk = 1 ORDER BY qtr""".stripMargin,
+
+    // same aggregate-below-join, cents-rounded deterministic top 20
+    "q240_returned_customers" ->
+      """WITH lost AS (SELECT o_custkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        |      AS lost_revenue,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name AS nation,
+        |  c_acctbal AS acctbal, lost_revenue, n_lines
+        |FROM lost JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // same brand filter + per-part window avg + 20% cut
+    "q241_small_qty_revenue" ->
+      """WITH f AS (SELECT l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#9')
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+        |FROM f WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    // same HAVING cut + enrichment, deterministic top 100
+    "q242_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, l_orderkey AS orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  o_totalprice AS totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, orderkey LIMIT 100""".stripMargin,
+
+    // same 6dp centroid means + per-vector own/other distances
+    "q243_silhouette" ->
+      """WITH ex AS (SELECT vec_id, label, pos - 1 AS pos,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u),
+        |cent AS (SELECT label AS clab, pos, round(avg(v), 6) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (SELECT e.vec_id, e.label, c.clab,
+        |    round(sqrt(sum(pow(e.v - c.m, 2))), 6) AS d
+        |  FROM ex e JOIN cent c ON e.pos = c.pos
+        |  GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN label = clab THEN d END) AS a,
+        |    min(CASE WHEN label <> clab THEN d END) AS b
+        |  FROM dist GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(avg((b - a) / greatest(a, b)) + 1e-9, 4) + 0.0
+        |    AS mean_silhouette
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same distance frame; argmin via (d, clab)-ordered rank 1
+    "q244_centroid_classifier" ->
+      """WITH ex AS (SELECT vec_id, label, pos - 1 AS pos,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u),
+        |cent AS (SELECT label AS clab, pos, round(avg(v), 6) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (SELECT e.vec_id, e.label, c.clab,
+        |    round(sqrt(sum(pow(e.v - c.m, 2))), 6) AS d
+        |  FROM ex e JOIN cent c ON e.pos = c.pos
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d, clab) AS r FROM dist)
+        |SELECT label, clab AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM rk WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same pre/post user aggregate, pooled theta, moment algebra
+    "q245_cuped" ->
+      """WITH m AS (SELECT user_id,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN value END), 0.0) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN value END), 0.0) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT x, y,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM m),
+        |mom AS (SELECT isa, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM g GROUP BY 1),
+        |th AS (SELECT round(
+        |    (sum(sxy) - sum(sx) * sum(sy) / sum(n)) /
+        |    (sum(sxx) - sum(sx) * sum(sx) / sum(n)), 6) AS theta
+        |  FROM mom),
+        |f AS (SELECT isa, n, theta, sy / n AS my, sx / n AS mx,
+        |    (syy - n * (sy / n) * (sy / n)) / (n - 1.0) AS var_raw,
+        |    (syy - 2.0 * theta * sxy + theta * theta * sxx
+        |      - n * (sy / n - theta * sx / n)
+        |          * (sy / n - theta * sx / n)) / (n - 1.0) AS var_cuped
+        |  FROM mom CROSS JOIN th)
+        |SELECT isa AS is_a, n, round(my + 1e-9, 4) AS mean_post,
+        |  round(theta + 1e-9, 4) AS theta,
+        |  round(var_raw + 1e-9, 4) AS var_raw,
+        |  round(var_cuped + 1e-9, 4) AS var_cuped,
+        |  round((1.0 - var_cuped / var_raw) * 100.0 + 1e-9, 4) + 0.0
+        |    AS var_reduction_pct
+        |FROM f ORDER BY is_a""".stripMargin,
+
+    // same exact medians + one-way ANOVA F over |value − median|
+    "q246_brown_forsythe" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type, abs(e.value - m.med) AS z
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |gm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(z) AS s, sum(z * z) AS q
+        |  FROM z GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS k_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(count(*) - 1 AS BIGINT) AS df1,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS df2,
+        |  round(((sum(s * s / CAST(n AS DOUBLE))
+        |      - sum(s) * sum(s) / CAST(sum(n) AS DOUBLE))
+        |    / (count(*) - 1.0)) /
+        |    (sum(q - s * s / CAST(n AS DOUBLE))
+        |      / (sum(n) - count(*))) + 1e-9, 4) AS f_stat
+        |FROM gm""".stripMargin,
+
+    // same conditional moments, pooled sd, Hedges correction
+    "q247_cohens_d" ->
+      """WITH g AS (SELECT event_type, value,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM events),
+        |mom AS (SELECT event_type,
+        |    CAST(count(CASE WHEN isa THEN 1 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN isa THEN value END) AS sa,
+        |    sum(CASE WHEN isa THEN value * value END) AS qa,
+        |    CAST(count(CASE WHEN NOT isa THEN 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN NOT isa THEN value END) AS sb,
+        |    sum(CASE WHEN NOT isa THEN value * value END) AS qb
+        |  FROM g GROUP BY 1),
+        |f AS (SELECT event_type, na, nb, sa / na AS ma, sb / nb AS mb,
+        |    sqrt(((qa - na * (sa / na) * (sa / na))
+        |      + (qb - nb * (sb / nb) * (sb / nb))) / (na + nb - 2.0))
+        |      AS sp,
+        |    1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS gc
+        |  FROM mom)
+        |SELECT event_type, na, nb,
+        |  round(ma + 1e-9, 4) AS mean_a, round(mb + 1e-9, 4) AS mean_b,
+        |  round((ma - mb) / sp + 1e-9, 4) + 0.0 AS cohens_d,
+        |  round((ma - mb) / sp * gc + 1e-9, 4) + 0.0 AS hedges_g
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // same 7-day fan-out inversion, real-activity-day semi filter
     "q230_rolling_wau" ->

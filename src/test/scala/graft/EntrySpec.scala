@@ -26,7 +26,8 @@ class EntrySpec extends SparkTestBase {
   private val emptyAtTinySf = Set("q83_cooccurrence", "q86_pagerank",
     "q100_label_communities", "q141_bfs_hops", "q174_pagerank_weighted",
     "q202_kcore", "q204_adamic_adar", "q205_clustering_coeff",
-    "q206_modularity", "q207_neighbor_jaccard")
+    "q206_modularity", "q207_neighbor_jaccard",
+    "q233_cooccurrence_chi2")
 
   test("all queries execute and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
