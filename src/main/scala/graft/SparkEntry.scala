@@ -2493,6 +2493,155 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // FIFTH materialized real stream: stream-static enrichment — the
+    // production feature-lookup shape (live events ⋈ precomputed user
+    // profile). The static side is a fingerprint-STAGED per-user spend
+    // profile (whale = top-decile historical purchase value on the
+    // 4dp-rounded spend, q130's md5 variant) broadcast under the
+    // stream; the join is STATELESS, so append mode needs no watermark
+    // and every micro-batch emits exactly its enriched rows —
+    // hash-checked against the identical batch join
+    "q248_stream_static_enrich" -> ((s, dir) => {
+      val profile = stagedFrame(s, dir, "events", "user_profile_v1") {
+        val spend = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value")) + lit(1e-9), 4).as("_spend"))
+        val p90 = spend.agg(round(percentile(col("_spend"), lit(0.9))
+          + lit(1e-9), 4).as("_p90"))
+        spend.crossJoin(broadcast(p90))
+          .select(col("user_id"),
+            (col("_spend") >= col("_p90")).as("is_whale"),
+            (ext.Sampling.hashScore(col("user_id"), 42L).cast("double")
+              / lit(4503599627370496.0) < 0.5).as("is_a"))
+      }
+      val src = stagedEventStreamSrc(s, dir)
+      val st = streaming.EventStreams.readEventStream(
+        s, src.toString, s.read.parquet(src.toString).schema)
+      val enriched = st.filter(col("event_type") === "purchase")
+        .join(broadcast(profile), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("is_whale"), col("is_a"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q248_out").toString
+      streaming.EventStreams.materializeAppendToParquet(s, enriched, out)
+        .orderBy(col("event_id"))
+    }),
+
+    // exponential inter-arrival fit per event type: MLE λ = 1/mean gap
+    // over per-user consecutive gaps, then a BINNED KS distance (q132's
+    // grid idea) of the empirical gap CDF against Exp(λ) at the nine
+    // observed deciles — "is arrival Poisson" per type. λ·g rounded 6dp
+    // before exp so libm last-ulp drift can't move the rounded KS
+    "q249_interarrival_expfit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+        .withColumn("_prev", lag(col("ts"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .select(col("event_type"),
+          ((unix_micros(col("ts")) - unix_micros(col("_prev")))
+            / lit(1e6)).as("_g"))
+      val fit = gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(lit(1.0) / avg(col("_g")), 6).as("_lam"),
+          percentile(col("_g"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*)).as("_dec"))
+      val grid = fit.select(col("event_type"), col("n_gaps"),
+        col("_lam"), posexplode(col("_dec")).as(Seq("_i", "_gv")))
+      gaps.join(broadcast(grid), Seq("event_type"))
+        .groupBy(col("event_type"), col("_i"), col("n_gaps"),
+          col("_lam"), col("_gv"))
+        .agg((sum(when(col("_g") <= col("_gv"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("_fe"))
+        .select(col("event_type"), col("n_gaps"),
+          col("_lam").as("lambda"),
+          round(abs(col("_fe") - (lit(1.0)
+            - exp(-round(col("_lam") * col("_gv"), 6)))) + lit(1e-9), 4)
+            .as("_d"))
+        .groupBy(col("event_type"), col("n_gaps"), col("lambda"))
+        .agg(max(col("_d")).as("ks_stat"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Johnson–Lindenstrauss sketch audit: project the 64-dim
+    // embeddings to k=16 through a deterministic ±1/√k matrix (md5
+    // sign per (pos, j) cell — both engines compute the identical
+    // matrix), then measure pairwise-distance distortion on the
+    // consecutive-id pair sample — the certificate that the 4× cheaper
+    // sketch preserves geometry before ANN prefiltering switches to it
+    // at scale. All frames are |vectors|·k or |pairs|-bounded
+    "q250_jl_distortion" -> ((s, dir) => {
+      val k = 16
+      val ex = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("_pos", "_v")))
+      val rmat = s.range(64).select(col("id").cast("int").as("_pos"))
+        .crossJoin(s.range(k).select(col("id").cast("int").as("_j")))
+        .select(col("_pos"), col("_j"),
+          (when(ext.Sampling.hashScore(
+              concat(col("_pos").cast("string"), lit(":"),
+                col("_j").cast("string")), 7L) % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)) / math.sqrt(k)).as("_r"))
+      val proj = ex.join(broadcast(rmat), Seq("_pos"))
+        .groupBy(col("vec_id"), col("_j"))
+        .agg(round(sum(col("_v") * col("_r")), 6).as("_p"))
+      val dOrig = ex.select(col("vec_id").as("_a"), col("_pos"),
+          col("_v"))
+        .join(ex.select((col("vec_id") - 1).as("_a"), col("_pos"),
+          col("_v").as("_vb")), Seq("_a", "_pos"))
+        .groupBy(col("_a"))
+        .agg(round(sqrt(sum(pow(col("_v") - col("_vb"), 2))), 6)
+          .as("_do"))
+      val dProj = proj.select(col("vec_id").as("_a"), col("_j"),
+          col("_p"))
+        .join(proj.select((col("vec_id") - 1).as("_a"), col("_j"),
+          col("_p").as("_pb")), Seq("_a", "_j"))
+        .groupBy(col("_a"))
+        .agg(round(sqrt(sum(pow(col("_p") - col("_pb"), 2))), 6)
+          .as("_dp"))
+      dOrig.join(dProj, Seq("_a")).filter(col("_do") > 0)
+        .select((col("_dp") / col("_do")).as("_ratio"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("_ratio")) + lit(1e-9), 4).as("mean_ratio"),
+          round(percentile(abs(col("_ratio") - 1.0), lit(0.9))
+            + lit(1e-9), 4).as("p90_abs_distortion"),
+          round(max(abs(col("_ratio") - 1.0)) + lit(1e-9), 4)
+            .as("max_abs_distortion"))
+    }),
+
+    // TextRank keyword ranking: weighted PageRank over the token
+    // co-occurrence graph — q194's adjacent-bigram frame promoted to
+    // graph centrality (symmetric canonical-pair weights, both
+    // directions emitted, self-loops dropped), ext.Graph's weighted
+    // power iteration. Vocab-bounded: the rank frame is |vocab| rows
+    // regardless of corpus size
+    "q251_textrank" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(ext.TextOps.tokens(col("text")).as("_t"),
+          size(ext.TextOps.tokens(col("text"))).as("_n"))
+        .filter(col("_n") >= 2)
+      val bc = toks.select(explode(transform(
+          sequence(lit(1), col("_n") - 1),
+          i => struct(element_at(col("_t"), i).as("_w1"),
+            element_at(col("_t"), i + 1).as("_w2")))).as("_bg"))
+        .groupBy(col("_bg._w1").as("_w1"), col("_bg._w2").as("_w2"))
+        .agg(count(lit(1)).as("_c"))
+        .filter(col("_w1") =!= col("_w2"))
+      val sym = bc.groupBy(least(col("_w1"), col("_w2")).as("_a"),
+          greatest(col("_w1"), col("_w2")).as("_b"))
+        .agg(sum(col("_c")).as("_w"))
+      val edges = sym.select(col("_a").as("src"), col("_b").as("dst"),
+          col("_w"))
+        .unionByName(sym.select(col("_b").as("src"),
+          col("_a").as("dst"), col("_w")))
+      ext.Graph.pageRankWeighted(edges, iters = 2, weightCol = "_w")
+        .select(col("id").as("token"),
+          round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("token")).limit(20)
+    }),
+
     // chi-square significance for co-engagement pairs: the 2×2 basket
     // contingency per staged pair — χ² = N(n11·n00 − n10·n01)² /
     // (ca·cb·(N−ca)·(N−cb)) — promotes q83's lift ranking to a test
@@ -6168,6 +6317,118 @@ object SparkEntry {
         |  round((ma - mb) / sp + 1e-9, 4) + 0.0 AS cohens_d,
         |  round((ma - mb) / sp * gc + 1e-9, 4) + 0.0 AS hedges_g
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // the stream's stateless enrichment ≡ this batch join
+    "q248_stream_static_enrich" ->
+      """WITH spend AS (SELECT user_id,
+        |    round(sum(value) + 1e-9, 4) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p90 AS (SELECT round(quantile_cont(s, 0.9) + 1e-9, 4) AS p
+        |  FROM spend),
+        |prof AS (SELECT user_id, s >= p AS is_whale,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS is_a
+        |  FROM spend CROSS JOIN p90)
+        |SELECT e.event_id, e.user_id, e.value, pr.is_whale, pr.is_a
+        |FROM events e JOIN prof pr ON e.user_id = pr.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+
+    // same per-user lag gaps, decile grid, rounded-exponent KS
+    "q249_interarrival_expfit" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY event_type, user_id
+        |      ORDER BY ts, event_id))) / 1e6 AS gap
+        |  FROM events),
+        |gaps AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |fit AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    round(1.0 / avg(gap), 6) AS lam,
+        |    quantile_cont(gap,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS dec
+        |  FROM gaps GROUP BY 1),
+        |grid AS (SELECT event_type, n_gaps, lam, gv
+        |  FROM (SELECT event_type, n_gaps, lam, unnest(dec) AS gv
+        |    FROM fit) u),
+        |fe AS (SELECT gaps.event_type, grid.n_gaps, grid.lam, grid.gv,
+        |    CAST(sum(CASE WHEN gaps.gap <= grid.gv THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS femp
+        |  FROM gaps JOIN grid ON gaps.event_type = grid.event_type
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n_gaps, lam AS lambda,
+        |  max(round(abs(femp - (1.0 - exp(-round(lam * gv, 6))))
+        |    + 1e-9, 4)) AS ks_stat
+        |FROM fe GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // same md5 ±1 matrix, 6dp projections/distances, ratio stats
+    "q250_jl_distortion" ->
+      """WITH ex AS (SELECT vec_id, pos - 1 AS pos,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u),
+        |rmat AS (SELECT p.pos, j.j,
+        |    (CASE WHEN CAST(concat('0x', substr(md5(
+        |        concat('7:', p.pos, ':', j.j)), 1, 13)) AS BIGINT)
+        |        % 2 = 0 THEN 1.0 ELSE -1.0 END) / sqrt(16.0) AS r
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS pos) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+        |proj AS (SELECT e.vec_id, r.j, round(sum(e.v * r.r), 6) AS p
+        |  FROM ex e JOIN rmat r ON e.pos = r.pos GROUP BY 1, 2),
+        |d1 AS (SELECT a.vec_id AS a,
+        |    round(sqrt(sum(pow(a.v - b.v, 2))), 6) AS dorig
+        |  FROM ex a JOIN ex b ON b.vec_id = a.vec_id + 1
+        |    AND a.pos = b.pos
+        |  GROUP BY 1),
+        |d2 AS (SELECT a.vec_id AS a,
+        |    round(sqrt(sum(pow(a.p - b.p, 2))), 6) AS dproj
+        |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+        |    AND a.j = b.j
+        |  GROUP BY 1),
+        |r AS (SELECT dproj / dorig AS ratio
+        |  FROM d1 JOIN d2 USING (a) WHERE dorig > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(ratio) + 1e-9, 4) AS mean_ratio,
+        |  round(quantile_cont(abs(ratio - 1.0), 0.9) + 1e-9, 4)
+        |    AS p90_abs_distortion,
+        |  round(max(abs(ratio - 1.0)) + 1e-9, 4) AS max_abs_distortion
+        |FROM r""".stripMargin,
+
+    // same symmetric bigram graph + two unrolled weighted PR rounds
+    "q251_textrank" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(text), '\s+')
+        |    AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        |  FROM d WHERE len(t) >= 2),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |sym AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+        |    sum(c) AS w
+        |  FROM bc WHERE w1 <> w2 GROUP BY 1, 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM sym
+        |  UNION ALL SELECT b, a, w FROM sym),
+        |ow AS (SELECT src, sum(w) AS wt FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |n AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, 1.0 / n.n AS pr FROM nodes, n),
+        |s1 AS (SELECT e.dst AS id, sum(0.85 * r.pr * e.w / o.wt) AS s
+        |  FROM edges e JOIN ow o ON o.src = e.src
+        |    JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nd.id, (1 - 0.85) / n.n + COALESCE(s1.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s1 ON s1.id = nd.id),
+        |s2 AS (SELECT e.dst AS id, sum(0.85 * r.pr * e.w / o.wt) AS s
+        |  FROM edges e JOIN ow o ON o.src = e.src
+        |    JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nd.id, (1 - 0.85) / n.n + COALESCE(s2.s, 0)
+        |    AS pr FROM nodes nd CROSS JOIN n
+        |  LEFT JOIN s2 ON s2.id = nd.id)
+        |SELECT id AS token, round(pr * n.n + 1e-9, 4) AS pr_scaled
+        |FROM r2, n ORDER BY pr_scaled DESC, token LIMIT 20""".stripMargin,
 
     // same 7-day fan-out inversion, real-activity-day semi filter
     "q230_rolling_wau" ->
