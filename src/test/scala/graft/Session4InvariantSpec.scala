@@ -1,0 +1,129 @@
+package graft
+
+/** Range/consistency invariants for the round-9 session-4 queries
+  * (q238–q251), executed against sf0.001. The DuckDB oracle pins exact
+  * values at sf0.01/sf0.1; these pin the statistics' CONTRACTS — a
+  * refactor that keeps hash parity by breaking both engine sides
+  * identically still trips a range law.
+  */
+class Session4InvariantSpec extends SparkTestBase {
+
+  private def rows(name: String): Seq[Map[String, Any]] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val cols = df.columns
+    df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) =>
+      c -> r.get(i)
+    }.toMap)
+  }
+
+  private def d(v: Any): Double = v match {
+    case x: java.lang.Number => x.doubleValue()
+    case other => fail(s"not numeric: $other")
+  }
+
+  test("q238: promo share is a percentage in [0, 100]") {
+    val got = rows("q238_promo_revenue")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(d(r("promo_share_pct")) >= 0.0)
+      assert(d(r("promo_share_pct")) <= 100.0)
+    }
+  }
+
+  test("q239: exactly one top supplier per quarter, revenue positive") {
+    val got = rows("q239_top_supplier")
+    assert(got.map(_("qtr")).distinct.size === got.size)
+    got.foreach(r => assert(d(r("total_revenue")) > 0.0))
+  }
+
+  test("q240: top-20 returned-revenue ranking is sorted descending") {
+    val lost = rows("q240_returned_customers").map(r => d(r("lost_revenue")))
+    assert(lost.nonEmpty && lost.size <= 20)
+    assert(lost === lost.sorted.reverse)
+  }
+
+  test("q241: the small-quantity filter keeps a strict subset of the " +
+    "brand's lineitems") {
+    val Seq(r) = rows("q241_small_qty_revenue")
+    val brandLines = sources.Tables.load(spark, sf, "lineitem")
+      .join(sources.Tables.load(spark, sf, "part")
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#9"),
+        org.apache.spark.sql.functions.col("l_partkey")
+          === org.apache.spark.sql.functions.col("p_partkey"))
+      .count()
+    assert(d(r("n_lines")) < brandLines)
+  }
+
+  test("q242: every surviving order's total quantity exceeds the cut") {
+    rows("q242_big_orders").foreach(r => assert(d(r("total_qty")) > 300))
+  }
+
+  test("q243: silhouette lies in [-1, 1] per label") {
+    val got = rows("q243_silhouette")
+    assert(got.nonEmpty)
+    got.foreach(r => assert(math.abs(d(r("mean_silhouette"))) <= 1.0))
+  }
+
+  test("q244: confusion matrix counts sum to the corpus size") {
+    val total = rows("q244_centroid_classifier").map(r => d(r("n"))).sum
+    val nVec = sources.Tables.load(spark, sf, "embeddings").count()
+    assert(total === nVec.toDouble)
+  }
+
+  test("q245: CUPED never increases variance on a correlated covariate " +
+    "beyond rounding") {
+    val got = rows("q245_cuped")
+    assert(got.size === 2)
+    got.foreach { r =>
+      assert(d(r("var_raw")) > 0.0)
+      assert(d(r("var_cuped")) >= 0.0)
+      // var(y − θx) with pooled θ can exceed var(y) per-variant only
+      // through the pooled-vs-variant mismatch; allow slack but pin
+      // the reduction to a sane band
+      assert(d(r("var_reduction_pct")) <= 100.0)
+    }
+  }
+
+  test("q246: Brown-Forsythe F is non-negative with consistent dfs") {
+    val Seq(r) = rows("q246_brown_forsythe")
+    assert(d(r("f_stat")) >= 0.0)
+    assert(d(r("df1")) === d(r("k_groups")) - 1)
+    assert(d(r("df2")) === d(r("n_total")) - d(r("k_groups")))
+  }
+
+  test("q247: Hedges' g shrinks |d| toward zero") {
+    rows("q247_cohens_d").foreach { r =>
+      assert(math.abs(d(r("hedges_g"))) <= math.abs(d(r("cohens_d"))) + 1e-9)
+    }
+  }
+
+  test("q248: stream enrichment emits every batch purchase exactly once") {
+    val got = SparkEntry.queries("q248_stream_static_enrich")(spark, sf)
+    val batchPurchases = sources.Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(got.count() === batchPurchases)
+    assert(got.select("event_id").distinct().count() === batchPurchases)
+  }
+
+  test("q249: lambda is positive and KS lies in [0, 1]") {
+    val got = rows("q249_interarrival_expfit")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(d(r("lambda")) > 0.0)
+      assert(d(r("ks_stat")) >= 0.0 && d(r("ks_stat")) <= 1.0)
+    }
+  }
+
+  test("q250: JL ratios are positive and p90 distortion bounds max") {
+    val Seq(r) = rows("q250_jl_distortion")
+    assert(d(r("mean_ratio")) > 0.0)
+    assert(d(r("p90_abs_distortion")) <= d(r("max_abs_distortion")) + 1e-9)
+  }
+
+  test("q251: TextRank scores are positive and the frame is the vocab") {
+    val got = rows("q251_textrank")
+    assert(got.nonEmpty && got.size <= 20)
+    got.foreach(r => assert(d(r("pr_scaled")) > 0.0))
+  }
+}
