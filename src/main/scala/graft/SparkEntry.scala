@@ -2502,19 +2502,7 @@ object SparkEntry {
     // and every micro-batch emits exactly its enriched rows —
     // hash-checked against the identical batch join
     "q248_stream_static_enrich" -> ((s, dir) => {
-      val profile = stagedFrame(s, dir, "events", "user_profile_v1") {
-        val spend = t(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"))
-          .agg(round(sum(col("value")) + lit(1e-9), 4).as("_spend"))
-        val p90 = spend.agg(round(percentile(col("_spend"), lit(0.9))
-          + lit(1e-9), 4).as("_p90"))
-        spend.crossJoin(broadcast(p90))
-          .select(col("user_id"),
-            (col("_spend") >= col("_p90")).as("is_whale"),
-            (ext.Sampling.hashScore(col("user_id"), 42L).cast("double")
-              / lit(4503599627370496.0) < 0.5).as("is_a"))
-      }
+      val profile = userProfile(s, dir)
       val src = stagedEventStreamSrc(s, dir)
       val st = streaming.EventStreams.readEventStream(
         s, src.toString, s.read.parquet(src.toString).schema)
@@ -2640,6 +2628,157 @@ object SparkEntry {
         .select(col("id").as("token"),
           round(col("pr_scaled") + lit(1e-9), 4).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("token")).limit(20)
+    }),
+
+    // one-Newton-step logistic regression (intercept + value) for
+    // P(purchase): from β = 0 the step has the CLOSED FORM
+    // β = 4·(XᵀX)⁻¹·Xᵀ(y − ½) — q163's moment-algebra shape with the
+    // 2×2 inverse inlined; β rounded 6dp before the log-loss re-scan
+    // (the one scalar pair crossing frames), improvement vs the ln 2
+    // null model out. Two scans total, both map-side moment aggregates
+    "q252_logistic_newton" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("value").as("_x"),
+          (col("event_type") === "purchase").cast("double").as("_y"))
+      val mom = ev.agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") - 0.5).as("_g0"),
+        sum(col("_x") * (col("_y") - 0.5)).as("_g1"))
+      val det = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+      val beta = mom.select(col("_n"),
+        round(lit(4.0) * (col("_sxx") * col("_g0")
+          - col("_sx") * col("_g1")) / det, 6).as("_b0"),
+        round(lit(4.0) * (col("_n") * col("_g1")
+          - col("_sx") * col("_g0")) / det, 6).as("_b1"))
+      val z = (lit(2.0) * col("_y") - 1.0) *
+        (col("_b0") + col("_b1") * col("_x"))
+      ev.crossJoin(broadcast(beta))
+        .agg(max(col("_n")).cast("long").as("n"),
+          max(col("_b0")).as("beta0"), max(col("_b1")).as("beta1"),
+          round(avg(log(lit(1.0) + exp(-round(z, 6)))) + lit(1e-9), 4)
+            .as("logloss_model"),
+          (round(lit(math.log(2.0))
+            - avg(log(lit(1.0) + exp(-round(z, 6)))) + lit(1e-9), 4)
+            + lit(0.0)).as("improvement_nats"))
+    }),
+
+    // temporal backtest of the covisitation recommender: lists trained
+    // on days 1–21 only, scored on the held-out tail's consecutive
+    // view/click transitions — hit iff the next item sits in the prior
+    // item's train-window top-5. The evaluation q217's coverage panel
+    // assumes; leakage-free by the ts cut on BOTH the range join's
+    // inputs
+    "q253_covisit_backtest" -> ((s, dir) => {
+      val cut = lit("2024-01-22").cast("timestamp")
+      val recs = covisitationTop5(s, dir, until = Some("2024-01-22"))
+        .select(col("item_a"), col("item_b"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val test = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click")
+          && col("ts") >= cut)
+        .select(col("user_id"), (col("event_id") % 4000).as("item"),
+          col("ts"), col("event_id"))
+        .withColumn("_prev", lag(col("item"), 1).over(w))
+        .filter(col("_prev").isNotNull && col("_prev") =!= col("item"))
+      test.join(recs, test("_prev") === recs("item_a")
+          && test("item") === recs("item_b"), "left")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(when(col("item_a").isNotNull, 1L).otherwise(0L))
+            .as("n_hits"),
+          round(avg(when(col("item_a").isNotNull, 1.0).otherwise(0.0))
+            + lit(1e-9), 4).as("hit_rate"))
+    }),
+
+    // two-step Markov reach: P² = Σ_b P(a→b)·P(b→c) off q102's
+    // transition frame — "where do streams land two events later".
+    // The |types|²-bounded matrix squares itself in one tiny join;
+    // probabilities stay exact count ratios until the final round
+    "q254_two_step_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = t(s, dir, "events")
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_p", col("_n") / sum(col("_n"))
+          .over(Window.partitionBy(col("a"))))
+      val pa = p.select(col("a"), col("b").as("_mid"),
+        col("_p").as("_pab"))
+      val pb = p.select(col("a").as("_mid"), col("b").as("c"),
+        col("_p").as("_pbc"))
+      pa.join(pb, Seq("_mid"))
+        .groupBy(col("a").as("prev_type"), col("c").as("next2_type"))
+        .agg(round(sum(col("_pab") * col("_pbc")) + lit(1e-9), 4)
+          .as("p2"))
+        .orderBy(col("prev_type"), col("next2_type"))
+    }),
+
+    // odds ratio of "an active day converts" for whales vs the rest:
+    // unit = (user, active day), whale = q248's staged top-decile
+    // profile, Haldane +0.5 on every cell so tiny slices can't zero a
+    // denominator; log-OR 95% CI via the Woolf SE, exp'd back with the
+    // 6dp-rounded-argument guard
+    "q255_whale_odds_ratio" -> ((s, dir) => {
+      val profile = userProfile(s, dir)
+      val days = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("_day"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("_conv"))
+      val cells = days
+        .join(profile.select(col("user_id"), col("is_whale")),
+          Seq("user_id"))
+        .agg(sum(when(col("is_whale") && col("_conv") === 1, 1L)
+            .otherwise(0L)).as("n11"),
+          sum(when(col("is_whale") && col("_conv") === 0, 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(!col("is_whale") && col("_conv") === 1, 1L)
+            .otherwise(0L)).as("n01"),
+          sum(when(!col("is_whale") && col("_conv") === 0, 1L)
+            .otherwise(0L)).as("n00"))
+      val (a, b2, c, d2) = (col("n11") + 0.5, col("n10") + 0.5,
+        col("n01") + 0.5, col("n00") + 0.5)
+      val lor = log(a * d2 / (b2 * c))
+      val se = sqrt(lit(1.0) / a + lit(1.0) / b2 + lit(1.0) / c
+        + lit(1.0) / d2)
+      cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(exp(round(lor, 6)) + lit(1e-9), 4).as("odds_ratio"),
+        round(exp(round(lor - lit(1.96) * se, 6)) + lit(1e-9), 4)
+          .as("ci_lo"),
+        round(exp(round(lor + lit(1.96) * se, 6)) + lit(1e-9), 4)
+          .as("ci_hi"))
+    }),
+
+    // cohort retention half-life: log-linear decay fit over q90's
+    // weekly retention curve (offsets ≥ 1, rate vs the cohort's week-0
+    // base), half-life = −ln 2 / slope per cohort — the model-fit
+    // layer over the retention matrix (q218's pattern). Fitting frame
+    // is |cohorts|·|weeks| regardless of corpus size
+    "q256_retention_halflife" -> ((s, dir) => {
+      val weeks = t(s, dir, "events").select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("_w"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("_w")).as("cohort_week"))
+      val ret = weeks.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("_w"), col("cohort_week")) / 7).cast("long")
+            .as("_off"))
+        .agg(count_distinct(col("user_id")).as("_n"))
+      val base = ret.filter(col("_off") === 0)
+        .select(col("cohort_week"), col("_n").as("_base"))
+      val slope = ret.filter(col("_off") >= 1).join(base, Seq("cohort_week"))
+        .groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_weeks"),
+          round(regr_slope(log(col("_n").cast("double") / col("_base")),
+            col("_off").cast("double")), 6).as("_slope"))
+      slope.select(col("cohort_week"), col("n_weeks"),
+          col("_slope").as("slope"),
+          when(col("_slope") < 0,
+            round(-lit(math.log(2.0)) / col("_slope") + lit(1e-9), 4))
+            .as("halflife_weeks"))
+        .orderBy(col("cohort_week"))
     }),
 
     // chi-square significance for co-engagement pairs: the 2×2 basket
@@ -4541,9 +4680,36 @@ object SparkEntry {
     * onto the ≤|items|² frame; top-5 is the k-bounded
     * TopKScoredAggregator on the ROUNDED score.
     */
-  private def covisitationTop5(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+  /** Fingerprint-staged per-user profile (q248's static enrichment
+    * side, q255's whale flag): historical purchase spend rounded 4dp,
+    * whale = top decile on that spend, is_a = q130's md5 variant. The
+    * production "feature table" artifact — built once per source
+    * fingerprint, broadcast by every consumer.
+    */
+  private def userProfile(s: SparkSession, dir: String): DataFrame =
+    stagedFrame(s, dir, "events", "user_profile_v1") {
+      val spend = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("_spend"))
+      val p90 = spend.agg(round(percentile(col("_spend"), lit(0.9))
+        + lit(1e-9), 4).as("_p90"))
+      spend.crossJoin(broadcast(p90))
+        .select(col("user_id"),
+          (col("_spend") >= col("_p90")).as("is_whale"),
+          (ext.Sampling.hashScore(col("user_id"), 42L).cast("double")
+            / lit(4503599627370496.0) < 0.5).as("is_a"))
+    }
+
+  /** Time-decayed covisitation top-5 per item (q203); `until` caps the
+    * training window for the q253 temporal backtest — None keeps the
+    * full corpus (the q203/q217 production lists).
+    */
+  private def covisitationTop5(s: SparkSession, dir: String,
+                               until: Option[String] = None): DataFrame = {
+    val ev0 = t(s, dir, "events")
       .filter(col("event_type").isin("view", "click"))
+    val ev = until.fold(ev0)(c => ev0.filter(col("ts") < lit(c).cast("timestamp")))
       .select(col("user_id"), (col("event_id") % 4000).as("item"),
         col("ts"))
     val scored = operators.Relational.rangeJoinBucketed(
@@ -6429,6 +6595,137 @@ object SparkEntry {
         |  LEFT JOIN s2 ON s2.id = nd.id)
         |SELECT id AS token, round(pr * n.n + 1e-9, 4) AS pr_scaled
         |FROM r2, n ORDER BY pr_scaled DESC, token LIMIT 20""".stripMargin,
+
+    // same closed-form Newton step + rounded-argument log-loss
+    "q252_logistic_newton" ->
+      """WITH ev AS (SELECT value AS x,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+        |      AS y
+        |  FROM events),
+        |mom AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx, sum(y - 0.5) AS g0,
+        |    sum(x * (y - 0.5)) AS g1
+        |  FROM ev),
+        |beta AS (SELECT n,
+        |    round(4.0 * (sxx * g0 - sx * g1)
+        |      / (n * sxx - sx * sx), 6) AS b0,
+        |    round(4.0 * (n * g1 - sx * g0)
+        |      / (n * sxx - sx * sx), 6) AS b1
+        |  FROM mom)
+        |SELECT CAST(max(n) AS BIGINT) AS n, max(b0) AS beta0,
+        |  max(b1) AS beta1,
+        |  round(avg(ln(1.0 + exp(-round((2.0 * y - 1.0)
+        |    * (b0 + b1 * x), 6)))) + 1e-9, 4) AS logloss_model,
+        |  round(ln(2.0) - avg(ln(1.0 + exp(-round((2.0 * y - 1.0)
+        |    * (b0 + b1 * x), 6)))) + 1e-9, 4) + 0.0
+        |    AS improvement_nats
+        |FROM ev CROSS JOIN beta""".stripMargin,
+
+    // q203's list CTEs with the train cut, lag transitions, left probe
+    "q253_covisit_backtest" ->
+      """WITH ev AS (SELECT user_id, event_id % 4000 AS item,
+        |    CAST(ts AS TIMESTAMP) AS uts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |    AND ts < TIMESTAMP '2024-01-22'),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    1.0 / (1.0 + (epoch_us(b.uts) - epoch_us(a.uts)) / 6e7)
+        |      AS w
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND b.uts >= a.uts AND b.uts < a.uts + INTERVAL 30 MINUTE
+        |  WHERE a.item <> b.item),
+        |s AS (SELECT item_a, item_b, round(sum(w) + 1e-9, 4) AS score
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        |    ORDER BY score DESC, item_b) AS rank FROM s),
+        |recs AS (SELECT item_a, item_b FROM r WHERE rank <= 5),
+        |te AS (SELECT user_id, event_id % 4000 AS item, ts, event_id
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |    AND ts >= TIMESTAMP '2024-01-22'),
+        |tr AS (SELECT user_id, item, lag(item) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM te),
+        |tt AS (SELECT * FROM tr
+        |  WHERE prev IS NOT NULL AND prev <> item)
+        |SELECT CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(sum(CASE WHEN recs.item_a IS NOT NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_hits,
+        |  round(avg(CASE WHEN recs.item_a IS NOT NULL THEN 1.0
+        |    ELSE 0.0 END) + 1e-9, 4) AS hit_rate
+        |FROM tt LEFT JOIN recs ON tt.prev = recs.item_a
+        |  AND tt.item = recs.item_b""".stripMargin,
+
+    // same matrix square on exact count-ratio probabilities
+    "q254_two_step_markov" ->
+      """WITH tr AS (SELECT user_id, event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS a, event_type AS b, count(*) AS n
+        |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a, b, CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY a) AS p FROM c)
+        |SELECT pa.a AS prev_type, pb.b AS next2_type,
+        |  round(sum(pa.p * pb.p) + 1e-9, 4) AS p2
+        |FROM p pa JOIN p pb ON pa.b = pb.a
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same staged-profile whale flag, Haldane cells, Woolf CI
+    "q255_whale_odds_ratio" ->
+      """WITH spend AS (SELECT user_id,
+        |    round(sum(value) + 1e-9, 4) AS s
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p90 AS (SELECT round(quantile_cont(s, 0.9) + 1e-9, 4) AS p
+        |  FROM spend),
+        |prof AS (SELECT user_id, s >= p AS is_whale
+        |  FROM spend CROSS JOIN p90),
+        |days AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT
+        |    CAST(sum(CASE WHEN is_whale AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN is_whale AND conv = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT is_whale AND conv = 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT is_whale AND conv = 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n00
+        |  FROM days JOIN prof USING (user_id)),
+        |f AS (SELECT n11, n10, n01, n00,
+        |    ln((n11 + 0.5) * (n00 + 0.5)
+        |      / ((n10 + 0.5) * (n01 + 0.5))) AS lor,
+        |    sqrt(1.0 / (n11 + 0.5) + 1.0 / (n10 + 0.5)
+        |      + 1.0 / (n01 + 0.5) + 1.0 / (n00 + 0.5)) AS se
+        |  FROM cells)
+        |SELECT n11, n10, n01, n00,
+        |  round(exp(round(lor, 6)) + 1e-9, 4) AS odds_ratio,
+        |  round(exp(round(lor - 1.96 * se, 6)) + 1e-9, 4) AS ci_lo,
+        |  round(exp(round(lor + 1.96 * se, 6)) + 1e-9, 4) AS ci_hi
+        |FROM f""".stripMargin,
+
+    // same q90 retention frame, log-linear fit, guarded half-life
+    "q256_retention_halflife" ->
+      """WITH weeks AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |cohorts AS (SELECT user_id, min(w) AS cohort_week
+        |  FROM weeks GROUP BY 1),
+        |ret AS (SELECT cohort_week,
+        |    CAST(datediff('day', cohort_week, w) / 7 AS BIGINT)
+        |      AS off,
+        |    count(DISTINCT user_id) AS n
+        |  FROM weeks JOIN cohorts USING (user_id) GROUP BY 1, 2),
+        |base AS (SELECT cohort_week, n AS b FROM ret WHERE off = 0),
+        |sl AS (SELECT r.cohort_week, CAST(count(*) AS BIGINT)
+        |      AS n_weeks,
+        |    round(regr_slope(ln(CAST(r.n AS DOUBLE) / b.b),
+        |      CAST(r.off AS DOUBLE)), 6) AS slope
+        |  FROM ret r JOIN base b USING (cohort_week)
+        |  WHERE r.off >= 1 GROUP BY 1)
+        |SELECT cohort_week, n_weeks, slope,
+        |  CASE WHEN slope < 0
+        |    THEN round(-ln(2.0) / slope + 1e-9, 4) END
+        |    AS halflife_weeks
+        |FROM sl ORDER BY cohort_week""".stripMargin,
 
     // same 7-day fan-out inversion, real-activity-day semi filter
     "q230_rolling_wau" ->

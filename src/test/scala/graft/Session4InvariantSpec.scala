@@ -126,4 +126,42 @@ class Session4InvariantSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size <= 20)
     got.foreach(r => assert(d(r("pr_scaled")) > 0.0))
   }
+
+  test("q252: log-loss is positive and finite") {
+    val Seq(r) = rows("q252_logistic_newton")
+    assert(d(r("logloss_model")) > 0.0)
+    assert(java.lang.Double.isFinite(d(r("beta0"))))
+    assert(java.lang.Double.isFinite(d(r("beta1"))))
+  }
+
+  test("q253: hits bound transitions and the rate is their ratio") {
+    val Seq(r) = rows("q253_covisit_backtest")
+    assert(d(r("n_hits")) <= d(r("n_transitions")))
+    assert(d(r("hit_rate")) >= 0.0 && d(r("hit_rate")) <= 1.0)
+  }
+
+  test("q254: two-step rows distribute over P's support and each " +
+    "source's reach sums to 1") {
+    val got = rows("q254_two_step_markov")
+    assert(got.nonEmpty)
+    got.groupBy(_("prev_type")).foreach { case (_, rs) =>
+      val s = rs.map(r => d(r("p2"))).sum
+      assert(math.abs(s - 1.0) < 0.01, s"reach sums to $s")
+    }
+  }
+
+  test("q255: the odds ratio lies inside its own 95% CI") {
+    val Seq(r) = rows("q255_whale_odds_ratio")
+    assert(d(r("ci_lo")) <= d(r("odds_ratio")))
+    assert(d(r("odds_ratio")) <= d(r("ci_hi")))
+  }
+
+  test("q256: a negative slope yields a positive half-life") {
+    rows("q256_retention_halflife").foreach { r =>
+      Option(r("halflife_weeks")).foreach { h =>
+        assert(d(h) > 0.0)
+        assert(d(r("slope")) < 0.0)
+      }
+    }
+  }
 }
