@@ -390,4 +390,43 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("AsOfJoin"),
       s"attribution lost the native as-of path:\n$p")
   }
+
+  test("q238 promo share broadcasts the part dim over one lineitem scan") {
+    val p = plan(SparkEntry.queries("q238_promo_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected lineitem+part scans only, got $scans:\n$p")
+  }
+
+  test("q240 aggregates returned revenue BELOW the customer join") {
+    val p = plan(SparkEntry.queries("q240_returned_customers")(spark, sf))
+    // the custkey rollup must appear under the customer join: joining
+    // raw return lines to customer first would shuffle the fact table
+    // into a |customers|-wide join for rows the aggregate then collapses
+    val aggIdx = p.indexOf("partial_sum")
+    assert(aggIdx >= 0, s"no partial aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should fuse into TakeOrdered:\n$p")
+  }
+
+  test("q241 decorrelated probe reads lineitem ONCE through a window") {
+    val p = plan(SparkEntry.queries("q241_small_qty_revenue")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    // lineitem + part — the naive correlated form (per-part avg as a
+    // second aggregate over a second scan) costs three
+    assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
+    assert(p.contains("Window"), s"per-part avg should be a window:\n$p")
+    assert(p.contains("hashpartitioning(l_partkey"),
+      s"window must partition on l_partkey, not a global sort:\n$p")
+  }
+
+  test("q242 big-orders HAVING collapses the fact table before any join") {
+    val p = plan(SparkEntry.queries("q242_big_orders")(spark, sf))
+    val havingBelow = p.indexOf("HashAggregate")
+    val joinAt = p.indexOf("Join")
+    assert(havingBelow >= 0 && joinAt >= 0 && havingBelow > joinAt,
+      // executedPlan prints top-down: the aggregate must appear BELOW
+      // (after) the join operators in the tree dump
+      s"order rollup did not stay below the joins:\n$p")
+  }
 }
