@@ -2861,6 +2861,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // time-to-next-error after each purchase through the native as-of
+    // operator in its NEW forward direction (earliest error >= purchase
+    // per user, 3-day lookahead tolerance): the incident-impact join
+    // q131's backward attribution can't express. Same one-exchange-
+    // per-side merge plan; the shared forward candidate serves every
+    // earlier purchase without re-buffering
+    "q261_next_error_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("ets")).distinct()
+        .withColumn("_v", col("ets"))
+      plans.AsOf.join(purchases, errors, Seq("user_id"), "ts", "ets",
+          Seq(("_v", "err_ts")),
+          toleranceMicros = 3L * 86400L * 1000000L, forward = true)
+        .select(((unix_micros(col("err_ts")) - unix_micros(col("ts")))
+          / lit(3.6e9)).as("_h"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("_h")).as("n_matched"),
+          round(avg(when(col("_h").isNotNull, 1.0).otherwise(0.0))
+            + lit(1e-9), 4).as("match_rate"),
+          round(avg(col("_h")) + lit(1e-9), 4).as("mean_hours"),
+          round(percentile(col("_h"), lit(0.5)) + lit(1e-9), 4)
+            .as("p50_hours"),
+          round(percentile(col("_h"), lit(0.9)) + lit(1e-9), 4)
+            .as("p90_hours"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -6893,6 +6922,28 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // min-over-lookahead formulation of the forward as-of
+    "q261_next_error_asof" ->
+      """WITH p AS (SELECT user_id, event_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (SELECT DISTINCT user_id, ts AS ets FROM events
+        |  WHERE event_type = 'error'),
+        |m AS (SELECT p.event_id, min(e.ets) AS nxt
+        |  FROM p JOIN e ON p.user_id = e.user_id AND e.ets >= p.pts
+        |    AND epoch_us(e.ets) - epoch_us(p.pts) <= 259200000000
+        |  GROUP BY 1),
+        |j AS (SELECT p.event_id,
+        |    (epoch_us(m.nxt) - epoch_us(p.pts)) / 3.6e9 AS h
+        |  FROM p LEFT JOIN m USING (event_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(h) AS BIGINT) AS n_matched,
+        |  round(avg(CASE WHEN h IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |    + 1e-9, 4) AS match_rate,
+        |  round(avg(h) + 1e-9, 4) AS mean_hours,
+        |  round(quantile_cont(h, 0.5) + 1e-9, 4) AS p50_hours,
+        |  round(quantile_cont(h, 0.9) + 1e-9, 4) AS p90_hours
+        |FROM j""".stripMargin,
 
     // q207's frame collapsed to the weak-tie aggregate
     "q260_local_bridges" ->

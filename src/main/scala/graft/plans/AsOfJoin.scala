@@ -15,7 +15,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Semantics match Relational.asofJoin (latest right row with
   * rightTs <= leftTs per key, inclusive; dedup the right side first if
-  * (key, ts) can repeat — ties are ambiguous by definition). The
+  * (key, ts) can repeat — ties are ambiguous by definition). With
+  * `forward = true` the direction flips: EARLIEST right row with
+  * rightTs >= leftTs per key (inclusive), tolerance bounding the
+  * lookahead instead of the lookback — the "next event after" join
+  * (time-to-next-error, next maintenance window). The
   * physical operator declares ClusteredDistribution + (key, ts)
   * ordering requirements, so EnsureRequirements plans ONE co-partitioned
   * exchange per side plus per-partition sorts, and the merge itself is
@@ -27,7 +31,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftTs: Expression, rightTs: Expression,
                         rightValExprs: Seq[Expression],
                         valAttrs: Seq[Attribute],
-                        toleranceMicros: Long = -1L) extends BinaryNode {
+                        toleranceMicros: Long = -1L,
+                        forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ valAttrs
 
@@ -46,7 +51,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftTs: Expression, rightTs: Expression,
                         rightValExprs: Seq[Expression],
                         valAttrs: Seq[Attribute],
-                        toleranceMicros: Long = -1L) extends BinaryExecNode {
+                        toleranceMicros: Long = -1L,
+                        forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ valAttrs
 
@@ -88,7 +94,51 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullVals = new GenericInternalRow(nVals)
       val joined = new JoinedRow
 
-      new Iterator[InternalRow] {
+      if (forward)
+        // FORWARD merge: earliest right row with rightTs >= leftTs
+        // (inclusive) per key. The buffered row is the candidate ITSELF
+        // and is NOT consumed on match — one "next maintenance window"
+        // can serve many earlier left rows; it is only discarded once a
+        // later left row's ts passes it (at which point no future left
+        // row, all ordered later, can need it). Still one forward pass,
+        // one buffered row.
+        new Iterator[InternalRow] {
+          private var rBufKey: InternalRow = _
+          private var rBufTs: InternalRow = _
+          private var rBufVals: InternalRow = _
+          private var haveBuf = false
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            val lt = lTsProj(l)
+            var scan = true
+            while (scan) {
+              if (!haveBuf && rIter.hasNext) {
+                val r = rIter.next()
+                rBufKey = rKeyProj(r).copy()
+                rBufTs = rTsProj(r).copy()
+                rBufVals = rValProj(r).copy()
+                haveBuf = true
+              }
+              if (!haveBuf) scan = false
+              else {
+                val kc = keyOrd.compare(rBufKey, lk)
+                if (kc < 0) haveBuf = false // key ordered out forever
+                else if (kc == 0 && tsOrd.compare(rBufTs, lt) < 0)
+                  haveBuf = false // strictly before this left: stale
+                else scan = false // candidate (same key, ts >= lt) or
+                                  // a later key — stop advancing
+              }
+            }
+            val matched = haveBuf && keyOrd.compare(rBufKey, lk) == 0 &&
+              (tol < 0L || rBufTs.getLong(0) - lt.getLong(0) <= tol)
+            joined(l, if (matched) rBufVals else nullVals)
+          }
+        }
+      else new Iterator[InternalRow] {
         // one buffered right row (not yet merged) + the last merged match
         private var rBufKey: InternalRow = _
         private var rBufTs: InternalRow = _
@@ -144,9 +194,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, va, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, rv, va, tol, fwd) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, va,
-        tol) :: Nil
+        tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -163,7 +213,8 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightVals: Seq[(String, String)],
-           toleranceMicros: Long = -1L): DataFrame = {
+           toleranceMicros: Long = -1L,
+           forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     // Wrap both children in fresh-alias Projects: when left and right
@@ -202,7 +253,7 @@ object AsOf {
       rightVals.map { case (c, out) =>
         AttributeReference(out, attr(rAttrs, c).dataType, nullable = true)()
       },
-      toleranceMicros)
+      toleranceMicros, forward)
     Bridge.ofRows(left.sparkSession, node)
   }
 }

@@ -109,4 +109,65 @@ class AsOfJoinExecSpec extends SparkTestBase {
       assert(native === brute, s"seed $i vs brute force")
     }
   }
+
+  test("forward: earliest right >= left, inclusive ties, shared candidate") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 09:30:00"), 11.0),
+      (1, ts("2024-01-01 10:00:00"), 12.0),
+      (2, ts("2024-01-01 09:00:00"), 99.0)).toDF("k", "qts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 09:00:00"), "t1"), // -> 09:30 (first >= 09:00)
+      (1, ts("2024-01-01 09:15:00"), "t2"), // -> 09:30 (SHARED candidate)
+      (1, ts("2024-01-01 09:30:00"), "t3"), // -> 09:30 (inclusive tie)
+      (1, ts("2024-01-01 10:30:00"), "t4"), // -> none (past last quote)
+      (3, ts("2024-01-01 09:00:00"), "t5")).toDF("k", "tts", "trade")
+    val out = AsOf.join(trades, quotes, Seq("k"), "tts", "qts",
+        Seq(("price", "quote_price")), forward = true)
+      .select($"trade", $"quote_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out === Map("t1" -> Some(11.0), "t2" -> Some(11.0),
+      "t3" -> Some(11.0), "t4" -> None, "t5" -> None))
+  }
+
+  test("forward tolerance bounds the lookahead window") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:30:00"), 12.0)).toDF("k", "qts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 10:15:00"), "t1"), // 15 min before: in window
+      (1, ts("2024-01-01 09:00:00"), "t2")) // 90 min before: too early
+      .toDF("k", "tts", "trade")
+    val out = AsOf.join(trades, quotes, Seq("k"), "tts", "qts",
+        Seq(("price", "quote_price")), toleranceMicros = 30L * 60 * 1000000,
+        forward = true)
+      .select($"trade", $"quote_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out === Map("t1" -> Some(12.0), "t2" -> None))
+  }
+
+  test("forward agrees with driver-side brute force on generated data") {
+    val gen = Gen.listOfN(60, for {
+      k <- Gen.choose(0, 4)
+      t <- Gen.choose(0, 1000)
+      v <- Gen.choose(0, 99)
+    } yield (k, t, v))
+    for (i <- 1 to 4) {
+      val rowsL = gen(Gen.Parameters.default, Seed(i.toLong)).get
+        .map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), s"L$v-$k-$t") }
+        .distinctBy(r => (r._1, r._2))
+      val rowsR = gen(Gen.Parameters.default, Seed((i + 100).toLong)).get
+        .map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v.toDouble) }
+        .distinctBy(r => (r._1, r._2))
+      val l = rowsL.toDF("k", "lts", "tag")
+      val r = rowsR.toDF("k", "rts", "v")
+      val native = AsOf.join(l, r, Seq("k"), "lts", "rts", Seq(("v", "rv")),
+          forward = true)
+        .select($"tag", $"rv").as[(String, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      val brute = rowsL.map { case (k, lts, tag) =>
+        val m = rowsR.filter(rr => rr._1 == k && !rr._2.before(lts))
+        (tag, if (m.isEmpty) None else Some(m.minBy(_._2.getTime)._3))
+      }.sortBy(_._1)
+      assert(native === brute, s"seed $i vs brute force")
+    }
+  }
 }
