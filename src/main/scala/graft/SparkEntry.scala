@@ -2890,6 +2890,138 @@ object SparkEntry {
             .as("p90_hours"))
     }),
 
+    // session time allocated to calendar days: q103's gap sessions
+    // SPLIT at midnight boundaries — one sequence-explode per session
+    // over the days it touches (bounded by span, not corpus), overlap
+    // micros in pure integer arithmetic. The billing/attribution
+    // primitive interval data needs ("how much session time landed in
+    // each day")
+    "q262_session_day_allocation" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_prev", lag(col("_us"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull
+          || col("_us") - col("_prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("_seq", sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_seq"))
+        .agg(min(col("_us")).as("_s"), max(col("_us")).as("_e"))
+      sess
+        .withColumn("_day", explode(sequence(
+          to_date(timestamp_micros(col("_s"))),
+          to_date(timestamp_micros(col("_e"))))))
+        .withColumn("_d0", unix_micros(col("_day").cast("timestamp")))
+        .select(col("_day").as("day"),
+          (least(col("_e"), col("_d0") + lit(86400000000L))
+            - greatest(col("_s"), col("_d0"))).as("_ov"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("_ov")) / lit(1e6) + lit(1e-9), 4)
+            .as("session_seconds"))
+        .orderBy(col("day"))
+    }),
+
+    // weekly top-10 turnover: the k-bounded TopKScoredAggregator per
+    // week (never a corpus-wide window), consecutive weeks joined on
+    // the shifted key — how much of the leaderboard is NEW each week,
+    // the trending-rotation panel. All frames |weeks|·k after the one
+    // (week, item) rollup
+    "q263_weekly_topk_turnover" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          (col("event_id") % 4000).as("item"))
+        .agg(count(lit(1)).as("_n"))
+      val top = operators.Relational.topKPerGroupAgg(wk, k = 10,
+          groupCols = Seq("week"), score = col("_n"), id = col("item"),
+          scoreName = "cnt", idName = "item")
+        .select(col("week"), col("item"))
+      val sizes = top.groupBy(col("week")).agg(count(lit(1)).as("_nt"))
+      val inter = top
+        .join(top.select(date_sub(col("week"), 7).as("week"),
+          col("item")), Seq("week", "item"))
+        .groupBy(col("week")).agg(count(lit(1)).as("_ret"))
+      sizes.select(col("week"), col("_nt").as("n_top"))
+        .join(sizes.select(date_sub(col("week"), 7).as("week"),
+          col("_nt").as("n_top_next")), Seq("week"))
+        .join(inter, Seq("week"), "left")
+        .select(col("week"), col("n_top"), col("n_top_next"),
+          coalesce(col("_ret"), lit(0L)).as("n_retained"),
+          round(coalesce(col("_ret"), lit(0L))
+            / col("n_top").cast("double") + lit(1e-9), 4)
+            .as("retention"))
+        .orderBy(col("week"))
+    }),
+
+    // per-type calendar completeness: active/missing day counts over
+    // the type's own [first, last] span and the longest internal gap —
+    // the data-freshness monitor that catches a feed going dark. One
+    // distinct + a |types·days|-bounded lag window
+    "q264_missing_days" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("_day"))
+        .distinct()
+      val rng = act.groupBy(col("event_type"))
+        .agg(min(col("_day")).as("first_day"),
+          max(col("_day")).as("last_day"),
+          count(lit(1)).as("n_days_active"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+      val gaps = act.withColumn("_prevd", lag(col("_day"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(coalesce(max(datediff(col("_day"), col("_prevd"))), lit(1))
+          .as("_step"))
+      rng.join(gaps, Seq("event_type"))
+        .select(col("event_type"), col("first_day"), col("last_day"),
+          col("n_days_active"),
+          (datediff(col("last_day"), col("first_day")) + 1
+            - col("n_days_active")).cast("long").as("n_days_missing"),
+          (col("_step") - 1).cast("long").as("max_gap_days"))
+        .orderBy(col("event_type"))
+    }),
+
+    // post-stratified A/B read-out: strata = user activity quartiles
+    // (broadcast percentile cuts on per-user event counts, q87's
+    // equi-depth shape), metric = per-user purchase value; per-stratum
+    // means and the weight·diff contribution — the categorical
+    // adjustment next to q245's covariate CUPED. Every frame after the
+    // two user-keyed aggregates is |strata|-bounded
+    "q265_post_stratified_ab" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val activity = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_acts"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)).as("_metric"))
+      val cuts = activity.agg(
+        percentile(col("_acts"), lit(0.25)).as("_c1"),
+        percentile(col("_acts"), lit(0.5)).as("_c2"),
+        percentile(col("_acts"), lit(0.75)).as("_c3"))
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      val strat = activity.crossJoin(broadcast(cuts))
+        .select(col("_metric"), (u < 0.5).as("_isa"),
+          when(col("_acts") <= col("_c1"), 0L)
+            .when(col("_acts") <= col("_c2"), 1L)
+            .when(col("_acts") <= col("_c3"), 2L).otherwise(3L)
+            .as("stratum"))
+      val tot = strat.agg(count(lit(1)).cast("double").as("_bign"))
+      strat.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("_ns"),
+          sum(when(col("_isa"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("_isa"), 1L).otherwise(0L)).as("n_b"),
+          avg(when(col("_isa"), col("_metric"))).as("_ma"),
+          avg(when(!col("_isa"), col("_metric"))).as("_mb"))
+        .crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_a"), col("n_b"),
+          round(col("_ma") + lit(1e-9), 4).as("mean_a"),
+          round(col("_mb") + lit(1e-9), 4).as("mean_b"),
+          (round((col("_ns") / col("_bign"))
+            * (col("_ma") - col("_mb")) + lit(1e-9), 4)
+            + lit(0.0)).as("weighted_diff"))
+        .orderBy(col("stratum"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -6922,6 +7054,109 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same session spans split at midnight, integer-micro overlap
+    "q262_session_day_allocation" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |g AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f),
+        |sess AS (SELECT user_id, seq, min(us) AS s, max(us) AS e
+        |  FROM g GROUP BY 1, 2),
+        |alloc AS (SELECT day, s, e FROM (
+        |  SELECT unnest(generate_series(
+        |      CAST(make_timestamp(s) AS DATE),
+        |      CAST(make_timestamp(e) AS DATE),
+        |      INTERVAL 1 DAY)) AS day, s, e
+        |  FROM sess) u),
+        |ov AS (SELECT CAST(day AS DATE) AS day,
+        |    least(e, epoch_us(day) + 86400000000)
+        |      - greatest(s, epoch_us(day)) AS ov
+        |  FROM alloc)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(sum(ov) / 1e6 + 1e-9, 4) AS session_seconds
+        |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same weekly rank-10 lists, shifted-key self-join
+    "q263_weekly_topk_turnover" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', ts) AS DATE)
+        |      AS week,
+        |    event_id % 4000 AS item, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT week, item, row_number() OVER (
+        |    PARTITION BY week ORDER BY n DESC, item) AS rk FROM wk),
+        |top AS (SELECT week, item FROM r WHERE rk <= 10),
+        |sizes AS (SELECT week, count(*) AS nt FROM top GROUP BY 1),
+        |inter AS (SELECT a.week, count(*) AS ret
+        |  FROM top a JOIN top b ON b.week = a.week + 7
+        |    AND b.item = a.item
+        |  GROUP BY 1)
+        |SELECT s1.week, s1.nt AS n_top, s2.nt AS n_top_next,
+        |  CAST(COALESCE(i.ret, 0) AS BIGINT) AS n_retained,
+        |  round(COALESCE(i.ret, 0) / CAST(s1.nt AS DOUBLE) + 1e-9, 4)
+        |    AS retention
+        |FROM sizes s1 JOIN sizes s2 ON s2.week = s1.week + 7
+        |LEFT JOIN inter i ON i.week = s1.week
+        |ORDER BY s1.week""".stripMargin,
+
+    // same distinct day frame, lag steps, span arithmetic
+    "q264_missing_days" ->
+      """WITH act AS (SELECT DISTINCT event_type, CAST(ts AS DATE)
+        |    AS day FROM events),
+        |rng AS (SELECT event_type, min(day) AS first_day,
+        |    max(day) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_days_active
+        |  FROM act GROUP BY 1),
+        |g AS (SELECT event_type, day - lag(day) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS st FROM act),
+        |gap AS (SELECT event_type, COALESCE(max(st), 1) AS step
+        |  FROM g GROUP BY 1)
+        |SELECT r.event_type, r.first_day, r.last_day, r.n_days_active,
+        |  CAST(datediff('day', first_day, last_day) + 1
+        |    - n_days_active AS BIGINT) AS n_days_missing,
+        |  CAST(step - 1 AS BIGINT) AS max_gap_days
+        |FROM rng r JOIN gap USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // same quartile cuts, md5 variant, weight-times-diff algebra
+    "q265_post_stratified_ab" ->
+      """WITH act AS (SELECT user_id, count(*) AS acts,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN value END), 0.0) AS metric
+        |  FROM events GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(acts, 0.25) AS c1,
+        |    quantile_cont(acts, 0.5) AS c2,
+        |    quantile_cont(acts, 0.75) AS c3 FROM act),
+        |strat AS (SELECT metric,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5)
+        |      AS isa,
+        |    CAST(CASE WHEN acts <= c1 THEN 0 WHEN acts <= c2 THEN 1
+        |      WHEN acts <= c3 THEN 2 ELSE 3 END AS BIGINT) AS stratum
+        |  FROM act CROSS JOIN cuts),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS bign FROM strat),
+        |g AS (SELECT stratum, count(*) AS ns,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    avg(CASE WHEN isa THEN metric END) AS ma,
+        |    avg(CASE WHEN NOT isa THEN metric END) AS mb
+        |  FROM strat GROUP BY 1)
+        |SELECT stratum, n_a, n_b,
+        |  round(ma + 1e-9, 4) AS mean_a, round(mb + 1e-9, 4) AS mean_b,
+        |  round((ns / bign) * (ma - mb) + 1e-9, 4) + 0.0
+        |    AS weighted_diff
+        |FROM g CROSS JOIN tot ORDER BY stratum""".stripMargin,
 
     // min-over-lookahead formulation of the forward as-of
     "q261_next_error_asof" ->
