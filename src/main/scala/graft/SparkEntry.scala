@@ -3022,6 +3022,90 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // sparse TF-IDF cosine doc pairs: idf-weighted DISTINCT 3-gram
+    // shingle vectors, pairwise dot via the posting self-join with
+    // q32's hot-posting cap (df ≤ 64 — norms use the SAME capped set so
+    // the algebra stays a true cosine of the capped vectors), top-20.
+    // The similarity-STRENGTH ranking next to q32's binary Jaccard:
+    // rare shared shingles count for more. idf rounded 6dp before any
+    // product so engine float order can't move the rounded cosine
+    "q266_shingle_cosine_pairs" -> ((s, dir) => {
+      val post = graft.core.Caches.cached(t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ext.TextOps.shingles(col("text"), 3)).as("_sh")))
+      val dfreq = post.groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= 64)
+      val nD = t(s, dir, "documents")
+        .agg(count(lit(1)).cast("double").as("_nd"))
+      // the weighted posting frame backs the norm aggregate AND both
+      // self-join sides — cached so the shingle explode runs once
+      val wgt = graft.core.Caches.cached(
+        post.join(dfreq, Seq("_sh")).crossJoin(broadcast(nD))
+          .select(col("doc_id"), col("_sh"),
+            round(log((col("_nd") + 1.0) / (col("_df") + 1.0)) + 1.0, 6)
+              .as("_w")))
+      val norm = wgt.groupBy(col("doc_id"))
+        .agg(round(sqrt(sum(col("_w") * col("_w"))), 6).as("_nm"))
+      graft.core.Caches.materializedThenRelease(
+        wgt.select(col("_sh"), col("doc_id").as("doc_a"),
+            col("_w").as("_wa"))
+          .join(wgt.select(col("_sh"), col("doc_id").as("doc_b"),
+            col("_w").as("_wb")), Seq("_sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+          .join(norm.select(col("doc_id").as("doc_a"),
+            col("_nm").as("_na")), Seq("doc_a"))
+          .join(norm.select(col("doc_id").as("doc_b"),
+            col("_nm").as("_nb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("_dot") / (col("_na") * col("_nb"))
+              + lit(1e-9), 4).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+          .limit(20),
+        post, wgt)
+    }),
+
+    // kNN label-vote evaluation: 5-NN majority vote over the embedding
+    // corpus vs the true label, per-label accuracy — the
+    // neighborhood-consistency eval next to q244's centroid classifier
+    // (centroids test linear separability, kNN tests local structure).
+    // The query side is a DETERMINISTIC 10% sample (vec_id % 10): an
+    // all-vectors eval is a corpus², and the audit needs a sample, not
+    // the product — cost stays |corpus|·|sample|, linear in the corpus.
+    // Cosines rounded 6dp BEFORE the k-bounded ranking so both engines
+    // rank identical values; the vote argmax ties break label-ascending
+    "q267_knn_label_accuracy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("_qid"),
+          col("embedding").as("_qv"), col("label").as("_qlab"))
+      val c = emb.select(col("vec_id").as("_cid"),
+        col("embedding").as("_cv"), col("label").as("_clab"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("_cid") =!= col("_qid"))
+        .select(col("_qid"), col("_qlab"), col("_cid"), col("_clab"),
+          round(ext.Similarity.cosine(col("_qv"), col("_cv")), 6)
+            .as("_cos"))
+      val top = operators.Relational.topKPerGroupAgg(scored, k = 5,
+          groupCols = Seq("_qid", "_qlab"), score = col("_cos"),
+          id = col("_cid"), scoreName = "_s", idName = "_cid")
+        .join(c.select(col("_cid"), col("_clab")), Seq("_cid"))
+      val w = Window.partitionBy(col("_qid"))
+        .orderBy(col("_cnt").desc, col("_clab"))
+      top.groupBy(col("_qid"), col("_qlab"), col("_clab"))
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .groupBy(col("_qlab").as("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("_clab") === col("_qlab"), 1L).otherwise(0L))
+            .as("n_correct"),
+          round(avg(when(col("_clab") === col("_qlab"), 1.0)
+            .otherwise(0.0)) + lit(1e-9), 4).as("accuracy"))
+        .orderBy(col("label"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7054,6 +7138,69 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same capped idf postings, posting self-join, rounded cosine
+    "q266_shingle_cosine_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents) q WHERE len(t) >= 3),
+        |post AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |dfreq AS (SELECT sh, count(*) AS df FROM post GROUP BY 1
+        |  HAVING count(*) <= 64),
+        |w AS (SELECT p.doc_id, p.sh,
+        |    round(ln((nd.n + 1.0) / (f.df + 1.0)) + 1.0, 6) AS w
+        |  FROM post p JOIN dfreq f USING (sh) CROSS JOIN nd),
+        |nrm AS (SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nm
+        |  FROM w GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(dot / (na.nm * nb.nm) + 1e-9, 4) AS cosine
+        |FROM pr JOIN nrm na ON na.doc_id = doc_a
+        |JOIN nrm nb ON nb.doc_id = doc_b
+        |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // same 6dp cosines, rank-5 vote, label-ascending argmax
+    "q267_knn_label_accuracy" ->
+      """WITH ex AS (SELECT vec_id, pos - 1 AS pos,
+        |    CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings) u),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm
+        |  FROM ex GROUP BY 1),
+        |dot AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    sum(a.v * b.v) AS d
+        |  FROM ex a JOIN ex b ON a.pos = b.pos
+        |    AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |cos AS (SELECT qid, cid,
+        |    round(d / (na.nm * nb.nm), 6) AS c
+        |  FROM dot JOIN nrm na ON na.vec_id = qid
+        |  JOIN nrm nb ON nb.vec_id = cid),
+        |rk AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY c DESC, cid) AS rk FROM cos),
+        |votes AS (SELECT t.qid, e.label AS clab, count(*) AS cnt
+        |  FROM rk t JOIN embeddings e ON e.vec_id = t.cid
+        |  WHERE t.rk <= 5 GROUP BY 1, 2),
+        |pred AS (SELECT v.qid, v.clab, row_number() OVER (
+        |    PARTITION BY v.qid ORDER BY v.cnt DESC, v.clab) AS r
+        |  FROM votes v)
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN p.clab = e.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(avg(CASE WHEN p.clab = e.label THEN 1.0 ELSE 0.0 END)
+        |    + 1e-9, 4) AS accuracy
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+        |WHERE p.r = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same session spans split at midnight, integer-micro overlap
     "q262_session_day_allocation" ->
