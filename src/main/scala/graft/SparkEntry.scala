@@ -3106,6 +3106,99 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // the feature-store build: ONE wide per-user aggregate assembling
+    // the training feature vector (tenure, recency vs corpus end,
+    // per-type conditional counts, spend, activity cadence) — the
+    // materialization shape every downstream model consumes; one scan,
+    // map-side partials, |users| output rows
+    "q268_user_feature_table" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val end = ev.agg(max(to_date(col("ts"))).as("_end"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          countDistinct(col("event_type")).as("types_used"),
+          min(to_date(col("ts"))).as("_first"),
+          max(to_date(col("ts"))).as("_last"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_error"),
+          round(coalesce(sum(when(col("event_type") === "purchase",
+            col("value"))), lit(0.0)) + lit(1e-9), 4).as("total_spend"))
+        .crossJoin(broadcast(end))
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          col("types_used"),
+          (datediff(col("_last"), col("_first")) + 1).cast("long")
+            .as("tenure_days"),
+          datediff(col("_end"), col("_last")).cast("long")
+            .as("recency_days"),
+          col("n_view"), col("n_click"), col("n_purchase"),
+          col("n_error"), col("total_spend"),
+          when(col("n_view") > 0,
+            round(col("n_purchase") / col("n_view").cast("double")
+              + lit(1e-9), 4)).as("purchase_per_view"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ε-differential-privacy-STYLE noisy count release per (type, day):
+    // Laplace(1/ε) noise via the inverse CDF over a SEEDED md5 uniform
+    // (deterministic so the oracle can replay it — production swaps the
+    // seed for entropy, the mechanism is unchanged). The release-layer
+    // privacy surface next to q120's k-anonymity audit and q74's PII
+    // scrub; ε = 1
+    "q269_dp_noisy_counts" -> ((s, dir) => {
+      val u = ext.Sampling.hashScore(
+        concat(col("event_type"), lit(":"), col("day").cast("string")),
+        9L).cast("double") / lit(4503599627370496.0)
+      val noise = -signum(u - 0.5) * log(lit(1.0)
+        - lit(2.0) * abs(u - 0.5))
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("true_count"))
+        .select(col("event_type"), col("day"), col("true_count"),
+          (round(col("true_count") + round(noise, 6) + lit(1e-9), 4)
+            + lit(0.0)).as("noisy_count"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // distribution-free 95% CI for the median via order statistics
+    // (ranks n/2 ± 0.98·√n), realized on the VALUE GRID (q210's trick:
+    // cumulative counts over distinct 2dp values — bounded rows, never
+    // a corpus-wide single-reducer sort). The uncertainty layer q45's
+    // point percentiles lack
+    "q270_median_ci" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("_cum", sum(col("_c")).over(w))
+      val n = cum.groupBy(col("event_type"))
+        .agg(max(col("_cum")).as("_n"))
+      val ranks = n.select(col("event_type"), col("_n"),
+        ceil(col("_n") / 2.0).as("_rmed"),
+        greatest(lit(1.0), ceil(col("_n") / 2.0
+          - lit(0.98) * sqrt(col("_n")))).as("_rlo"),
+        least(col("_n").cast("double"), ceil(col("_n") / 2.0
+          + lit(0.98) * sqrt(col("_n")))).as("_rhi"))
+      cum.join(broadcast(ranks), Seq("event_type"))
+        .groupBy(col("event_type"), col("_n"))
+        .agg(min(when(col("_cum") >= col("_rmed"), col("value")))
+            .as("median"),
+          min(when(col("_cum") >= col("_rlo"), col("value")))
+            .as("ci_lo"),
+          min(when(col("_cum") >= col("_rhi"), col("value")))
+            .as("ci_hi"))
+        .select(col("event_type"), col("_n").cast("long").as("n"),
+          col("median"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7138,6 +7231,73 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same one-pass wide feature aggregate + corpus-end recency
+    "q268_user_feature_table" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |fin AS (SELECT max(day) AS fend FROM e),
+        |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS types_used,
+        |    min(day) AS fd, max(day) AS ld,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_error,
+        |    round(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN value END), 0.0) + 1e-9, 4) AS total_spend
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, active_days, types_used,
+        |  CAST(datediff('day', fd, ld) + 1 AS BIGINT) AS tenure_days,
+        |  CAST(datediff('day', ld, fend) AS BIGINT) AS recency_days,
+        |  n_view, n_click, n_purchase, n_error, total_spend,
+        |  CASE WHEN n_view > 0 THEN round(n_purchase
+        |    / CAST(n_view AS DOUBLE) + 1e-9, 4) END
+        |    AS purchase_per_view
+        |FROM f CROSS JOIN fin ORDER BY user_id""".stripMargin,
+
+    // same seeded inverse-CDF Laplace over the md5 uniform
+    "q269_dp_noisy_counts" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS true_count
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_count,
+        |    (CAST(CAST(concat('0x', substr(md5(concat('9:',
+        |        event_type, ':', CAST(day AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0) AS u
+        |  FROM c)
+        |SELECT event_type, day, true_count,
+        |  round(true_count + round(-sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 1e-9, 4) + 0.0
+        |    AS noisy_count
+        |FROM n ORDER BY event_type, day""".stripMargin,
+
+    // same value-grid cumulative ranks, order-statistic cuts
+    "q270_median_ci" ->
+      """WITH grid AS (SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cm
+        |  FROM grid),
+        |n AS (SELECT event_type, max(cm) AS n FROM cum GROUP BY 1),
+        |rk AS (SELECT event_type, n, ceil(n / 2.0) AS rmed,
+        |    greatest(1.0, ceil(n / 2.0 - 0.98 * sqrt(n))) AS rlo,
+        |    least(CAST(n AS DOUBLE), ceil(n / 2.0 + 0.98 * sqrt(n)))
+        |      AS rhi
+        |  FROM n)
+        |SELECT c.event_type, CAST(r.n AS BIGINT) AS n,
+        |  min(CASE WHEN c.cm >= r.rmed THEN c.value END) AS median,
+        |  min(CASE WHEN c.cm >= r.rlo THEN c.value END) AS ci_lo,
+        |  min(CASE WHEN c.cm >= r.rhi THEN c.value END) AS ci_hi
+        |FROM cum c JOIN rk r ON c.event_type = r.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // same capped idf postings, posting self-join, rounded cosine
     "q266_shingle_cosine_pairs" ->
