@@ -3199,6 +3199,89 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // attribution-window sensitivity sweep: share of purchases with a
+    // click inside L hours for L ∈ {1,6,12,24,48,72} — ONE unbounded
+    // backward as-of (the native operator) computes each purchase's
+    // last-click gap, then a 6-row broadcast grid fans the CDF out.
+    // The panel that picks q131's lookback instead of assuming it
+    "q271_attribution_window_sweep" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts")).distinct()
+        .withColumn("_v", col("cts"))
+      val gaps = plans.AsOf.join(purchases, clicks, Seq("user_id"),
+          "ts", "cts", Seq(("_v", "click_ts")))
+        .select((unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .as("_gap_us"))
+      val grid = s.range(1).select(explode(array(
+        Seq(1, 6, 12, 24, 48, 72).map(h => lit(h.toLong)): _*))
+        .as("window_h"))
+      gaps.crossJoin(broadcast(grid))
+        .groupBy(col("window_h"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("_gap_us").isNotNull && col("_gap_us")
+            <= col("window_h") * 3600000000L, 1L).otherwise(0L))
+            .as("n_attributed"))
+        .select(col("window_h"), col("n_purchases"), col("n_attributed"),
+          round(col("n_attributed") / col("n_purchases").cast("double")
+            + lit(1e-9), 4).as("attribution_rate"))
+        .orderBy(col("window_h"))
+    }),
+
+    // day-of-week seasonality strength per type: R² of the DOW-mean
+    // model on the daily count series (1 − SS_res/SS_tot) — how much
+    // of daily variance the weekly cycle explains, the gate before
+    // q173/q193 lean on DOW baselines. Calendar-bounded frames; DOW
+    // labels differ between engines (Sunday=1 vs 0) but only partition
+    // identity matters — the groups are identical
+    "q272_seasonality_strength" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("_day"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_dow", dayofweek(col("_day")))
+      val dowMean = daily.groupBy(col("event_type"), col("_dow"))
+        .agg((sum(col("_c")) / count(lit(1))).as("_md"))
+      val tMean = daily.groupBy(col("event_type"))
+        .agg((sum(col("_c")) / count(lit(1))).as("_m"))
+      daily.join(broadcast(dowMean), Seq("event_type", "_dow"))
+        .join(broadcast(tMean), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(lit(1.0) - sum(pow(col("_c") - col("_md"), 2))
+            / sum(pow(col("_c") - col("_m"), 2)) + lit(1e-9), 4)
+            .as("seasonality_r2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // user-user cosine CF: the OTHER memory-based axis (q129 is
+    // item-item) — same integer-exact cosine algebra with the axes
+    // swapped. The scale guard is per-item interaction DOWNSAMPLING:
+    // each item keeps at most 64 users chosen by a deterministic hash
+    // order (id-order truncation would silently exclude every high-id
+    // user; hash order spreads the cap uniformly, the production
+    // per-vertex cap pattern), bounding the pair join at 64²·|items|
+    "q273_user_user_cf" -> ((s, dir) => {
+      val r0 = t(s, dir, "events")
+        .select(col("user_id"), (col("event_id") % 50).as("item_id"))
+        .groupBy(col("user_id"), col("item_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcap = Window.partitionBy(col("item_id"))
+        .orderBy(ext.Sampling.hashScore(
+          concat(col("item_id").cast("string"), lit(":"),
+            col("user_id").cast("string")), 5L), col("user_id"))
+      val ratings = r0.withColumn("_capn", row_number().over(wcap))
+        .filter(col("_capn") <= 64).drop("_capn")
+      Recommend.itemItemCosine(ratings, userCol = "item_id",
+          itemCol = "user_id", ratingCol = "cnt", k = 3,
+          maxItemsPerUser = 1 << 30)
+        .select(col("item_id").as("user_id"),
+          col("neighbor_id").as("neighbor_user"), col("rank"),
+          col("cos"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7231,6 +7314,84 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same last-click max per purchase, CDF at the hour grid
+    "q271_attribution_window_sweep" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT DISTINCT user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |lastc AS (SELECT p.event_id, max(c.cts) AS cts
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts
+        |  GROUP BY 1),
+        |g AS (SELECT p.event_id,
+        |    epoch_us(p.ts) - epoch_us(l.cts) AS gap
+        |  FROM p LEFT JOIN lastc l USING (event_id)),
+        |grid AS (SELECT unnest([1, 6, 12, 24, 48, 72]) AS window_h)
+        |SELECT CAST(window_h AS BIGINT) AS window_h,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN gap IS NOT NULL
+        |    AND gap <= window_h * 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_attributed,
+        |  round(sum(CASE WHEN gap IS NOT NULL
+        |    AND gap <= window_h * 3600000000 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS attribution_rate
+        |FROM g CROSS JOIN grid GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same DOW-mean R² decomposition (labels shift, groups identical)
+    "q272_seasonality_strength" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, c, dayofweek(day) AS dow
+        |  FROM daily),
+        |dm AS (SELECT event_type, dow,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS md
+        |  FROM d2 GROUP BY 1, 2),
+        |tm AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM d2 GROUP BY 1)
+        |SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(1.0 - sum(pow(d2.c - dm.md, 2))
+        |    / sum(pow(d2.c - tm.m, 2)) + 1e-9, 4) AS seasonality_r2
+        |FROM d2 JOIN dm ON d2.event_type = dm.event_type
+        |  AND d2.dow = dm.dow
+        |JOIN tm ON d2.event_type = tm.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q129's algebra with the axes swapped: hash-ordered per-item
+    // user cap, cosine between user vectors, top-3 per user
+    "q273_user_user_cf" ->
+      """WITH r0 AS (SELECT user_id, event_id % 50 AS item_id,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, item_id, cnt FROM (
+        |    SELECT user_id, item_id, cnt, row_number() OVER (
+        |      PARTITION BY item_id ORDER BY
+        |        CAST(concat('0x', substr(md5(concat('5:',
+        |          CAST(item_id AS VARCHAR), ':',
+        |          CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT),
+        |        user_id) AS rn
+        |    FROM r0) WHERE rn <= 64),
+        |n AS (SELECT user_id, CAST(sum(cnt * cnt) AS BIGINT) AS sq
+        |  FROM c GROUP BY user_id),
+        |d AS (SELECT a.user_id AS i, b.user_id AS j,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM c a JOIN c b
+        |    ON a.item_id = b.item_id AND a.user_id < b.user_id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT d.i, d.j, dot / (sqrt(CAST(na.sq AS DOUBLE))
+        |    * sqrt(CAST(nb.sq AS DOUBLE))) AS cos
+        |  FROM d JOIN n na ON na.user_id = d.i
+        |         JOIN n nb ON nb.user_id = d.j),
+        |u AS (SELECT i AS user_id, j AS neighbor_user, cos FROM s
+        |  UNION ALL SELECT j, i, cos FROM s)
+        |SELECT user_id, neighbor_user, rank,
+        |  round(cos + 1e-9, 4) AS cos
+        |FROM (SELECT user_id, neighbor_user, cos,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cos DESC, neighbor_user) AS BIGINT) AS rank
+        |  FROM u) WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
 
     // same one-pass wide feature aggregate + corpus-end recency
     "q268_user_feature_table" ->
