@@ -3282,6 +3282,96 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // revenue pacing curve: daily purchase revenue, cumulative share,
+    // and the halfway flag — the "are we on track" panel. Daily
+    // revenue is rounded BEFORE the ordered cumulative sum, so the
+    // running totals are bit-equal cross-engine by construction; the
+    // window rides the ≤|calendar| frame (the corpus collapsed first)
+    "q274_revenue_pacing" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("revenue"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.agg(round(sum(col("revenue")), 4).as("_tot"))
+      daily.crossJoin(broadcast(tot))
+        .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 4))
+        .select(col("day"), col("revenue"), col("cum_revenue"),
+          round(col("cum_revenue") / col("_tot") + lit(1e-9), 4)
+            .as("cum_share"),
+          (col("cum_revenue") / col("_tot") >= 0.5).cast("long")
+            .as("reached_half"))
+        .orderBy(col("day"))
+    }),
+
+    // quantile treatment effects: the A/B difference at each decile of
+    // the per-user purchase metric — where in the distribution the
+    // variant moves spend (a mean shift vs a whale effect read
+    // identically by q130's t). Exact interpolated deciles per variant
+    // over the 4dp-rounded user metric, one |deciles| join
+    "q275_quantile_treatment_effect" -> ((s, dir) => {
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      val m = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("_metric"))
+        .withColumn("_isa", u < 0.5)
+      def dec(isA: Boolean) = m.filter(if (isA) col("_isa") else !col("_isa"))
+        .agg(percentile(col("_metric"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("_d"))
+        .select(posexplode(col("_d")).as(Seq("_i", "_q")))
+        .select((col("_i") + 1).cast("long").as("decile"),
+          round(col("_q") + lit(1e-9), 4).as(if (isA) "q_a" else "q_b"))
+      dec(true).join(dec(false), Seq("decile"))
+        .select(col("decile"), col("q_a"), col("q_b"),
+          (round(col("q_a") - col("q_b") + lit(1e-9), 4) + lit(0.0))
+            .as("qte"))
+        .orderBy(col("decile"))
+    }),
+
+    // sequential-monitoring peeking curve: the daily Welch z a naive
+    // experimenter would read mid-flight — per-user cumulative spend
+    // on the user×calendar grid (zero-filled, users·days-bounded),
+    // conditional moments per day, z with the 1% two-sided bound
+    // flagged (the peeking-correction teaching panel next to q130's
+    // end-of-test read-out)
+    "q276_ab_peeking_curve" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("_isa", u < 0.5)
+      val dailySpend = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")) + lit(1e-9), 4).as("_r"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = users.crossJoin(days)
+        .join(dailySpend, Seq("user_id", "day"), "left")
+        .withColumn("_cm", sum(coalesce(col("_r"), lit(0.0))).over(w))
+      val mom = cum.groupBy(col("day")).agg(
+        count(when(col("_isa"), 1)).as("n_a"),
+        sum(when(col("_isa"), col("_cm"))).as("_sa"),
+        sum(when(col("_isa"), col("_cm") * col("_cm"))).as("_qa"),
+        count(when(!col("_isa"), 1)).as("n_b"),
+        sum(when(!col("_isa"), col("_cm"))).as("_sb"),
+        sum(when(!col("_isa"), col("_cm") * col("_cm"))).as("_qb"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val (ma, mb) = (col("_sa") / na, col("_sb") / nb)
+      val z = (ma - mb) / sqrt(
+        ((col("_qa") - na * ma * ma) / (na - 1.0)) / na +
+        ((col("_qb") - nb * mb * mb) / (nb - 1.0)) / nb)
+      // significance decided on the ROUNDED z (q130's guard): a
+      // boundary ulp must not flip the flag between engines
+      val zr = round(z + lit(1e-9), 4) + lit(0.0)
+      mom.select(col("day"), col("n_a"), col("n_b"), zr.as("z"),
+          (abs(zr) > 2.576).cast("long").as("significant_1pct"))
+        .orderBy(col("day"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7314,6 +7404,89 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same pre-rounded daily revenue, ordered cumulative, half flag
+    "q274_revenue_pacing" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    round(sum(value) + 1e-9, 4) AS revenue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT round(sum(revenue), 4) AS tot FROM daily),
+        |c AS (SELECT day, revenue,
+        |    round(sum(revenue) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |      AS cum
+        |  FROM daily)
+        |SELECT day, revenue, cum AS cum_revenue,
+        |  round(cum / tot + 1e-9, 4) AS cum_share,
+        |  CAST(cum / tot >= 0.5 AS BIGINT) AS reached_half
+        |FROM c CROSS JOIN tot ORDER BY day""".stripMargin,
+
+    // same per-variant decile arrays on the 4dp user metric
+    "q275_quantile_treatment_effect" ->
+      """WITH m AS (SELECT user_id, round(sum(value) + 1e-9, 4)
+        |    AS metric
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT metric,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM m),
+        |da AS (SELECT quantile_cont(metric, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS d FROM g WHERE isa),
+        |db AS (SELECT quantile_cont(metric, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS d FROM g WHERE NOT isa),
+        |ea AS (SELECT CAST(i AS BIGINT) AS decile,
+        |    round(q + 1e-9, 4) AS q_a
+        |  FROM (SELECT unnest(d) AS q,
+        |      generate_subscripts(d, 1) AS i FROM da) u),
+        |eb AS (SELECT CAST(i AS BIGINT) AS decile,
+        |    round(q + 1e-9, 4) AS q_b
+        |  FROM (SELECT unnest(d) AS q,
+        |      generate_subscripts(d, 1) AS i FROM db) u)
+        |SELECT decile, q_a, q_b,
+        |  round(q_a - q_b + 1e-9, 4) + 0.0 AS qte
+        |FROM ea JOIN eb USING (decile) ORDER BY decile""".stripMargin,
+
+    // same zero-filled user×calendar cumulative grid, rounded-z flag
+    "q276_ab_peeking_curve" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+        |  FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |ua AS (SELECT user_id,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM users),
+        |ds AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    round(sum(value) + 1e-9, 4) AS r
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (SELECT u.user_id, u.isa, d.day
+        |  FROM ua u CROSS JOIN days d),
+        |cum AS (SELECT g.user_id, g.isa, g.day,
+        |    sum(coalesce(ds.r, 0.0)) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM grid g LEFT JOIN ds ON ds.user_id = g.user_id
+        |    AND ds.day = g.day),
+        |mom AS (SELECT day,
+        |    CAST(count(CASE WHEN isa THEN 1 END) AS BIGINT) AS n_a,
+        |    sum(CASE WHEN isa THEN cm END) AS sa,
+        |    sum(CASE WHEN isa THEN cm * cm END) AS qa,
+        |    CAST(count(CASE WHEN NOT isa THEN 1 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN NOT isa THEN cm END) AS sb,
+        |    sum(CASE WHEN NOT isa THEN cm * cm END) AS qb
+        |  FROM cum GROUP BY 1),
+        |f AS (SELECT day, n_a, n_b,
+        |    round((sa / n_a - sb / n_b) / sqrt(
+        |      ((qa - n_a * (sa / n_a) * (sa / n_a)) / (n_a - 1.0))
+        |        / n_a +
+        |      ((qb - n_b * (sb / n_b) * (sb / n_b)) / (n_b - 1.0))
+        |        / n_b) + 1e-9, 4) + 0.0 AS z
+        |  FROM mom)
+        |SELECT day, n_a, n_b, z,
+        |  CAST(abs(z) > 2.576 AS BIGINT) AS significant_1pct
+        |FROM f ORDER BY day""".stripMargin,
 
     // same last-click max per purchase, CDF at the hour grid
     "q271_attribution_window_sweep" ->
