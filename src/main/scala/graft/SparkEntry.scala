@@ -3372,6 +3372,66 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // association rules over ORDER baskets (the original market-basket
+    // domain, vs the events co-engagement family): basketPairs with a
+    // FIXED min support of 2 (order baskets don't repeat pairs at the
+    // events rate — the corpus-scaled support would empty the list at
+    // bench SF), both rule directions, support/confidence/lift from
+    // integer-exact count ratios, top-25 by lift
+    "q277_basket_rules" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item"))
+      val pairs = Recommend.basketPairs(baskets, "basket", "item",
+        maxBasket = 64, minPairCount = 2L,
+        rowsPerSupport = Long.MaxValue)
+      val capped = Recommend.cappedBaskets(baskets, "basket", "item", 64)
+      val ic = capped.groupBy(col("_i")).agg(count(lit(1)).as("_ci"))
+      val nb = capped.agg(countDistinct(col("_b")).cast("double")
+        .as("_nb"))
+      val sym = pairs.select(col("item_a").as("ante"),
+          col("item_b").as("cons"), col("pair_cnt"))
+        .unionByName(pairs.select(col("item_b").as("ante"),
+          col("item_a").as("cons"), col("pair_cnt")))
+      sym.join(ic.select(col("_i").as("ante"), col("_ci").as("_ca")),
+          Seq("ante"))
+        .join(ic.select(col("_i").as("cons"), col("_ci").as("_cc")),
+          Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .select(col("ante"), col("cons"), col("pair_cnt"),
+          round(col("pair_cnt") / col("_nb") + lit(1e-9), 4)
+            .as("support"),
+          round(col("pair_cnt") / col("_ca").cast("double")
+            + lit(1e-9), 4).as("confidence"),
+          round(col("pair_cnt") * col("_nb")
+            / (col("_ca") * col("_cc")).cast("double") + lit(1e-9), 4)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(25)
+    }),
+
+    // dedup aggressiveness curve: how many near-dup pairs and how many
+    // distinct member docs each Jaccard threshold captures, over q32's
+    // exact pair frame — the sensitivity panel that PICKS the dedup
+    // stack's 0.6 instead of assuming it. One pair build (cached),
+    // a 5-row broadcast grid, |pairs|-bounded counts
+    "q278_dedup_threshold_curve" -> ((s, dir) => {
+      val pairs = graft.core.Caches.cached(
+        ext.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+            "text", shingleN = 3, partitionCols = Seq("lang", "source"))
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("_j")))
+      val grid = s.range(1).select(explode(array(
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit(_)): _*)).as("threshold"))
+      val out = pairs.crossJoin(broadcast(grid))
+        .filter(col("_j") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_droppable_upper"))
+        .orderBy(col("threshold"))
+      graft.core.Caches.materializedThenRelease(out, pairs)
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7404,6 +7464,57 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same capped order baskets, fixed support 2, both directions
+    "q277_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey AS i FROM lineitem),
+        |capped AS (SELECT b, i FROM (
+        |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
+        |      AS rn FROM items) WHERE rn <= 64),
+        |pairs AS (SELECT x.i AS ia, y.i AS ib,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci
+        |  FROM capped GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb
+        |  FROM capped),
+        |sym AS (SELECT ia AS ante, ib AS cons, pair_cnt FROM pairs
+        |  UNION ALL SELECT ib, ia, pair_cnt FROM pairs)
+        |SELECT ante, cons, pair_cnt,
+        |  round(pair_cnt / nb.nb + 1e-9, 4) AS support,
+        |  round(pair_cnt / CAST(ca.ci AS DOUBLE) + 1e-9, 4)
+        |    AS confidence,
+        |  round(pair_cnt * nb.nb / CAST(ca.ci * cc.ci AS DOUBLE)
+        |    + 1e-9, 4) AS lift
+        |FROM sym JOIN ic ca ON ca.i = sym.ante
+        |JOIN ic cc ON cc.i = sym.cons
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons LIMIT 25""".stripMargin,
+
+    // q32's pair frame swept over the threshold grid
+    "q278_dedup_threshold_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\s+') AS t
+        |        FROM documents)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))
+        |      / len(list_distinct(a.sh || b.sh)), 4) AS j
+        |  FROM d a JOIN d b ON a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+        |grid AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS DOUBLE) AS threshold)
+        |SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_droppable_upper
+        |FROM p CROSS JOIN grid WHERE j >= threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same pre-rounded daily revenue, ordered cumulative, half flag
     "q274_revenue_pacing" ->
