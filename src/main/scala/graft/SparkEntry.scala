@@ -3432,6 +3432,36 @@ object SparkEntry {
       graft.core.Caches.materializedThenRelease(out, pairs)
     }),
 
+    // audio feature extraction through the REAL WAV codec, round-trip:
+    // per doc a deterministic PCM16 clip is synthesized from the text
+    // bytes (sample_i = (ascii_i − 96)·256), pushed through
+    // wavEncode → Wav.decode → wavFeatures (container parsing, chunk
+    // walk, 16-bit LE samples — the part a SQL oracle cannot do), and
+    // the ORACLE recomputes the same features from the source samples
+    // directly — the round-trip identity is exactly what's certified.
+    // mapPartitions is the sanctioned multimodal plumbing (q44's tier)
+    "q279_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val samples = text.take(200)
+            .map(c => ((c.toInt - 96) * 256).toShort).toArray
+          val blob = ext.Multimodal.wavEncode(8000, samples)
+          val (dur, rms, zcr) =
+            ext.Multimodal.wavFeatures(ext.Multimodal.Wav.decode(blob))
+          (id, src, dur, rms, zcr)
+        })
+        .toDF("doc_id", "source", "_dur", "_rms", "_zcr")
+      feats.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clips"),
+          round(sum(col("_dur")) + lit(1e-9), 4).as("total_sec"),
+          round(avg(col("_rms")) + lit(1e-9), 4).as("mean_rms"),
+          round(avg(col("_zcr")) + lit(1e-9), 4).as("mean_zcr"))
+        .orderBy(col("source"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7464,6 +7494,32 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // the round-trip identity: features recomputed from the SOURCE
+    // samples (ascii-derived ints — integer-exact sums, so only the
+    // per-source averages need the rounding guard)
+    "q279_audio_features" ->
+      """WITH ch AS (SELECT doc_id, source, i,
+        |    (ascii(substr(text, i, 1)) - 96) * 256 AS s
+        |  FROM (SELECT doc_id, source, text,
+        |      unnest(generate_series(1, least(len(text), 200))) AS i
+        |    FROM documents) u),
+        |lg AS (SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS prev FROM ch),
+        |f AS (SELECT doc_id, source, count(*) AS n,
+        |    sqrt(sum(CAST(s AS DOUBLE) * s) / count(*)) / 32768.0
+        |      AS rms,
+        |    sum(CASE WHEN prev IS NOT NULL
+        |      AND ((prev < 0) <> (s < 0)) THEN 1 ELSE 0 END) AS cr
+        |  FROM lg GROUP BY 1, 2),
+        |g AS (SELECT source, n / 8000.0 AS dur, rms,
+        |    CASE WHEN n > 1 THEN cr / (n - 1.0) ELSE 0.0 END AS zcr
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_clips,
+        |  round(sum(dur) + 1e-9, 4) AS total_sec,
+        |  round(avg(rms) + 1e-9, 4) AS mean_rms,
+        |  round(avg(zcr) + 1e-9, 4) AS mean_zcr
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same capped order baskets, fixed support 2, both directions
     "q277_basket_rules" ->

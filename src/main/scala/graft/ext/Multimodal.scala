@@ -268,6 +268,28 @@ object Multimodal {
     }
   }
 
+  /** Minimal mono PCM16 WAV writer — the encode half of [[Wav]]: a
+    * canonical 44-byte RIFF/WAVE/fmt/data layout [[Wav.decode]] reads
+    * back exactly. Used to synthesize deterministic clips (specs, the
+    * q279 audio path) so the container ROUND-TRIP is what the engine
+    * exercises while the oracle recomputes features from the source
+    * samples directly.
+    */
+  def wavEncode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** The standard cheap audio features — duration, RMS energy (full-
     * scale-normalized), zero-crossing rate — computed in one pass over
     * the decoded samples. Deterministic, so spec-checkable exactly.

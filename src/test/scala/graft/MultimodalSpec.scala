@@ -172,6 +172,18 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("wavEncode round-trips through Wav.decode sample-exactly and " +
+    "agrees with the independent spec writer") {
+    val samples = Array[Short](0, 256, -16384, 7680, 32767, -32768, 1)
+    val dec = Multimodal.Wav.decode(Multimodal.wavEncode(8000, samples))
+    assert(dec.sampleRate === 8000 && dec.channels === 1)
+    assert(dec.samples.toSeq === samples.toSeq)
+    // byte-identical to this spec's independently-written canonical
+    // form (no junk chunk): two writers, one layout
+    assert(Multimodal.wavEncode(8000, samples).toSeq ===
+      wavBytes(8000, 1, samples.toIndexedSeq).toSeq)
+  }
+
   test("wavFeatures: exact RMS and zero-crossing rate on a square wave") {
     val square = Seq.fill(4)(Seq(8000.toShort, (-8000).toShort)).flatten
     val (dur, rms, zcr) =
