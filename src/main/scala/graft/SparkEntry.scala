@@ -3462,6 +3462,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // image statistics through the REAL P5 PGM codec round-trip
+    // (q279's audio twin): a 1×n grayscale raster synthesized from the
+    // text bytes, pushed through header-parse decode + nearest-neighbor
+    // resize to a 4-pixel thumbnail (pure integer index math — the
+    // oracle mirrors floor(x·n/4) exactly), per-source mean-gray and
+    // thumbnail-pixel rollups out
+    "q280_image_stats" -> ((s, dir) => {
+      import s.implicits._
+      val feats = t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, text) =>
+          val gray = text.take(200).map(c => (c.toInt & 0x7f).toByte)
+            .toArray
+          val header = s"P5\n${gray.length} 1\n255\n"
+            .getBytes("US-ASCII")
+          val img = ext.Multimodal.Pgm.decode(header ++ gray)
+          val thumb = ext.Multimodal.resize(img, 4, 1)
+          val mean = img.pixels.map(_.toDouble).sum / img.pixels.length
+          (id, src, mean, thumb.pixels(0), thumb.pixels(1),
+            thumb.pixels(2), thumb.pixels(3))
+        })
+        .toDF("doc_id", "source", "_mean", "_t0", "_t1", "_t2", "_t3")
+      feats.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          round(avg(col("_mean")) + lit(1e-9), 4).as("mean_gray"),
+          round(avg(col("_t0")) + lit(1e-9), 4).as("thumb0"),
+          round(avg(col("_t1")) + lit(1e-9), 4).as("thumb1"),
+          round(avg(col("_t2")) + lit(1e-9), 4).as("thumb2"),
+          round(avg(col("_t3")) + lit(1e-9), 4).as("thumb3"))
+        .orderBy(col("source"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7494,6 +7527,34 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // the round-trip identity for the raster: mean over ascii codes,
+    // thumbnail = the floor(x·n/4)-indexed source pixels verbatim
+    "q280_image_stats" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    least(len(text), 200) AS n FROM documents),
+        |m AS (SELECT doc_id,
+        |    avg(CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS mean
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(1, least(len(text), 200))) AS i
+        |    FROM documents) u GROUP BY 1),
+        |th AS (SELECT d.doc_id, d.source, m.mean,
+        |    ascii(substr(text, CAST(floor(0 * n / 4.0) AS INTEGER)
+        |      + 1, 1)) AS t0,
+        |    ascii(substr(text, CAST(floor(1 * n / 4.0) AS INTEGER)
+        |      + 1, 1)) AS t1,
+        |    ascii(substr(text, CAST(floor(2 * n / 4.0) AS INTEGER)
+        |      + 1, 1)) AS t2,
+        |    ascii(substr(text, CAST(floor(3 * n / 4.0) AS INTEGER)
+        |      + 1, 1)) AS t3
+        |  FROM d JOIN m USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+        |  round(avg(mean) + 1e-9, 4) AS mean_gray,
+        |  round(avg(t0) + 1e-9, 4) AS thumb0,
+        |  round(avg(t1) + 1e-9, 4) AS thumb1,
+        |  round(avg(t2) + 1e-9, 4) AS thumb2,
+        |  round(avg(t3) + 1e-9, 4) AS thumb3
+        |FROM th GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the round-trip identity: features recomputed from the SOURCE
     // samples (ascii-derived ints — integer-exact sums, so only the
