@@ -3495,6 +3495,69 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // effective corpus composition under dedup-aware weights: each doc
+    // weighted 1/|its near-dup cluster ∩ base docs| (singletons weigh
+    // 1), per-source raw vs effective share — what the training
+    // mixture ACTUALLY contains once duplicates stop multiple-counting
+    // a source. Rides the staged chain pair list; |clusters|-bounded
+    // rollups
+    "q281_effective_composition" -> ((s, dir) => {
+      val cl = ext.Dedup.duplicateClusters(chainPairList(s, dir))
+        .filter(col("id") < 100000)
+      val sz = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("_sz"))
+      val w = cl.join(sz, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), (lit(1.0) / col("_sz")).as("_w"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"), "left")
+        .select(col("source"), coalesce(col("_w"), lit(1.0)).as("_w"))
+      val tot = docs.agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("_w")).as("_ew"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("_sew"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("_sew") + lit(1e-9), 4).as("effective_docs"),
+          round(col("n_docs") / col("_n") + lit(1e-9), 4).as("raw_share"),
+          round(col("_sew") / col("_ew") + lit(1e-9), 4)
+            .as("effective_share"),
+          (round(col("_sew") / col("_ew") - col("n_docs") / col("_n")
+            + lit(1e-9), 4) + lit(0.0)).as("share_shift"))
+        .orderBy(col("source"))
+    }),
+
+    // the conversion funnel PER VARIANT (q88 × q130): first-touch
+    // anchors with the strict-after rule per step, md5 variant split,
+    // step rates vs the variant's step-1 base — the experiment
+    // read-out a flat funnel hides. Per-step user-keyed aggregates,
+    // |variants × steps| output
+    "q282_funnel_by_variant" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val u = ext.Sampling.hashScore(col("user_id"), 42L).cast("double") /
+        lit(4503599627370496.0)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ts") > col("_t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("ts") > col("_t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_t3"))
+      def step(df: DataFrame, idx: Int) = df.select(col("user_id"))
+        .withColumn("_isa", u < 0.5)
+        .groupBy(col("_isa").as("is_a"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("step_idx", lit(idx.toLong))
+      val steps = step(s1, 1).unionByName(step(s2, 2))
+        .unionByName(step(s3, 3))
+      val base = steps.filter(col("step_idx") === 1)
+        .select(col("is_a"), col("n_users").as("_base"))
+      steps.join(base, Seq("is_a"))
+        .select(col("is_a"), col("step_idx"), col("n_users"),
+          round(col("n_users") / col("_base").cast("double")
+            + lit(1e-9), 4).as("rate_vs_step1"))
+        .orderBy(col("is_a"), col("step_idx"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7527,6 +7590,61 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same cluster weights off the shared chain-cluster CTE
+    "q281_effective_composition" ->
+      (chainClustersSql + """,
+        |cl AS (SELECT id, min(lbl) AS cluster_id FROM reach
+        |  GROUP BY id),
+        |bc AS (SELECT id, cluster_id FROM cl WHERE id < 100000),
+        |sz AS (SELECT cluster_id, count(*) AS sz FROM bc GROUP BY 1),
+        |w AS (SELECT bc.id AS doc_id, 1.0 / sz.sz AS w
+        |  FROM bc JOIN sz USING (cluster_id)),
+        |dd AS (SELECT d.source, coalesce(w.w, 1.0) AS w
+        |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(w) AS ew
+        |  FROM dd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(w) + 1e-9, 4) AS effective_docs,
+        |  round(count(*) / tot.n + 1e-9, 4) AS raw_share,
+        |  round(sum(w) / tot.ew + 1e-9, 4) AS effective_share,
+        |  round(sum(w) / tot.ew - count(*) / tot.n + 1e-9, 4) + 0.0
+        |    AS share_shift
+        |FROM dd CROSS JOIN tot GROUP BY source, tot.n, tot.ew
+        |ORDER BY source""").stripMargin,
+
+    // same strict-after step anchors split by the md5 variant
+    "q282_funnel_by_variant" ->
+      """WITH ua AS (SELECT DISTINCT user_id,
+        |    (CAST(CAST(concat('0x', substr(
+        |        md5(concat('42:', CAST(user_id AS VARCHAR))), 1, 13))
+        |      AS BIGINT) AS DOUBLE) / 4503599627370496.0 < 0.5) AS isa
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |steps AS (
+        |  SELECT ua.isa AS is_a, 1 AS step_idx, count(*) AS n_users
+        |  FROM s1 JOIN ua USING (user_id) GROUP BY 1
+        |  UNION ALL
+        |  SELECT ua.isa, 2, count(*) FROM s2 JOIN ua USING (user_id)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT ua.isa, 3, count(*) FROM s3 JOIN ua USING (user_id)
+        |  GROUP BY 1),
+        |base AS (SELECT is_a, n_users AS b FROM steps
+        |  WHERE step_idx = 1)
+        |SELECT s.is_a, CAST(s.step_idx AS BIGINT) AS step_idx,
+        |  CAST(s.n_users AS BIGINT) AS n_users,
+        |  round(s.n_users / CAST(base.b AS DOUBLE) + 1e-9, 4)
+        |    AS rate_vs_step1
+        |FROM steps s JOIN base USING (is_a)
+        |ORDER BY is_a, step_idx""".stripMargin,
 
     // the round-trip identity for the raster: mean over ascii codes,
     // thumbnail = the floor(x·n/4)-indexed source pixels verbatim
