@@ -3558,6 +3558,89 @@ object SparkEntry {
         .orderBy(col("is_a"), col("step_idx"))
     }),
 
+    // anomaly ENSEMBLE on daily volumes: three independent detectors —
+    // robust z (median/MAD, q107's machinery on counts), DOW-seasonal
+    // residual (q272's frames), and the standardized CUSUM (q215's
+    // running sum) — voted per (type, day); a page-worthy alert needs
+    // ≥2 agreeing signals. Every frame is calendar-bounded; the
+    // detectors share ONE daily rollup
+    "q283_anomaly_ensemble" -> ((s, dir) => {
+      val daily = graft.core.Caches.cached(t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_c")))
+      // robust: median + MAD per type
+      val rb = daily.groupBy(col("event_type"))
+        .agg(percentile(col("_c"), lit(0.5)).as("_med"))
+      val mad = daily.join(broadcast(rb), Seq("event_type"))
+        .groupBy(col("event_type"), col("_med"))
+        .agg(percentile(abs(col("_c") - col("_med")), lit(0.5))
+          .as("_mad"))
+      // seasonal: DOW mean/sd per (type, dow), explicit moments
+      val dowm = daily
+        .withColumn("_dow", dayofweek(col("day")))
+        .groupBy(col("event_type"), col("_dow"))
+        .agg(count(lit(1)).cast("double").as("_n"),
+          sum(col("_c")).as("_s"), sum(col("_c") * col("_c")).as("_q"))
+        .select(col("event_type"), col("_dow"),
+          (col("_s") / col("_n")).as("_md"),
+          sqrt((col("_q") - col("_s") * col("_s") / col("_n"))
+            / greatest(col("_n") - 1.0, lit(1.0))).as("_sd"))
+      // cusum: standardized running sum per type, ordered by day
+      val tm = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("_tn"),
+          sum(col("_c")).as("_ts"), sum(col("_c") * col("_c")).as("_tq"))
+        .select(col("event_type"), (col("_ts") / col("_tn")).as("_tm"),
+          sqrt((col("_tq") - col("_ts") * col("_ts") / col("_tn"))
+            / (col("_tn") - 1.0)).as("_tsd"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flags = daily
+        .withColumn("_dow", dayofweek(col("day")))
+        .join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(dowm), Seq("event_type", "_dow"))
+        .join(broadcast(tm), Seq("event_type"))
+        .withColumn("_scum",
+          sum((col("_c") - col("_tm")) / col("_tsd")).over(wcum))
+        .select(col("event_type"), col("day"),
+          (col("_mad") > 0 && abs(col("_c") - col("_med"))
+            / (lit(1.4826) * col("_mad")) > 3.0).cast("long")
+            .as("robust_flag"),
+          (col("_sd") > 0 && abs(col("_c") - col("_md")) / col("_sd")
+            > 2.0).cast("long").as("seasonal_flag"),
+          (abs(round(col("_scum"), 6)) > 4.0).cast("long")
+            .as("cusum_flag"))
+        .withColumn("n_flags", col("robust_flag")
+          + col("seasonal_flag") + col("cusum_flag"))
+      graft.core.Caches.materializedThenRelease(
+        flags.filter(col("n_flags") >= 1)
+          .orderBy(col("event_type"), col("day")), daily)
+    }),
+
+    // supplier revenue concentration per nation: Herfindahl–Hirschman
+    // index over each nation's supplier revenue shares (×10000, the
+    // antitrust scale) + the top share — the supply-risk panel. One
+    // lineitem⋈supplier rollup, |nations·suppliers|-bounded after
+    "q284_supplier_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2).as("_r"))
+      val natTot = rev.groupBy(col("s_nationkey"))
+        .agg(sum(col("_r")).as("_tot"))
+      rev.join(natTot, Seq("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(pow(col("_r") / col("_tot"), 2)) * 10000.0
+            + lit(1e-9), 4).as("hhi"),
+          round(max(col("_r") / col("_tot")) + lit(1e-9), 4)
+            .as("top_share"))
+        .orderBy(col("nation"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7590,6 +7673,64 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same three detectors over the shared daily frame, same vote
+    "q283_anomaly_ensemble" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |rb AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |mad AS (SELECT d.event_type, rb.med,
+        |    quantile_cont(abs(d.c - rb.med), 0.5) AS mad
+        |  FROM daily d JOIN rb ON d.event_type = rb.event_type
+        |  GROUP BY 1, 2),
+        |dowm AS (SELECT event_type, dayofweek(day) AS dow,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS md,
+        |    sqrt((sum(c * c) - sum(c) * sum(c)
+        |        / CAST(count(*) AS DOUBLE))
+        |      / greatest(CAST(count(*) AS DOUBLE) - 1.0, 1.0)) AS sd
+        |  FROM daily GROUP BY 1, 2),
+        |tm AS (SELECT event_type,
+        |    sum(c) / CAST(count(*) AS DOUBLE) AS tmn,
+        |    sqrt((sum(c * c) - sum(c) * sum(c)
+        |        / CAST(count(*) AS DOUBLE))
+        |      / (CAST(count(*) AS DOUBLE) - 1.0)) AS tsd
+        |  FROM daily GROUP BY 1),
+        |fl AS (SELECT d.event_type, d.day,
+        |    CAST(mad.mad > 0 AND abs(d.c - mad.med)
+        |      / (1.4826 * mad.mad) > 3.0 AS BIGINT) AS robust_flag,
+        |    CAST(w.sd > 0 AND abs(d.c - w.md) / w.sd > 2.0 AS BIGINT)
+        |      AS seasonal_flag,
+        |    CAST(abs(round(sum((d.c - tm.tmn) / tm.tsd) OVER (
+        |        PARTITION BY d.event_type ORDER BY d.day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6))
+        |      > 4.0 AS BIGINT) AS cusum_flag
+        |  FROM daily d
+        |  JOIN mad ON d.event_type = mad.event_type
+        |  JOIN dowm w ON d.event_type = w.event_type
+        |    AND dayofweek(d.day) = w.dow
+        |  JOIN tm ON d.event_type = tm.event_type)
+        |SELECT event_type, day, robust_flag, seasonal_flag, cusum_flag,
+        |  robust_flag + seasonal_flag + cusum_flag AS n_flags
+        |FROM fl
+        |WHERE robust_flag + seasonal_flag + cusum_flag >= 1
+        |ORDER BY event_type, day""".stripMargin,
+
+    // same nation-keyed revenue shares, HHI ×10000
+    "q284_supplier_hhi" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        |      AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT s_nationkey, sum(r) AS tot FROM rev GROUP BY 1)
+        |SELECT n_name AS nation, CAST(count(*) AS BIGINT)
+        |    AS n_suppliers,
+        |  round(sum(pow(r / tot, 2)) * 10000.0 + 1e-9, 4) AS hhi,
+        |  round(max(r / tot) + 1e-9, 4) AS top_share
+        |FROM rev JOIN nt USING (s_nationkey)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same cluster weights off the shared chain-cluster CTE
     "q281_effective_composition" ->
