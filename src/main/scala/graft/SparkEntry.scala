@@ -161,8 +161,13 @@ object SparkEntry {
     // rank/running-sum, SURVEY.md §2.11)
     "q54_lag_lead" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // l_quantity as the LAST tie-break: the synthetic data carries a
+      // duplicate (orderkey, linenumber) line (the very row q195's
+      // uniqueness rule flags), so at bench SF the first three keys
+      // genuinely tie and lag/lead would be engine-order ambiguous
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
       val frame = w.rowsBetween(-1, 1)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"),
@@ -3641,6 +3646,98 @@ object SparkEntry {
         .orderBy(col("nation"))
     }),
 
+    // late-line order audit (TPC-H Q4 shape): orders with at least one
+    // line shipped >60 days after the order date, counted per priority
+    // — the EXISTS/semi-join aggregate shape (dedup via the orderkey
+    // rollup, never a row-multiplying join)
+    "q285_late_orders" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 60)
+        .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      val tot = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      tot.join(late.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_late")), Seq("o_orderpriority"),
+          "left")
+        .select(col("o_orderpriority"), col("n_orders"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"),
+          round(coalesce(col("n_late"), lit(0L))
+            / col("n_orders").cast("double") + lit(1e-9), 4)
+            .as("late_rate"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // language purity per source: share of docs whose LangId equals
+    // the source's majority language — the per-feed mislabel monitor
+    // above q28's classifier and beside q211's corpus-wide Cramér's V.
+    // One scored scan, |sources·langs| frames after
+    "q286_language_purity" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("source"), graft.functions.LangId(col("text"))
+          .as("_pred"))
+      val cnt = scored.groupBy(col("source"), col("_pred"))
+        .agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("_n").desc, col("_pred"))
+      val maj = cnt.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("source"), col("_pred").as("majority_lang"),
+          col("_n").as("_nm"))
+      cnt.groupBy(col("source")).agg(sum(col("_n")).as("_tot"))
+        .join(maj, Seq("source"))
+        .select(col("source"), col("majority_lang"),
+          col("_tot").cast("long").as("n_docs"),
+          round(col("_nm") / col("_tot").cast("double") + lit(1e-9), 4)
+            .as("purity"))
+        .orderBy(col("source"))
+    }),
+
+    // anomaly repair by neighbor interpolation: days flagged by the
+    // robust detector get an IMPUTED count — the mean of the nearest
+    // non-flagged day on each side (IGNORE NULLS window scan, both
+    // directions) — the repair layer above q283's alerting. Output is
+    // the flagged days only; calendar-bounded frames throughout
+    "q287_anomaly_impute" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("_c"))
+      val rb = daily.groupBy(col("event_type"))
+        .agg(percentile(col("_c"), lit(0.5)).as("_med"))
+      val mad = daily.join(broadcast(rb), Seq("event_type"))
+        .groupBy(col("event_type"), col("_med"))
+        .agg(percentile(abs(col("_c") - col("_med")), lit(0.5))
+          .as("_mad"))
+      val flagged = daily.join(broadcast(mad), Seq("event_type"))
+        .withColumn("_bad", col("_mad") > 0
+          && abs(col("_c") - col("_med"))
+            / (lit(1.4826) * col("_mad")) > 3.0)
+      val wPrev = Window.partitionBy(col("event_type"))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy(col("event_type"))
+        .orderBy(col("day"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      flagged
+        .withColumn("_prevOk",
+          last(when(!col("_bad"), col("_c")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("_nextOk",
+          first(when(!col("_bad"), col("_c")), ignoreNulls = true)
+            .over(wNext))
+        .filter(col("_bad"))
+        .select(col("event_type"), col("day"),
+          col("_c").as("observed"),
+          round((coalesce(col("_prevOk"), col("_nextOk"))
+            + coalesce(col("_nextOk"), col("_prevOk"))) / 2.0
+            + lit(1e-9), 4).as("imputed"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -5883,12 +5980,14 @@ object SparkEntry {
         |       lag(l_quantity, 1) OVER w AS prev_qty,
         |       lead(l_quantity, 1) OVER w AS next_qty,
         |       round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |           l_quantity
         |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) + 1e-9, 4)
         |         AS moving_avg
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_quantity)
         |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
 
     "q13_rollup" ->
@@ -7673,6 +7772,85 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same distinct-orderkey late set + per-priority rates
+    "q285_late_orders" ->
+      """WITH late AS (SELECT DISTINCT o.o_orderkey, o.o_orderpriority
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) > 60),
+        |tot AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |lc AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_late
+        |  FROM late GROUP BY 1)
+        |SELECT t.o_orderpriority, t.n_orders,
+        |  COALESCE(lc.n_late, 0) AS n_late,
+        |  round(COALESCE(lc.n_late, 0) / CAST(t.n_orders AS DOUBLE)
+        |    + 1e-9, 4) AS late_rate
+        |FROM tot t LEFT JOIN lc USING (o_orderpriority)
+        |ORDER BY 1""".stripMargin,
+
+    // q226's LangId replication keyed by source, majority + purity
+    "q286_language_purity" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS h_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','un','una','es','por'))) AS h_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','que','en','un','une','est','pour'))) AS h_fr,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','zu','in','ein','eine','ist','von'))) AS h_de,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','就','不','人'))) AS h_zh
+        |  FROM (SELECT source, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |p AS (SELECT source,
+        |  CASE WHEN greatest(h_en,h_es,h_fr,h_de,h_zh) = 0 THEN 'und'
+        |       WHEN h_zh = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'zh'
+        |       WHEN h_fr = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'fr'
+        |       WHEN h_es = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'es'
+        |       WHEN h_en = greatest(h_en,h_es,h_fr,h_de,h_zh) THEN 'en'
+        |       ELSE 'de' END AS pred
+        |  FROM h),
+        |cnt AS (SELECT source, pred, count(*) AS n FROM p
+        |  GROUP BY 1, 2),
+        |maj AS (SELECT source, pred AS majority_lang, n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, pred) AS rk FROM cnt) WHERE rk = 1),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+        |  FROM cnt GROUP BY 1)
+        |SELECT t.source, m.majority_lang, t.n_docs,
+        |  round(m.n / CAST(t.n_docs AS DOUBLE) + 1e-9, 4) AS purity
+        |FROM tot t JOIN maj m USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // same robust flags + IGNORE NULLS neighbor scan
+    "q287_anomaly_impute" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |rb AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |mad AS (SELECT d.event_type, rb.med,
+        |    quantile_cont(abs(d.c - rb.med), 0.5) AS mad
+        |  FROM daily d JOIN rb ON d.event_type = rb.event_type
+        |  GROUP BY 1, 2),
+        |fl AS (SELECT d.event_type, d.day, d.c,
+        |    (mad.mad > 0 AND abs(d.c - mad.med)
+        |      / (1.4826 * mad.mad) > 3.0) AS bad
+        |  FROM daily d JOIN mad ON d.event_type = mad.event_type),
+        |nb AS (SELECT event_type, day, c, bad,
+        |    last_value(CASE WHEN NOT bad THEN c END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prevok,
+        |    first_value(CASE WHEN NOT bad THEN c END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nextok
+        |  FROM fl)
+        |SELECT event_type, day, CAST(c AS BIGINT) AS observed,
+        |  round((COALESCE(prevok, nextok) + COALESCE(nextok, prevok))
+        |    / 2.0 + 1e-9, 4) AS imputed
+        |FROM nb WHERE bad ORDER BY event_type, day""".stripMargin,
 
     // same three detectors over the shared daily frame, same vote
     "q283_anomaly_ensemble" ->
