@@ -3738,6 +3738,83 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // unshipped-revenue priority list (TPC-H Q3 shape): BUILDING-
+    // segment orders placed before the cut with lines still shipping
+    // after it, top-10 by outstanding revenue — the segment filter
+    // prunes customers FIRST, the aggregate rides the |matching
+    // lines| frame, TakeOrdered fuses the cut
+    "q288_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("date")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < cut)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_orderpriority"))
+      t(s, dir, "lineitem").filter(col("l_shipdate").cast("date") > cut)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("orderkey"), col("orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+
+    // top principal component by POWER ITERATION on q109's Gram
+    // matrix: the d² frame is rounded to 4dp FIRST (both engines then
+    // iterate on bit-identical matrices), collected as a model-sized
+    // driver read (the k×dim Similarity class — d²=4096 doubles), and
+    // raw-iterated 8 times, normalizing ONCE at the end (the HITS
+    // lesson). No sign convention needed: v₈ = G⁸·1 and G is PSD
+    "q289_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val d = 64
+      val gramRows = t(s, dir, "embeddings")
+        .agg(functions.GramAggregator.gram(d)(
+          col("embedding").cast("array<double>")).as("_g"))
+        .select(posexplode(col("_g")).as(Seq("k", "v")))
+        .select((col("k") / d).cast("int").as("i"),
+          pmod(col("k"), lit(d)).cast("int").as("j"),
+          round(col("v"), 4).as("g"))
+        .collect()
+      // the aggregator buffer populates the UPPER triangle (q109's
+      // i <= j filter exists for the same reason); mirror explicitly
+      val gm = Array.ofDim[Double](d, d)
+      gramRows.foreach { r =>
+        val (i, j, g) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        if (i <= j) { gm(i)(j) = g; gm(j)(i) = g }
+      }
+      // raw iterations (no per-step rounding: iterate magnitudes pass
+      // decimal representability within 2 steps, so a 6dp round is a
+      // no-op there — the 4dp final round + nudge is the real guard,
+      // the same contract every float aggregate in this file carries)
+      var vec = Array.fill(d)(1.0)
+      for (_ <- 1 to 8) {
+        vec = Array.tabulate(d) { i =>
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += gm(i)(j) * vec(j); j += 1 }
+          acc
+        }
+      }
+      val nrm = math.sqrt(vec.map(x => x * x).sum)
+      var ray = 0.0
+      for (i <- 0 until d; j <- 0 until d) ray += gm(i)(j) * vec(i) * vec(j)
+      val lam = ray / vec.map(x => x * x).sum
+      // HALF_UP like Spark's/DuckDB's round (rint would be half-even)
+      def r4(x: Double): Double = BigDecimal(x)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      vec.zipWithIndex.map { case (x, i) =>
+        (i.toLong, r4(x / nrm + 1e-9) + 0.0, r4(lam + 1e-9))
+      }.toSeq.toDF("pos", "loading", "eigenvalue")
+        .orderBy(col("pos"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7772,6 +7849,61 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same segment-pruned join + outstanding-revenue top 10
+    "q288_shipping_priority" ->
+      """WITH cust AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |ord AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        |  FROM orders JOIN cust ON o_custkey = c_custkey
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT l_orderkey AS orderkey, orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        |    AS revenue
+        |FROM lineitem JOIN ord ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+
+    // same 4dp gram, eight unrolled raw power iterations, Rayleigh
+    "q289_pca_power" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |idx AS (SELECT i, j FROM generate_series(1, 64) g1(i),
+        |  generate_series(1, 64) g2(j) WHERE i <= j),
+        |gu AS (SELECT i - 1 AS i, j - 1 AS j,
+        |    round(sum(v[i] * v[j]), 4) AS g
+        |  FROM e, idx GROUP BY 1, 2),
+        |g AS (SELECT i, j, g FROM gu
+        |  UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+        |v0 AS (SELECT unnest(generate_series(0, 63)) AS i, 1.0 AS v),
+        |v1 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v0 p ON p.i = g.j GROUP BY 1),
+        |v2 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v1 p ON p.i = g.j GROUP BY 1),
+        |v3 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v2 p ON p.i = g.j GROUP BY 1),
+        |v4 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v3 p ON p.i = g.j GROUP BY 1),
+        |v5 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v4 p ON p.i = g.j GROUP BY 1),
+        |v6 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v5 p ON p.i = g.j GROUP BY 1),
+        |v7 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v6 p ON p.i = g.j GROUP BY 1),
+        |v8 AS (SELECT g.i, sum(g.g * p.v) AS v FROM g
+        |  JOIN v7 p ON p.i = g.j GROUP BY 1),
+        |nrm AS (SELECT sqrt(sum(v * v)) AS nm FROM v8),
+        |sq AS (SELECT sum(v * v) AS s2 FROM v8),
+        |ray AS (SELECT (SELECT sum(g.g * a.v * b.v) FROM g
+        |    JOIN v8 a ON a.i = g.i JOIN v8 b ON b.i = g.j) / sq.s2
+        |    AS lam FROM sq)
+        |SELECT CAST(v8.i AS BIGINT) AS pos,
+        |  round(v8.v / nrm.nm + 1e-9, 4) + 0.0 AS loading,
+        |  round(ray.lam + 1e-9, 4) AS eigenvalue
+        |FROM v8 CROSS JOIN nrm CROSS JOIN ray
+        |ORDER BY pos""".stripMargin,
 
     // same distinct-orderkey late set + per-priority rates
     "q285_late_orders" ->
