@@ -3815,6 +3815,59 @@ object SparkEntry {
         .orderBy(col("pos"))
     }),
 
+    // term burstiness (Church–Gale): per token the mean occurrences in
+    // docs that CONTAIN it and the variance-to-mean ratio — content
+    // words are bursty, function words aren't; the feature behind
+    // stopword-free keyword weighting. Vocab-bounded frames from one
+    // (doc, token) rollup; integer-exact ratios throughout
+    "q290_term_burstiness" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ext.TextOps.tokens(col("text"))).as("_tok"))
+        .groupBy(col("doc_id"), col("_tok"))
+        .agg(count(lit(1)).as("_c"))
+      val m = col("_cf") / col("_df").cast("double")
+      tf.groupBy(col("_tok"))
+        .agg(count(lit(1)).as("_df"), sum(col("_c")).as("_cf"),
+          sum(col("_c") * col("_c")).as("_ss"))
+        .filter(col("_cf") >= 50)
+        .select(col("_tok").as("token"), col("_df").as("df"),
+          col("_cf").as("cf"),
+          round(m + lit(1e-9), 4).as("mean_when_present"),
+          round((col("_ss") / col("_df").cast("double") - m * m) / m
+            + lit(1e-9), 4).as("vmr"))
+        .orderBy(col("vmr").desc, col("token"))
+        .limit(20)
+    }),
+
+    // conversion rate by session depth: q103's gap sessions decorated
+    // with a purchase flag, banded by event count — "do deeper
+    // sessions convert" without pretending causality. One window +
+    // one session rollup, |bands| output
+    "q291_depth_conversion" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_prev", lag(col("_us"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull
+          || col("_us") - col("_prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("_seq", sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_seq"))
+        .agg(count(lit(1)).as("_n"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("_conv"))
+      sess.select(when(col("_n") <= 2, "1-2").when(col("_n") <= 5, "3-5")
+          .when(col("_n") <= 10, "6-10").otherwise("11+")
+          .as("depth_band"), col("_conv"))
+        .groupBy(col("depth_band"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("_conv")) + lit(1e-9), 4).as("conv_rate"))
+        .orderBy(col("depth_band"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7849,6 +7902,49 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same (doc, token) rollup + integer-exact VMR
+    "q290_term_burstiness" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |    FROM documents) u
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS cf, sum(c * c) AS ss
+        |  FROM tf GROUP BY 1)
+        |SELECT tok AS token, df, cf,
+        |  round(cf / CAST(df AS DOUBLE) + 1e-9, 4)
+        |    AS mean_when_present,
+        |  round((ss / CAST(df AS DOUBLE)
+        |    - (cf / CAST(df AS DOUBLE)) * (cf / CAST(df AS DOUBLE)))
+        |    / (cf / CAST(df AS DOUBLE)) + 1e-9, 4) AS vmr
+        |FROM agg WHERE cf >= 50
+        |ORDER BY vmr DESC, token LIMIT 20""".stripMargin,
+
+    // same session bands over the q103 CTE, conversion share
+    "q291_depth_conversion" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id)),
+        |g AS (SELECT user_id, event_type,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f),
+        |sess AS (SELECT user_id, seq, count(*) AS n,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CASE WHEN n <= 2 THEN '1-2' WHEN n <= 5 THEN '3-5'
+        |    WHEN n <= 10 THEN '6-10' ELSE '11+' END AS depth_band,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(avg(conv) + 1e-9, 4) AS conv_rate
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same segment-pruned join + outstanding-revenue top 10
     "q288_shipping_priority" ->
