@@ -3868,6 +3868,43 @@ object SparkEntry {
         .orderBy(col("depth_band"))
     }),
 
+    // price–size relationship per part type: OLS slope/intercept + R²
+    // of retail price on size — the catalog pricing-structure panel
+    // (dimension-side analytics next to the fact-side regressions).
+    // One |parts| scan, |types|-bounded moments
+    "q292_price_size_regression" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(regr_slope(col("p_retailprice"),
+            col("p_size").cast("double")) + lit(1e-9), 4).as("slope"),
+          round(regr_intercept(col("p_retailprice"),
+            col("p_size").cast("double")) + lit(1e-9), 4)
+            .as("intercept"),
+          (round(regr_r2(col("p_retailprice"),
+            col("p_size").cast("double")) + lit(1e-9), 4) + lit(0.0))
+            .as("r2"))
+        .orderBy(col("p_type"))),
+
+    // degree inequality of the co-engagement graph: exact Gini over
+    // node degrees (rank formulation on the |nodes|-bounded frame) —
+    // network centralization: is engagement structure hub-dominated
+    // or flat. Empty graph at tiny SF → a zero-node row, like q260
+    "q293_degree_gini" -> ((s, dir) => {
+      val pairs = coengagementPairs(s, dir)
+      val deg = pairs.select(col("item_a").as("id"))
+        .unionByName(pairs.select(col("item_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("_d"))
+      val w = Window.orderBy(col("_d"), col("id"))
+      deg.withColumn("_rk", row_number().over(w))
+        .agg(count(lit(1)).as("n_nodes"),
+          round(avg(col("_d")) + lit(1e-9), 4).as("mean_degree"),
+          round((lit(2.0) * sum(col("_rk") * col("_d"))
+            - (count(lit(1)) + 1) * sum(col("_d")))
+            / (count(lit(1)) * sum(col("_d"))) + lit(1e-9), 4)
+            .as("degree_gini"))
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -7902,6 +7939,31 @@ object SparkEntry {
         |    THEN round((s / n) / ((q - s * s / n) / (n - 1.0))
         |      + 1e-9, 4) END AS nb_p
         |FROM mom ORDER BY event_type""".stripMargin,
+
+    // same |types|-keyed OLS moments
+    "q292_price_size_regression" ->
+      """SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(regr_slope(p_retailprice, CAST(p_size AS DOUBLE))
+        |    + 1e-9, 4) AS slope,
+        |  round(regr_intercept(p_retailprice, CAST(p_size AS DOUBLE))
+        |    + 1e-9, 4) AS intercept,
+        |  round(regr_r2(p_retailprice, CAST(p_size AS DOUBLE))
+        |    + 1e-9, 4) + 0.0 AS r2
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same symmetrized degrees + rank-formulation exact Gini
+    "q293_degree_gini" ->
+      ("WITH " + coengagementPairsSql + """,
+        |deg AS (SELECT id, count(*) AS d FROM (
+        |    SELECT ia AS id FROM pairs
+        |    UNION ALL SELECT ib FROM pairs) u GROUP BY 1),
+        |rk AS (SELECT id, d, row_number() OVER (ORDER BY d, id)
+        |    AS r FROM deg)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  round(avg(d) + 1e-9, 4) AS mean_degree,
+        |  round((2.0 * sum(r * d) - (count(*) + 1) * sum(d))
+        |    / (count(*) * sum(d)) + 1e-9, 4) AS degree_gini
+        |FROM rk""").stripMargin,
 
     // same (doc, token) rollup + integer-exact VMR
     "q290_term_burstiness" ->
