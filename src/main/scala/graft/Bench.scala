@@ -113,8 +113,12 @@ object Bench {
     }
     val steadyQs = sec(steady)
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    // "total_warm" rides along as a compatibility field: the metric key
+    // renamed total_warm → total_steady in round 9, and a consumer still
+    // parsing the old name should find its number, not a silent miss
+    // (ADVICE r9). Costs ~25 bytes of the bounded capture window.
     val line =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"total_warm":${num(warmTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir"}"""
     // three channels so the driver can't miss it: stdout (sbt prefixes it
     // with [info] — parse-hostile), stderr (sbt passes it through
     // UNPREFIXED — grep '^{' to extract), and the SPARK_GRAFT_BENCH_OUT

@@ -3448,11 +3448,17 @@ object SparkEntry {
     "q279_audio_features" -> ((s, dir) => {
       import s.implicits._
       val feats = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id").cast("long"), col("source"), col("text"))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
+          // 7-bit mask BOTH here and in the oracle SQL (ascii % 128):
+          // without it a non-ASCII codepoint wraps mod 65536 in toShort
+          // while the oracle computes on the unbounded codepoint —
+          // parity would then rest on the corpus staying ASCII-only.
+          // Masked, (c&0x7f − 96)·256 ∈ [−24576, 7936] is Short-exact.
           val samples = text.take(200)
-            .map(c => ((c.toInt - 96) * 256).toShort).toArray
+            .map(c => (((c.toInt & 0x7f) - 96) * 256).toShort).toArray
           val blob = ext.Multimodal.wavEncode(8000, samples)
           val (dur, rms, zcr) =
             ext.Multimodal.wavFeatures(ext.Multimodal.Wav.decode(blob))
@@ -3476,6 +3482,7 @@ object SparkEntry {
     "q280_image_stats" -> ((s, dir) => {
       import s.implicits._
       val feats = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id").cast("long"), col("source"), col("text"))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
@@ -8255,25 +8262,29 @@ object SparkEntry {
         |FROM steps s JOIN base USING (is_a)
         |ORDER BY is_a, step_idx""".stripMargin,
 
-    // the round-trip identity for the raster: mean over ascii codes,
+    // the round-trip identity for the raster: mean over 7-bit-masked
+    // ascii codes (% 128 mirrors the Spark side's & 0x7f so both
+    // sides agree on ANY input, not just an ASCII-only corpus),
     // thumbnail = the floor(x·n/4)-indexed source pixels verbatim
     "q280_image_stats" ->
       """WITH d AS (SELECT doc_id, source, text,
-        |    least(len(text), 200) AS n FROM documents),
+        |    least(len(text), 200) AS n FROM documents
+        |  WHERE len(text) > 0),
         |m AS (SELECT doc_id,
-        |    avg(CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS mean
+        |    avg(CAST(ascii(substr(text, i, 1)) % 128 AS DOUBLE))
+        |      AS mean
         |  FROM (SELECT doc_id, text,
         |      unnest(generate_series(1, least(len(text), 200))) AS i
         |    FROM documents) u GROUP BY 1),
         |th AS (SELECT d.doc_id, d.source, m.mean,
         |    ascii(substr(text, CAST(floor(0 * n / 4.0) AS INTEGER)
-        |      + 1, 1)) AS t0,
+        |      + 1, 1)) % 128 AS t0,
         |    ascii(substr(text, CAST(floor(1 * n / 4.0) AS INTEGER)
-        |      + 1, 1)) AS t1,
+        |      + 1, 1)) % 128 AS t1,
         |    ascii(substr(text, CAST(floor(2 * n / 4.0) AS INTEGER)
-        |      + 1, 1)) AS t2,
+        |      + 1, 1)) % 128 AS t2,
         |    ascii(substr(text, CAST(floor(3 * n / 4.0) AS INTEGER)
-        |      + 1, 1)) AS t3
+        |      + 1, 1)) % 128 AS t3
         |  FROM d JOIN m USING (doc_id))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
         |  round(avg(mean) + 1e-9, 4) AS mean_gray,
@@ -8285,13 +8296,14 @@ object SparkEntry {
 
     // the round-trip identity: features recomputed from the SOURCE
     // samples (ascii-derived ints — integer-exact sums, so only the
-    // per-source averages need the rounding guard)
+    // per-source averages need the rounding guard). % 128 mirrors the
+    // Spark side's 7-bit mask; empty texts are skipped on both sides
     "q279_audio_features" ->
       """WITH ch AS (SELECT doc_id, source, i,
-        |    (ascii(substr(text, i, 1)) - 96) * 256 AS s
+        |    (ascii(substr(text, i, 1)) % 128 - 96) * 256 AS s
         |  FROM (SELECT doc_id, source, text,
         |      unnest(generate_series(1, least(len(text), 200))) AS i
-        |    FROM documents) u),
+        |    FROM documents WHERE len(text) > 0) u),
         |lg AS (SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY i)
         |    AS prev FROM ch),
         |f AS (SELECT doc_id, source, count(*) AS n,
