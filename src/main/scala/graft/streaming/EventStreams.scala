@@ -168,13 +168,20 @@ object EventStreams {
     * same id, so a transactional sink should commit (id, data) atomically
     * and skip ids it has seen.
     */
-  def runForeachBatch(df: DataFrame, outputMode: String = "update")
-                     (write: (DataFrame, Long) => Unit): StreamingQuery =
-    df.writeStream.outputMode(outputMode)
+  def runForeachBatch(df: DataFrame, outputMode: String = "update",
+                      checkpoint: Option[String] = None)
+                     (write: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = df.writeStream.outputMode(outputMode)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         write(batch.toDF(), id)
       }
-      .start()
+    // with a checkpoint location the query is RESUMABLE: offsets, the
+    // file-source seen-files log, and every state-store version commit
+    // there, so a restarted query continues from the last committed
+    // batch instead of reprocessing — the recovery seam
+    // StreamingRecoverySpec pins
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Run `body` (typically: define + start + drain a streaming query)
     * with `spark.sql.shuffle.partitions` temporarily set to `n`,
