@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   * worst-case dedup workload the near-dup family is smoked against.
   *
   * Usage: `runMain graft.tools.MakeTenX [srcDir] [destDir] [copies]
-  * [eventsAxis]` (defaults /root/testdata/sf0.1 → /tmp/sf1 × 10).
-  * Offsets are `i * 10^ceil(log10(max_key + 1))` — decimal-aligned so
-  * replica ids are recognizable and never collide.
+  * [eventsAxis] [docsAxis]` (defaults /root/testdata/sf0.1 → /tmp/sf1
+  * × 10). Offsets are `i * 10^ceil(log10(max_key + 1))` —
+  * decimal-aligned so replica ids are recognizable and never collide.
+  *
+  * `docsAxis=distinct` replicates documents as DISTINCT content: copy i
+  * Caesar-rotates the text's letters by i (translate — length, token
+  * count, and word structure preserved exactly; identity for copy 0).
+  * Every shingle/token of copy i≥1 lands in a copy-disjoint vocabulary,
+  * so near-dup families see N× documents with NO new duplicate pairs
+  * and the text-scan family (phrase search, TF-IDF, posting joins) sees
+  * N× distinct corpus — the growth axis the default exact-copy mode
+  * (the dedup worst case) cannot probe (r9 verdict item #4).
   *
   * `eventsAxis=users` additionally offsets events' user_id: 10× USERS
   * with the same per-user stream, the organic-growth axis the
@@ -90,7 +99,26 @@ object MakeTenX {
       replicate("events", Seq("event_id", "user_id"), align = 4000L)
     else
       replicate("events", Seq("event_id"), align = 4000L)
-    replicate("documents", Seq("doc_id"))
+    if (args.length > 4 && args(4) == "distinct") {
+      // distinct-content replication: copy i rotates letters by i so
+      // every copy's vocabulary is disjoint (i mod 26; identity at 0)
+      val df = load("documents")
+      val maxKey = df.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+      val off = decimalOffset(maxKey)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      def rot(s: String, i: Int): String =
+        s.drop(i % 26) + s.take(i % 26)
+      val out = (0 until copies).map { i =>
+        df.withColumn("doc_id", (col("doc_id") + lit(i * off))
+            .cast(df.schema("doc_id").dataType))
+          .withColumn("text",
+            translate(col("text"), lower + upper,
+              rot(lower, i) + rot(upper, i)))
+      }.reduce(_ unionByName _)
+      save(out, "documents")
+    } else
+      replicate("documents", Seq("doc_id"))
     replicate("embeddings", Seq("vec_id"))
     println(s"[make10x] wrote $dest at ${copies}x of $src")
     spark.stop()
