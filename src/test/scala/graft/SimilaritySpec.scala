@@ -163,8 +163,8 @@ class SimilaritySpec extends SparkTestBase {
     "reported cosines are exact") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
-    val model = Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
-    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 50)
+    val model = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 5)
+    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 200)
     val exact = Similarity.bruteForceKnn(emb, queries, 10)
     def topSet(df: org.apache.spark.sql.DataFrame) = df
       .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
@@ -177,7 +177,7 @@ class SimilaritySpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     info(f"PQ recall@10 over ${recalls.size} queries: $mean%.2f")
     assert(mean >= 0.5, f"PQ recall@10 $mean%.2f below 0.5 at " +
-      "(m=4, k=16, rerank=50) — the shipped q85 parameters")
+      "(m=8, k=16, rerank=200) — the shipped q85 parameters")
     // exact-re-rank contract: every reported cos equals the true cosine
     val reported = pq.join(
         emb.select($"vec_id".as("query_id"), $"embedding".as("qv")), "query_id")
@@ -194,20 +194,20 @@ class SimilaritySpec extends SparkTestBase {
     val queries = emb.filter($"vec_id" < 5)
     val centroids = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
-    val model = Similarity.pqTrain(emb, m = 4, k = 16, maxIter = 1)
+    val model = Similarity.pqTrain(emb, m = 8, k = 16, maxIter = 5)
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select($"query_id".cast("long"), $"neighbor_id".cast("long"), $"rank")
       .as[(Long, Long, Long)].collect().toSet
     // probe ALL cells → the cell restriction is vacuous → identical
     // output to the plain PQ scan (same codes, same LUT, same re-rank)
     val full = Similarity.ivfPqSearch(emb, centroids, model, queries,
-      nprobe = 8, k = 10, rerank = 50)
-    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 50)
+      nprobe = 8, k = 10, rerank = 200)
+    val pq = Similarity.pqSearch(emb, model, queries, k = 10, rerank = 200)
     assert(rows(full) === rows(pq))
     // partial probe: recall@10 vs the probed-cell EXACT search stays
     // high (the PQ stage should lose little beyond what probing loses)
     val part = Similarity.ivfPqSearch(emb, centroids, model, queries,
-      nprobe = 3, k = 10, rerank = 50)
+      nprobe = 3, k = 10, rerank = 200)
     val ivfExact = Similarity.ivfSearch(emb, centroids, queries,
       nprobe = 3, k = 10)
     def tops(s: Set[(Long, Long, Long)]) =
