@@ -3926,6 +3926,49 @@ object SparkEntry {
             .as("degree_gini"))
     }),
 
+    // rank-1 ALS by ALTERNATING NORMAL EQUATIONS, fully oracled — the
+    // r9 verdict's suggested promotion: q35/q117 run Spark ML's ALS
+    // (justified rows-only — internal RNG/solve order), this query
+    // implements the same alternating-least-squares math as plain
+    // aggregates so DuckDB can replay it exactly (the q289 unrolled-
+    // rounds pattern). Ratings r(u,i) = interaction count on the 2000-
+    // item vocabulary; v⁰ = 1; three rounds of
+    //   u = Σ r·v / (λ + Σ v²)   over the user's rated items,
+    //   v = Σ r·u / (λ + Σ u²)   over the item's raters (λ = 0.1).
+    // SCALE SHAPE: the real distributed-ALS step — ratings shuffle
+    // once per half-round keyed by user/item, factor frames are
+    // |users|/|items|-bounded, nothing driver-side; rounds are a
+    // fixed unrolled count (3), so the lineage stays bounded
+    "q294_als_rank1" -> ((s, dir) => {
+      // the ratings frame feeds all six half-rounds — cache it or the
+      // events scan + rollup replays per reference
+      val r = graft.core.Caches.cached(t(s, dir, "events")
+        .groupBy(col("user_id"),
+          (col("event_id") % 2000).cast("long").as("item_id"))
+        .agg(count(lit(1)).cast("double").as("_r")))
+      val v0 = r.select(col("item_id")).distinct()
+        .withColumn("_v", lit(1.0))
+      val lam = lit(0.1)
+      val vFinal = (1 to 3).foldLeft(v0) { (v, _) =>
+        val u = r.join(v, Seq("item_id"))
+          .groupBy(col("user_id"))
+          .agg((sum(col("_r") * col("_v"))
+            / (lam + sum(col("_v") * col("_v")))).as("_u"))
+        r.join(u, Seq("user_id"))
+          .groupBy(col("item_id"))
+          .agg((sum(col("_r") * col("_u"))
+            / (lam + sum(col("_u") * col("_u")))).as("_v"),
+            count(lit(1)).as("_n"))
+          .select(col("item_id"), col("_v"), col("_n"))
+      }
+      graft.core.Caches.materializedThenRelease(
+        vFinal.filter(col("item_id") < 50)
+          .select(col("item_id"), col("_n").as("n_raters"),
+            round(col("_v") + lit(1e-9), 4).as("item_factor"))
+          .orderBy(col("item_id")),
+        r)
+    }),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -8030,6 +8073,28 @@ object SparkEntry {
         |  round((2.0 * sum(r * d) - (count(*) + 1) * sum(d))
         |    / (count(*) * sum(d)) + 1e-9, 4) AS degree_gini
         |FROM rk""").stripMargin,
+
+    // the same three alternating normal-equation rounds, unrolled as
+    // CTEs (v0=1 folds into u1's closed form: sum(v²)=count)
+    "q294_als_rank1" ->
+      """WITH r AS (SELECT user_id, CAST(event_id % 2000 AS BIGINT)
+        |    AS item_id, CAST(count(*) AS DOUBLE) AS rt
+        |  FROM events GROUP BY 1, 2),
+        |u1 AS (SELECT user_id, sum(rt) / (0.1 + count(*)) AS u
+        |  FROM r GROUP BY 1),
+        |v1 AS (SELECT item_id, sum(rt * u) / (0.1 + sum(u * u)) AS v
+        |  FROM r JOIN u1 USING (user_id) GROUP BY 1),
+        |u2 AS (SELECT user_id, sum(rt * v) / (0.1 + sum(v * v)) AS u
+        |  FROM r JOIN v1 USING (item_id) GROUP BY 1),
+        |v2 AS (SELECT item_id, sum(rt * u) / (0.1 + sum(u * u)) AS v
+        |  FROM r JOIN u2 USING (user_id) GROUP BY 1),
+        |u3 AS (SELECT user_id, sum(rt * v) / (0.1 + sum(v * v)) AS u
+        |  FROM r JOIN v2 USING (item_id) GROUP BY 1),
+        |v3 AS (SELECT item_id, sum(rt * u) / (0.1 + sum(u * u)) AS v,
+        |    CAST(count(*) AS BIGINT) AS n_raters
+        |  FROM r JOIN u3 USING (user_id) GROUP BY 1)
+        |SELECT item_id, n_raters, round(v + 1e-9, 4) AS item_factor
+        |FROM v3 WHERE item_id < 50 ORDER BY item_id""".stripMargin,
 
     // same (doc, token) rollup + integer-exact VMR
     "q290_term_burstiness" ->
