@@ -100,21 +100,31 @@ object MakeTenX {
     else
       replicate("events", Seq("event_id"), align = 4000L)
     if (args.length > 4 && args(4) == "distinct") {
-      // distinct-content replication: copy i rotates letters by i so
-      // every copy's vocabulary is disjoint (i mod 26; identity at 0)
+      // distinct-content replication: copy i applies letter permutation
+      // #i = rotation by (i mod 26) composed with a block-dependent
+      // swap (block = i/26 swaps position 0 with position block), so
+      // all copies < 26*26 carry pairwise-distinct permutations —
+      // pure rotation alone repeats content every 26 copies (a 100x
+      // build would silently reintroduce 4-way duplicate groups).
+      // Identity at copy 0.
+      require(copies <= 676, s"distinct mode supports <= 676 copies")
       val df = load("documents")
       val maxKey = df.agg(max(col("doc_id")).cast("long")).head().getLong(0)
       val off = decimalOffset(maxKey)
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
-      def rot(s: String, i: Int): String =
-        s.drop(i % 26) + s.take(i % 26)
+      def perm(i: Int): String = {
+        val r = (lower.drop(i % 26) + lower.take(i % 26)).toCharArray
+        val b = i / 26
+        if (b > 0) { val t = r(0); r(0) = r(b); r(b) = t }
+        new String(r)
+      }
       val out = (0 until copies).map { i =>
+        val p = perm(i)
         df.withColumn("doc_id", (col("doc_id") + lit(i * off))
             .cast(df.schema("doc_id").dataType))
           .withColumn("text",
-            translate(col("text"), lower + upper,
-              rot(lower, i) + rot(upper, i)))
+            translate(col("text"), lower + lower.toUpperCase,
+              p + p.toUpperCase))
       }.reduce(_ unionByName _)
       save(out, "documents")
     } else
