@@ -3969,6 +3969,18 @@ object SparkEntry {
         r)
     }),
 
+    // MinHash-LSH on an ENGINE-PORTABLE hash (md5), fully oracled — the
+    // q294 promotion applied to the LSH family: q30/q31/q34/q63 are
+    // rows-only because DuckDB cannot replay xxhash64, so the LSH math
+    // itself (shingle → per-seed minhash → banded buckets → candidate
+    // pairs → agreement estimate) had no oracle-checked row. Same
+    // corpus (docs ∪ 50 truncated copies) and shipped geometry (16
+    // hashes, 4 bands); est_jaccard is an exact k/16 rational
+    "q295_minhash_oracled" -> ((s, dir) =>
+      ext.Dedup.minhashNearDupsPortable(withNearDups(s, dir),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -8073,6 +8085,47 @@ object SparkEntry {
         |  round((2.0 * sum(r * d) - (count(*) + 1) * sum(d))
         |    / (count(*) * sum(d)) + 1e-9, 4) AS degree_gini
         |FROM rk""").stripMargin,
+
+    // the identical md5-minhash pipeline replayed in SQL: same corpus
+    // union (50 truncated copies at +100000), same "s:" seed prefix,
+    // same band concatenation — lexicographic min of fixed-width hex
+    // == numeric min on both engines, and est = k/16 is exact
+    "q295_minhash_oracled" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(t[1:greatest(len(t) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |        FROM documents)
+        |  WHERE doc_id < 50),
+        |d AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+        |          AS t FROM corpus)),
+        |sigs AS (SELECT doc_id,
+        |    list_transform(range(16), s -> list_min(list_transform(sh,
+        |      x -> md5(s::VARCHAR || ':' || x)))) AS mh
+        |  FROM d),
+        |bnd AS (SELECT doc_id, b,
+        |    mh[4*b+1] || mh[4*b+2] || mh[4*b+3] || mh[4*b+4] AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bnd a JOIN bnd c
+        |    ON a.b = c.b AND a.bucket = c.bucket
+        |      AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_filter(range(16),
+        |    i -> sa.mh[i+1] = sb.mh[i+1])) / 16.0 + 1e-9, 4)
+        |    AS est_jaccard
+        |FROM cand
+        |JOIN sigs sa ON sa.doc_id = id_a
+        |JOIN sigs sb ON sb.doc_id = id_b
+        |WHERE len(list_filter(range(16),
+        |    i -> sa.mh[i+1] = sb.mh[i+1])) / 16.0 >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the same three alternating normal-equation rounds, unrolled as
     // CTEs (v0=1 folds into u1's closed form: sum(v²)=count)

@@ -53,6 +53,84 @@ object Dedup {
     * pairs. Rows sharing any band bucket are near-dup candidates.
     * One explode (rows × bands) + one shuffle on the bucket key.
     */
+  /** ENGINE-PORTABLE MinHash-LSH near-dup candidates: identical math to
+    * [[minhashNearDups]] but built on `md5` — a hash BOTH Spark and
+    * DuckDB implement bit-identically — so the whole pipeline (shingle →
+    * per-seed minhash → banded buckets → candidate pairs → signature-
+    * agreement estimate) is replayable by the SQL oracle, promoting the
+    * LSH *math* from CI-pinned to oracle-checked the way q294 did for
+    * ALS. The shipped q30/q63 operators keep `xxhash64` (codegen'd
+    * long-arithmetic, no hex strings — the fast path); this is the
+    * portable twin that certifies the algebra.
+    *
+    * minhash_s(doc) = min over shingles of md5("s:" || shingle) — a
+    * fixed-width lowercase-hex string, so lexicographic MIN equals
+    * numeric min. Bands of `numHashes/bands` concatenated hashes bucket
+    * the candidates; est_jaccard = (#agreeing seeds)/numHashes, an
+    * exact k/n rational (no float drift). Scale shape matches
+    * [[minhashNearDups]]: the self-join is (band, bucket)-local, never
+    * corpus².
+    *
+    * Requires ≥ shingleN tokens per doc (the q32 oracle's standing
+    * corpus contract): shingles are built null-propagating
+    * (`concat`, not `concat_ws`) to mirror SQL `||` semantics exactly.
+    */
+  def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.5, numHashes: Int = 16,
+                              bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val toks = split(lower(col(textCol)), "\\s+")
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (shingleN - 1), lit(1))),
+      i => concat((1 until 2 * shingleN).map { j =>
+        if (j % 2 == 1) element_at(toks, i + (j - 1) / 2) else lit(" ")
+      }: _*)))
+    // explode to (doc, shingle) rows and take per-seed MIN as a plain
+    // aggregate (map-side combine): computing the 16 array_min's over a
+    // shingle-array column instead lets CollapseProject inline the
+    // whole shingle construction into each of the 16 expressions —
+    // measured 22 s vs 2 s at sf0.1 for identical output. The doc-row
+    // repartition spreads the 16×|shingles| md5 projection across the
+    // cluster — the corpus usually arrives as few parquet files, and
+    // without it the hot projection runs at file parallelism
+    val hashed = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(sh).as("_x"))
+      .select(col(idCol) +: (0 until numHashes).map(s =>
+        md5(concat(lit(s + ":"), col("_x"))).as(s"_h$s")): _*)
+    // three consumers read the signature frame (banding + both sides of
+    // the estimate join) — cached so the 16×|shingles| md5 sweep runs
+    // once (the multi-reference rule; measured 3× recompute without it)
+    val sigs = graft.core.Caches.cached(hashed.groupBy(col(idCol))
+      .agg(min(col("_h0")).as("_m0"),
+        (1 until numHashes).map(s => min(col(s"_h$s")).as(s"_m$s")): _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("mh")))
+    val bnd = sigs.select(col(idCol), col("mh"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("", (0 until rowsPerBand).map(r =>
+          element_at(col("mh"), b * rowsPerBand + r + 1)): _*)))
+      .as(Seq("band", "bucket")))
+    val cand = bnd.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(bnd.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    graft.core.Caches.materializedThenRelease(
+      cand
+        .join(sigs.select(col(idCol).as("id_a"), col("mh").as("mh_a")),
+          "id_a")
+        .join(sigs.select(col(idCol).as("id_b"), col("mh").as("mh_b")),
+          "id_b")
+        .withColumn("est_jaccard",
+          round(aggregate(zip_with(col("mh_a"), col("mh_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), _ + _).cast("double") / numHashes + lit(1e-9), 4))
+        .filter(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard"),
+      sigs)
+  }
+
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {

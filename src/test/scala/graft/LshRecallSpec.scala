@@ -59,6 +59,23 @@ class LshRecallSpec extends SparkTestBase {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
   }
 
+  test("q295 path: portable md5-minhash recall >= 0.8 over the same " +
+    "true-Jaccard>=0.5 positives") {
+    // the oracle-checked md5 twin must find the constructed positives
+    // at least as reliably as the shipped xxhash64 path — same banding
+    // geometry, same threshold, independent hash family
+    val truth = constructedPairs.filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val nTruth = truth.count()
+    assert(nTruth >= 25L, s"vacuous truth set ($nTruth pairs)")
+    val found = Dedup.minhashNearDupsPortable(corpus, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b")
+    val hits = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = hits.toDouble / nTruth
+    info(f"portable minhash recall: $hits/$nTruth = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8")
+  }
+
   test("q31 path: SimHash blocking recall == 1.0 over Hamming<=3 positives") {
     val truth = constructedPairs.filter(col("hamming") <= 3)
       .select("id_a", "id_b")
