@@ -49,6 +49,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), s"df cap should be a window:\n$p")
   }
 
+  test("q294 ALS half-rounds: no cartesian anywhere; partial aggregation " +
+    "carries every factor solve") {
+    val p = plan(SparkEntry.queries("q294_als_rank1")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ALS rounds must stay equi-joins:\n$p")
+    // every u/v solve is a groupBy aggregate — map-side combine is what
+    // keeps a 100 TB ratings shuffle at one pass per half-round
+    assert(p.contains("HashAggregate"), s"no partial agg:\n$p")
+  }
+
+  test("q295 portable minhash: bucket-local candidate join, no cartesian, " +
+    "ONE signature build feeding all three consumers") {
+    val p = plan(SparkEntry.queries("q295_minhash_oracled")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay (band,bucket)-local:\n$p")
+    // the cached signature frame serves banding + both estimate sides:
+    // exactly one InMemoryTableScan-producing md5 sweep, so the
+    // 16x|shingles| hash pass runs once (the 21.8 s -> 0.6 s fix)
+    assert(p.contains("InMemoryTableScan"),
+      s"signature frame must be cached (multi-reference rule):\n$p")
+  }
+
   test("q30 verification joins run the native jaccard_sim, not array built-ins") {
     val p = plan(SparkEntry.queries("q30_minhash_neardup")(spark, sf))
     assert(p.contains("jaccard_sim"), s"native JaccardSim not in plan:\n$p")
