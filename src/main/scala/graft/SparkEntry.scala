@@ -152,6 +152,11 @@ object SparkEntry {
       // full sf0.1 sweep (one running_qty row differed). With the
       // quantity tie-break, rows still tied are identical in every
       // ordered column, so their cumulative contributions commute.
+      // running_qty closes the OUTPUT order too: rows fully tied on
+      // the four keys (equal quantity) carry S+q vs S+2q, so without
+      // it the emitted sequence is engine-ambiguous even though the
+      // window math is not — the final ORDER BY must be a total order
+      // on both engines regardless of how the driver compares.
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"))
@@ -162,7 +167,7 @@ object SparkEntry {
           col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("running_qty"))
         .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
-          col("l_linenumber"))
+          col("l_linenumber"), col("running_qty"))
     }),
 
     // lag/lead + sliding-frame moving average (analytic windows beyond
@@ -186,8 +191,13 @@ object SparkEntry {
           lead(col("l_quantity"), 1).over(w).as("next_qty"),
           round(avg(col("l_quantity")).over(frame) + lit(1e-9), 4)
             .as("moving_avg"))
+        // same total-order remedy as q12: rows fully tied on the four
+        // keys emit distinct (prev, next) pairs in engine-ambiguous
+        // positions; the analytic columns close the output order
+        // (asc_nulls_first matches the oracle's explicit NULLS FIRST)
         .orderBy(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
-          col("l_linenumber"))
+          col("l_linenumber"), col("prev_qty").asc_nulls_first,
+          col("next_qty").asc_nulls_first, col("moving_avg"))
     }),
 
     // ---- categories absent from the reference (SURVEY.md §2.11) ----
@@ -5711,6 +5721,24 @@ object SparkEntry {
     src
   }
 
+  /** md5 (first 8 hex) of the compiled `graft.SparkEntry$` bytecode.
+    * Scala 2.13 compiles lambda bodies into methods of the enclosing
+    * class via invokedynamic, so every stream-transform closure defined
+    * in this file is covered by this one class file — editing any of
+    * them changes the fingerprint. Used by [[stagedStreamResult]] to
+    * auto-invalidate staged stream outputs on code change.
+    */
+  private lazy val codeFingerprint: String = {
+    val in = getClass.getClassLoader
+      .getResourceAsStream("graft/SparkEntry$.class")
+    if (in == null) "nocls"
+    else try {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(in.readAllBytes())
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    } finally in.close()
+  }
+
   private def stagedPath(dir: String, table: String, tag: String)
   : java.io.File = {
     val srcParquet = new java.io.File(dir, s"$table.parquet")
@@ -5894,16 +5922,25 @@ object SparkEntry {
     * the artifact (underscore-prefixed — invisible to the parquet
     * reader), so the amortized cost stays evidenced, and the oracle
     * hash still certifies STREAMED output: the artifact is only ever
-    * written by the real streaming run. Bump the tag's version suffix
-    * whenever the stream transform changes — the fingerprint tracks
-    * data, not code.
+    * written by the real streaming run.
+    *
+    * Staleness defense: the staging key folds in [[codeFingerprint]] —
+    * an md5 of the compiled `SparkEntry$` bytecode — ON TOP of the
+    * manually versioned tag, so ANY edit to this file (where all five
+    * stream transforms live) auto-invalidates the staged results; a
+    * transform change can no longer silently serve pre-change output
+    * because someone forgot the version bump (ADVICE r10). The cost of
+    * a false invalidation (an unrelated SparkEntry edit) is one honest
+    * re-run of the stream, recorded in `_SETUP_SECONDS` and surfaced
+    * in BENCH_DETAIL's `setup` map — never a wrong answer.
     */
   private def stagedStreamResult(s: SparkSession, dir: String, tag: String)
                                 (build: => DataFrame): DataFrame = {
-    val dest = stagedPath(dir, "events", tag)
+    val keyedTag = s"${tag}_c$codeFingerprint"
+    val dest = stagedPath(dir, "events", keyedTag)
     val had = new java.io.File(dest, "_SUCCESS").exists()
     val t0 = System.nanoTime()
-    val out = stagedFrame(s, dir, "events", tag)(build)
+    val out = stagedFrame(s, dir, "events", keyedTag)(build)
     if (!had && new java.io.File(dest, "_SUCCESS").exists())
       java.nio.file.Files.writeString(
         dest.toPath.resolve("_SETUP_SECONDS"),
@@ -6260,7 +6297,8 @@ object SparkEntry {
         |           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+        |         running_qty""".stripMargin,
 
     "q54_lag_lead" ->
       """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date, l_orderkey,
@@ -6276,7 +6314,9 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY l_suppkey
         |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
         |               l_quantity)
-        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+        |         prev_qty NULLS FIRST, next_qty NULLS FIRST,
+        |         moving_avg""".stripMargin,
 
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -71,9 +71,13 @@ object Dedup {
     * [[minhashNearDups]]: the self-join is (band, bucket)-local, never
     * corpus².
     *
-    * Requires ≥ shingleN tokens per doc (the q32 oracle's standing
-    * corpus contract): shingles are built null-propagating
-    * (`concat`, not `concat_ws`) to mirror SQL `||` semantics exactly.
+    * Short docs (< shingleN tokens) are safe under ANSI mode (the
+    * Spark 4 default): token lookups use `try_element_at`, which
+    * returns null out-of-range exactly like DuckDB's `t[i]`, and the
+    * null propagates through `concat` (not `concat_ws`) mirroring SQL
+    * `||` — the doc's lone shingle is NULL, its md5s are NULL, `min`
+    * skips it, and the all-null signature can never clear the
+    * agreement threshold, so both engines drop the doc gracefully.
     */
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.5, numHashes: Int = 16,
@@ -83,7 +87,7 @@ object Dedup {
     val sh = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (shingleN - 1), lit(1))),
       i => concat((1 until 2 * shingleN).map { j =>
-        if (j % 2 == 1) element_at(toks, i + (j - 1) / 2) else lit(" ")
+        if (j % 2 == 1) try_element_at(toks, i + (j - 1) / 2) else lit(" ")
       }: _*)))
     // explode to (doc, shingle) rows and take per-seed MIN as a plain
     // aggregate (map-side combine): computing the 16 array_min's over a
