@@ -3991,6 +3991,18 @@ object SparkEntry {
           "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SimHash on an ENGINE-PORTABLE hash (md5), fully oracled — the
+    // last of the promotion family (q294 ALS, q295 MinHash-LSH): the
+    // shipped q31 keys on the codegen'd seed-42 XXH64 SimHash64, so
+    // only its math twin is DuckDB-replayable. Identical algebra:
+    // per-token 32-bit hash, per-bit majority vote, 4×8-bit
+    // block-exact candidate blocking (exhaustive for Hamming ≤ 3 by
+    // pigeonhole), bit_count verify. Same corpus as q31
+    "q296_simhash_oracled" -> ((s, dir) =>
+      ext.Dedup.simhashNearDupsPortable(withNearDups(s, dir),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // local bridges (Granovetter): co-engagement edges closing NO
     // triangle (zero common neighbors) — the weak-tie share of the
     // graph, plus the embeddedness contrast. One aggregate over
@@ -8166,6 +8178,48 @@ object SparkEntry {
         |WHERE len(list_filter(range(16),
         |    i -> sa.mh[i+1] = sb.mh[i+1])) / 16.0 >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the identical bit-vote algebra on md5: tokval = first 15 md5 hex
+    // chars as a 60-bit int (('0x'||_)::BIGINT ≡ Spark conv(_,16,10);
+    // 16 chars would overflow signed BIGINT), sig bit i = majority of
+    // token bit i, candidates from exact 15-bit-block agreement
+    // (DISTINCT replaces the Spark side's first-agreeing-block
+    // map-side dedup — same pair set), Hamming via bit_count(xor)
+    "q296_simhash_oracled" -> {
+      val voteSums = (0 until 60).map(i =>
+        s"sum(CASE WHEN (tv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+        .mkString(",\n    ")
+      val sigExpr = (0 until 60).map(i =>
+        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(t[1:greatest(len(t) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |        FROM documents)
+        |  WHERE doc_id < 50),
+        |tok AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS tv
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        |    FROM corpus) u),
+        |votes AS (SELECT doc_id,
+        |    $voteSums
+        |  FROM tok GROUP BY doc_id),
+        |sigs AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+        |bnd AS (SELECT doc_id, sig, b,
+        |    (sig >> (15 * b)) & 32767 AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    bit_count(xor(a.sig, c.sig)) AS hamming
+        |  FROM bnd a JOIN bnd c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.sig, c.sig)) <= 3)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand ORDER BY id_a, id_b""".stripMargin
+    },
 
     // the same three alternating normal-equation rounds, unrolled as
     // CTEs (v0=1 folds into u1's closed form: sum(v²)=count)

@@ -135,6 +135,85 @@ object Dedup {
       sigs)
   }
 
+  /** ENGINE-PORTABLE SimHash near-dup twin (q296) — the q295 promotion
+    * applied to the bit-vote math: the shipped q31 operator keys on the
+    * codegen'd seed-42 XXH64 [[graft.functions.SimHash64]] (Spark-
+    * internal, not replayable by a SQL oracle), so its correctness was
+    * CI-pinned only. This twin runs the IDENTICAL algebra — per-token
+    * hash, per-bit majority vote, block-exact Hamming candidate
+    * generation, bit_count verify — on md5, which Spark and DuckDB
+    * implement bit-identically, promoting the SimHash *math* from
+    * CI-pinned to oracle-checked.
+    *
+    * tokval(t) = first 15 md5 hex chars of the lowercase token as a
+    * 60-bit integer (Spark `conv(_,16,10)` ≡ DuckDB `('0x'||_)::BIGINT`;
+    * 15 hex chars is the widest value that fits a SIGNED 64-bit int in
+    * both engines — 16 would overflow BIGINT); signature bit i is set
+    * iff Σ_tokens (2·bit_i(tokval) − 1) > 0 — exactly
+    * [[simhashFromHashes]]' vote at width 60, within 4 bits of the
+    * shipped 64-bit strictness (a 32-bit draft emitted 85k pairs at
+    * sf0.1 where the shipped q31 finds ~60 — same math, far looser
+    * Hamming-≤-3 semantics). Candidates come from exact agreement on
+    * one of 4 disjoint 15-bit blocks (pigeonhole: Hamming ≤ 3 forces
+    * ≥ 1 exact block, so blocking is EXHAUSTIVE), kept only at their
+    * FIRST agreeing block — [[simhashNearDups]]' map-side dedup, no
+    * distinct shuffle on the pair stream. A random-doc pair sits at
+    * expected Hamming 30, so the output is near-dup pairs, not bucket
+    * noise, and the (block, bucket)-local join is never corpus².
+    *
+    * Scale shape: one md5 + 32 bit-tests per token row, map-side
+    * combined into 32 per-doc sums; everything downstream is
+    * |docs|-sized. The vote runs over token ROWS (explode, plain
+    * aggregates) for the same CollapseProject reason as
+    * [[minhashNearDupsPortable]].
+    */
+  def simhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val blocks = 4
+    val bitsPerBlock = bits / blocks
+    val tokval = conv(substring(md5(col("_tok")), 1, 15), 16, 10)
+      .cast("long")
+    val votes = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .select(col(idCol) +: (0 until bits).map(i =>
+        when(shiftright(tokval, i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L).as(s"_v$i")): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("_v0")).as("_s0"),
+        (1 until bits).map(i => sum(col(s"_v$i")).as(s"_s$i")): _*)
+    val sigs = votes.select(col(idCol),
+      (0 until bits).map(i =>
+        when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+    val bnd = sigs.select(col(idCol), col("sig"), posexplode(
+        array((0 until blocks).map(b =>
+          shiftright(col("sig"), b * bitsPerBlock)
+            .bitwiseAND((1L << bitsPerBlock) - 1)): _*))
+      .as(Seq("block", "bucket")))
+    val l = bnd.select(col("block"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = bnd.select(col("block"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    def blockAgrees(b: Int): Column =
+      shiftright(xor, b * bitsPerBlock)
+        .bitwiseAND((1L << bitsPerBlock) - 1) === 0
+    val firstAgreeing = (0 until blocks - 1).foldLeft(
+        when(blockAgrees(0), 0)) { (acc, b) =>
+      if (b == 0) acc else acc.when(blockAgrees(b), b)
+    }.otherwise(blocks - 1)
+    l.join(r, Seq("block", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("block") === firstAgreeing)
+      .withColumn("hamming", bit_count(xor))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {

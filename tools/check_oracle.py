@@ -10,7 +10,7 @@ and compares values. Exit code = number of mismatching queries.
 
 Driver-side tooling only (python/duckdb are not available to the engine).
 """
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 import numpy as np
 
@@ -25,7 +25,12 @@ def norm(df):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # MakeTenX-built corpora (e.g. /tmp/sf1) are DIRECTORY parquet;
+        # DuckDB needs the part-file glob in that case
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     bad = 0
     for name, sql in sorted(oracle.items()):
