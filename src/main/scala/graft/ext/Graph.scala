@@ -324,15 +324,28 @@ object Graph {
     * a mid-loop normalizer is a broadcast subtree that re-executes its
     * whole upstream lineage every time it's referenced, which made the
     * per-step-normalized formulation ~2^iters-fold redundant (measured
-    * 19 s cold at sf0.1 for iters=2; this form ~5 s). The raw loop is a
-    * pure single-reference lazy chain — only the FINAL a and h frames
-    * are double-referenced (L1 total + output join), so only they are
-    * materialized. L1 (not the textbook L2) keeps the normalizer a
-    * plain sum — engine-exact up to float-order, no sqrt — and scores
-    * sum to 1. Raw sums stay in double range for any sane iteration
-    * count (magnitudes ~ degreeⁱᵗᵉʳˢ). Nodes with no in-edges have
-    * authority 0, no out-edges hub 0 (the final left joins restore
-    * them; a bipartite graph has only such nodes).
+    * 19 s cold at sf0.1 for iters=2; this form ~5 s). L1 (not the
+    * textbook L2) keeps the normalizer a plain sum — engine-exact up
+    * to float-order, no sqrt — and scores sum to 1. Raw sums stay in
+    * double range for any sane iteration count (magnitudes ~
+    * degreeⁱᵗᵉʳˢ). Nodes with no in-edges have authority 0, no
+    * out-edges hub 0 (the full-outer join of the two final vectors
+    * restores them; a bipartite graph has only such nodes — and their
+    * union IS the node set, so no separate nodesOf scan is needed).
+    *
+    * SINGLE-JOB shape (round 11): the r10 bench showed this operator
+    * drifting 1.37→1.83 s at sf0.1 on a 5,500-node graph — all fixed
+    * per-job scheduling latency, not data (three eager materialize
+    * counts, a nodesOf distinct-union, two totals jobs ≈ 7 jobs).
+    * Now: (1) the uniform h₀=1 start folds the first authority step
+    * into a plain in-degree aggregate (no initial distinct, one less
+    * join); (2) the final a/h frames are persisted LAZILY — their
+    * in-memory blocks populate inside the one output job and serve
+    * every reference (both L1 totals and the output join) without
+    * betting on exchange reuse; (3) the output, totals, and full-outer
+    * node restoration collapse into ONE materialized plan. At 1000
+    * executors the job-count cut is pure win (driver round-trips);
+    * the per-iteration shuffle shape is unchanged.
     *
     * Fixed iteration count, linear lineage, edge frame cached across
     * rounds and released after the result materializes — the
@@ -344,38 +357,33 @@ object Graph {
            dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     val (e, eOwn) = acquire(edgeProj(edges, srcCol, dstCol))
-    val (nodes, nOwn) = acquire(nodesOf(e))
-    // raw power iteration: a pure single-reference lazy chain — each
-    // frame is consumed exactly once by the next half-step, so the
-    // whole loop executes once inside the final materializations
-    var hubs = e.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(1.0).as("h"))
-    var auths: DataFrame = null
-    for (_ <- 1 to iters) {
-      auths = e.join(hubs.select(col("id").as("src"), col("h")),
-          Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("_a"))
+    // h₀ = 1 for every source, so authority step 1 is exactly in-degree
+    var auths = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).cast("double").as("_a"))
+    var hubs: DataFrame = null
+    for (i <- 1 to iters) {
       hubs = e.join(auths.select(col("id").as("dst"), col("_a")),
           Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("_a")).as("_h"))
-        .select(col("id"), col("_h").as("h"))
+      if (i < iters)
+        auths = e.join(hubs.select(col("id").as("src"), col("_h")),
+            Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("_h")).as("_a"))
     }
-    // only the final frames are double-referenced (total + output join)
-    val aFin = graft.core.Caches.materialized(auths)
-    val hFin = graft.core.Caches.materialized(
-      hubs.select(col("id"), col("h").as("_h")))
+    // lazy persists: populated once inside the single output job below,
+    // shared by the totals aggregates AND the full-outer join
+    val aFin = graft.core.Caches.cached(auths)
+    val hFin = graft.core.Caches.cached(hubs)
     val aTot = aFin.agg(sum(col("_a")).as("_at"))
     val hTot = hFin.agg(sum(col("_h")).as("_ht"))
-    val out = graft.core.Caches.materialized(
-      nodes.join(aFin, Seq("id"), "left").join(hFin, Seq("id"), "left")
+    val out = graft.core.Caches.materializedThenRelease(
+      aFin.join(hFin, Seq("id"), "full_outer")
         .join(broadcast(aTot)).join(broadcast(hTot))
         .select(col("id"),
           (coalesce(col("_h"), lit(0.0)) / col("_ht")).as("hub"),
-          (coalesce(col("_a"), lit(0.0)) / col("_at")).as("authority")))
-    aFin.unpersist(blocking = false)
-    hFin.unpersist(blocking = false)
+          (coalesce(col("_a"), lit(0.0)) / col("_at")).as("authority")),
+      aFin, hFin)
     release(e, eOwn)
-    release(nodes, nOwn)
     out
   }
 
