@@ -5329,12 +5329,18 @@ object SparkEntry {
 
     // coverage union: 5-minute activity intervals per user, merged
     // wherever they overlap or touch (gaps-and-islands running max —
-    // integer micros end-to-end)
+    // integer micros end-to-end). event_id makes the window order
+    // TOTAL: at the 10× duplicated-ts corpus, DuckDB's multi-threaded
+    // window path was nondeterministic on the tied (s, e) sort
+    // (99236/99233/99237 across runs of the same SQL) while Spark's
+    // count is the tie-forced 99233 — the unique tie-break keeps the
+    // oracle replayable at any scale (round-11 10× window sweep find)
     "q104_merge_intervals" -> ((s, dir) => {
-      val iv = t(s, dir, "events").select(col("user_id"),
+      val iv = t(s, dir, "events").select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("start_us"),
         (unix_micros(col("ts")) + lit(300000000L)).as("end_us"))
-      ext.EventOps.mergeIntervals(iv, "user_id", "start_us", "end_us")
+      ext.EventOps.mergeIntervals(iv, "user_id", "start_us", "end_us",
+          tieCols = Seq("event_id"))
         .orderBy(col("user_id"), col("island_seq"))
     }),
 
@@ -6111,13 +6117,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM corpus)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN d da ON da.doc_id = cand.id_a
+        |  JOIN d db ON db.doc_id = cand.id_b
+        |  WHERE len(list_intersect(da.sh, db.sh))
+        |        / len(list_distinct(da.sh || db.sh)) >= 0.6),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -6553,16 +6562,23 @@ object SparkEntry {
         |  WHERE a.vec_id < 5)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // event_id tie-break on the session windows: tied rows can't open
+    // a session (gap 0 < 30 min) so the VALUES are tie-insensitive,
+    // but DuckDB's multi-threaded window path returned a different
+    // session count per run on the 10× duplicated-ts corpus
+    // (95468/95470 vs the forced 95465) until the order was made
+    // total — the q104 find, same remedy (round-11 10× sweep)
     "q37_session_window" ->
-      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
-        |           FROM events),
-        |y AS (SELECT user_id, uts, value,
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |           value FROM events),
+        |y AS (SELECT user_id, event_id, uts, value,
         |        CASE WHEN lag(uts) OVER w IS NULL
         |               OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
         |             THEN 1 ELSE 0 END AS new_s
-        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+        |      FROM x WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY uts, event_id)),
         |z AS (SELECT user_id, uts, value,
-        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM y)
         |SELECT epoch_us(min(uts)) AS session_start, user_id,
@@ -6576,15 +6592,16 @@ object SparkEntry {
     // session semantics exactly; the sentinel's synthetic user never
     // appears (filtered Spark-side, absent from the oracle's table)
     "q178_stream_session_materialized" ->
-      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
-        |           FROM events),
-        |y AS (SELECT user_id, uts, value,
+      """WITH x AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+        |           value FROM events),
+        |y AS (SELECT user_id, event_id, uts, value,
         |        CASE WHEN lag(uts) OVER w IS NULL
         |               OR uts - lag(uts) OVER w >= INTERVAL 30 MINUTE
         |             THEN 1 ELSE 0 END AS new_s
-        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY uts)),
+        |      FROM x WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY uts, event_id)),
         |z AS (SELECT user_id, uts, value,
-        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM y)
         |SELECT epoch_us(min(uts)) AS session_start, user_id,
@@ -9767,13 +9784,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM corpus)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN d da ON da.doc_id = cand.id_a
+        |  JOIN d db ON db.doc_id = cand.id_b
+        |  WHERE len(list_intersect(da.sh, db.sh))
+        |        / len(list_distinct(da.sh || db.sh)) >= 0.6),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -11086,7 +11106,13 @@ object SparkEntry {
 
     // q78's recursive-CTE closure + q27's quality battery over the SAME
     // chained corpus; argmax via row_number (quality desc, id asc) —
-    // identical tie-break to the Spark side's max(struct(quality, -id))
+    // identical tie-break to the Spark side's max(struct(quality, -id)).
+    // Pair generation is a shared-shingle POSTING JOIN, not all-pairs
+    // within (lang, source): any pair with Jaccard >= 0.6 > 0 shares a
+    // shingle, so the candidate set is exact — and it keeps the ORACLE
+    // itself scale-robust (the all-pairs form was ~32M list-intersects
+    // at the 10× corpus, hours in DuckDB; posting candidates are 146k,
+    // seconds — round-11 10× window sweep)
     "q119_dedup_keep_best" ->
       """WITH RECURSIVE
         |base AS (SELECT doc_id, lang, source, text FROM documents),
@@ -11109,13 +11135,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM corpus)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN d da ON da.doc_id = cand.id_a
+        |  JOIN d db ON db.doc_id = cand.id_b
+        |  WHERE len(list_intersect(da.sh, db.sh))
+        |        / len(list_distinct(da.sh || db.sh)) >= 0.6),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -11358,18 +11387,21 @@ object SparkEntry {
 
     // same strictly-preceding running max; touching intervals merge
     // (s > pm starts an island, s = pm does not)
+    // event_id tie-break on both OVER orders: total order end-to-end
+    // (DuckDB's parallel window was run-to-run unstable on the tied
+    // 10× corpus without it — see the q104 queries() note)
     "q104_merge_intervals" ->
-      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
         |    epoch_us(ts) + 300000000 AS e FROM events),
-        |m AS (SELECT user_id, s, e,
-        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |m AS (SELECT user_id, s, e, event_id,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         |  FROM iv),
-        |f AS (SELECT user_id, s, e,
+        |f AS (SELECT user_id, s, e, event_id,
         |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ns
         |  FROM m),
         |g AS (SELECT user_id, s, e,
-        |    sum(ns) OVER (PARTITION BY user_id ORDER BY s, e
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY s, e, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM f)
         |SELECT user_id, CAST(island AS BIGINT) AS island_seq,

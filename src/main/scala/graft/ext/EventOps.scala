@@ -312,13 +312,25 @@ object EventOps {
     * ids, and a key+island aggregate emits the merged spans. All
     * windows stay partitioned on the (high-cardinality) key.
     *
+    * `tieCols` (optional) extends the window order to a TOTAL order
+    * with a unique id. The island algebra itself doesn't need it —
+    * identical (start, end) rows produce the same flags under any
+    * permutation — but a replayed-SQL oracle might: at the 10×
+    * duplicated-timestamp corpus, DuckDB 1.0's multi-threaded window
+    * path returned a DIFFERENT island count on each run of the
+    * equivalent SQL (99236/99233/99237; single-threaded it is stable
+    * at 99233, which is also exactly this operator's answer — the
+    * value any correct execution is forced to). A unique tie-break
+    * keeps both engines off tied-sort paths entirely (round 11; the
+    * q54/q12 total-order remedy applied to an INTERNAL window).
+    *
     * Output: (keyCol, island_seq 1-based, start_us, end_us, n_merged).
     */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
-                     endCol: String): DataFrame = {
+                     endCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col(keyCol))
-      .orderBy(col(startCol), col(endCol))
+      .orderBy(col(startCol) +: col(endCol) +: tieCols.map(col): _*)
     val prevMax = max(col(endCol))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
     df
