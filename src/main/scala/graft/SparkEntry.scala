@@ -6505,6 +6505,9 @@ object SparkEntry {
         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
+    // shared-shingle posting join (not all-pairs) — exact: the output
+    // condition len(intersect) > 0 IS candidate membership; keeps the
+    // oracle linear-ish in corpus (q119-family rewrite, round 11)
     "q32_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
@@ -6513,13 +6516,16 @@ object SparkEntry {
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
-        |        FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))
-        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_intersect(da.sh, db.sh))
+        |    / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
+        |FROM cand JOIN d da ON da.doc_id = cand.id_a
+        |  JOIN d db ON db.doc_id = cand.id_b
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // same 3-gram/partition construction as the q32 oracle; NOT IN drops
@@ -6536,12 +6542,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM documents)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
         |drop_ids AS (
-        |  SELECT DISTINCT b.doc_id AS id_b
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.5)
+        |  SELECT DISTINCT id_b
+        |  FROM cand JOIN d da ON da.doc_id = cand.id_a
+        |    JOIN d db ON db.doc_id = cand.id_b
+        |  WHERE len(list_intersect(da.sh, db.sh))
+        |        / len(list_distinct(da.sh || db.sh)) >= 0.5)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
         |ORDER BY doc_id""".stripMargin,
