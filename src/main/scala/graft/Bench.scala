@@ -3,19 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line for the driver (BENCH_r{N}.json). The same line is
-  * written to SPARK_GRAFT_BENCH_OUT (default `BENCH.json` in the working
-  * directory) AND echoed on stderr: stdout passes through sbt's `[info]`
-  * logger, which breaks line-oriented JSON parsing — the file is the
-  * canonical artifact, stderr (unprefixed by sbt) the fallback channel.
-  * A richer record — cold min AND max, memo-warm seconds, per-pass
-  * totals, loadavg stamps, staged-artifact setup seconds, per-query
-  * result rows, and the empty/failed lists — goes to
-  * SPARK_GRAFT_BENCH_DETAIL (default `BENCH_DETAIL.json`, tracked in
-  * git), kept out of the primary line so the driver's bounded
-  * output-capture window never truncates it. A COMPACT summary line
-  * (totals + top-10 queries, < 1 KB) is printed LAST so a bounded
-  * tail capture always contains one complete parseable line.
+  * emits one JSON metric line for the driver (BENCH_r{N}.json). The FULL
+  * per-query line goes ONLY to the SPARK_GRAFT_BENCH_OUT file (default
+  * `BENCH.json` in the working directory, tracked in git — the canonical
+  * artifact); what gets PRINTED (stdout + stderr, < 1 KB) is a single
+  * COMPACT summary (total + top-10 queries + loadavg) guaranteed to
+  * survive the driver's bounded tail capture — the full line's ~4 KB
+  * got head-truncated into unparseable garbage four rounds running, and
+  * printing both put two same-metric lines with different payloads on
+  * the streams (ADVICE r11). tools/parse_bench.py extracts the compact
+  * line from a captured tail. A richer record — cold min AND max,
+  * memo-warm seconds, per-pass totals, loadavg stamps, staged-artifact
+  * setup seconds, per-query result rows, and the empty/failed lists —
+  * goes to SPARK_GRAFT_BENCH_DETAIL (default `BENCH_DETAIL.json`,
+  * tracked in git).
   *
   * Timing note: each query is driven by `.count()`, which lets Catalyst
   * prune columns and drop a final orderBy — fine for relative iteration
@@ -144,21 +145,24 @@ object Bench {
     // of this line is supported.
     val line =
       s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir"}"""
-    // three channels so the driver can't miss it: stdout (sbt prefixes it
-    // with [info] — parse-hostile), stderr (sbt passes it through
-    // UNPREFIXED — grep '^{' to extract), and the SPARK_GRAFT_BENCH_OUT
-    // file (default BENCH.json in the working directory)
-    println(line)
-    System.err.println(line)
+    // the FULL per-query line goes to the SPARK_GRAFT_BENCH_OUT file
+    // ONLY (default BENCH.json, tracked in git — the canonical
+    // artifact). It is deliberately NOT printed: at 296 queries it is
+    // ~4 KB, the driver's bounded tail capture truncates its head into
+    // unparseable garbage, and printing it alongside the compact line
+    // below put two SAME-metric lines with DIFFERENT queries payloads
+    // on the streams — a key-selecting consumer could nondeterministically
+    // read the truncated sample as the full map (ADVICE r11).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    // LAST line printed = a COMPACT summary guaranteed to fit the
-    // driver's bounded (~2 KB) output-capture tail. Three rounds of
-    // BENCH_r{N}.json carried "parsed": null because the full line above
-    // (~3.5 KB at 295 queries) gets its HEAD truncated by the tail
-    // capture, leaving nothing parseable. A tail-capture consumer that
-    // takes the last complete {...} line now always finds this one:
-    // same metric/value keys, the 10 most expensive steady queries as a
+    // The ONLY printed metric line = a COMPACT summary guaranteed to
+    // fit the driver's bounded (~2 KB) output-capture tail, printed to
+    // BOTH stdout (sbt prefixes `[info] ` — strip before parsing) and
+    // stderr. Four rounds of BENCH_r{N}.json carried "parsed": null
+    // because only the full line was printed and its HEAD got
+    // truncated. A tail-capture consumer that takes the last complete
+    // {...} line (tools/parse_bench.py) always finds this one: same
+    // metric/value keys, the 10 most expensive steady queries as a
     // bounded sample, and pointers to the full per-query records.
     val top10 = sec(steady.sortBy(-_._2).take(10).sortBy(_._1))
     val compact =
@@ -183,19 +187,23 @@ object Bench {
     // one-time staged-artifact build costs (_SETUP_SECONDS, written by
     // stagedStreamResult when it runs the REAL streaming query): folded
     // into the tracked artifact so the amortized costs stay visible to
-    // consumers instead of living only in tmp-dir files (VERDICT r10 #6)
+    // consumers instead of living only in tmp-dir files (VERDICT r10 #6).
+    // Reads ONLY the dirs stagedStreamResult registered during THIS
+    // run — a blanket /tmp/graft_* scan also swept up stale dirs from
+    // prior code fingerprints and other corpora, accumulating and
+    // misattributing setup costs across rounds (ADVICE r11; superseded
+    // fingerprint dirs are now also GC'd at staging time).
     val setup = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
-        .flatMap { d =>
-          val f = new java.io.File(d, "_SETUP_SECONDS")
-          if (!f.isFile) None
-          else try Some(d.getName -> new String(
-              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-            .trim.toDouble)
-          catch { case _: Throwable => None }
-        }.sortBy(_._1).toSeq
+      import scala.jdk.CollectionConverters._
+      SparkEntry.stagedStreamDirsThisRun.asScala.toSeq.flatMap { p =>
+        val d = new java.io.File(p)
+        val f = new java.io.File(d, "_SETUP_SECONDS")
+        if (!f.isFile) None
+        else try Some(d.getName -> new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .trim.toDouble)
+        catch { case _: Throwable => None }
+      }.sortBy(_._1)
     }
     val setupJson = setup.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")

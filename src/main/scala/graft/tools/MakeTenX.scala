@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * `docsAxis=distinct` replicates documents as DISTINCT content: copy i
   * applies letter permutation #i (translate — length, token count, and
   * word structure preserved exactly; identity for copy 0). Copies < 26
-  * use pure rotations, so their token vocabularies are pairwise
-  * disjoint; copies ≥ 26 reuse a rotation composed with a one-position
+  * use pure rotations, so their ALPHABETIC token vocabularies are
+  * pairwise disjoint — tokens containing only digits/punctuation pass
+  * through translate unchanged and ARE shared verbatim across all
+  * copies, so the text-scan/posting-join families still see some
+  * cross-copy shared tokens at every copy count (ADVICE r11); copies
+  * ≥ 26 reuse a rotation composed with a one-position
   * swap, so two copies 26 apart DO share every word containing none of
   * the swapped letters — substantial token/shingle overlap, though
   * shared-shingle Jaccard stays far below the 0.5 near-dup threshold
