@@ -184,10 +184,19 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(col("_v0")).as("_s0"),
         (1 until bits).map(i => sum(col(s"_v$i")).as(s"_s$i")): _*)
-    val sigs = votes.select(col(idCol),
+    // CACHED for the same reason minhashNearDupsPortable caches its
+    // signature frame, but here the dominant cost is DRIVER-side: the
+    // sig column is a 60-term sum of whens over the 60 vote columns,
+    // and without a materialization boundary CollapseProject inlines
+    // that tree into the 4-element banding array on BOTH join sides —
+    // the optimizer then walks ~8 copies of the 60-term tree on every
+    // execution (measured: 1.9 s/run planning-bound vs 0.65 s cached
+    // at sf0.1, identical output; the executed work is |docs|-sized
+    // either way). The cache cuts the lineage to a plain attribute.
+    val sigs = graft.core.Caches.cached(votes.select(col(idCol),
       (0 until bits).map(i =>
         when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sig"))
+        .reduce(_ + _).as("sig")))
     val bnd = sigs.select(col(idCol), col("sig"), posexplode(
         array((0 until blocks).map(b =>
           shiftright(col("sig"), b * bitsPerBlock)
@@ -205,13 +214,15 @@ object Dedup {
         when(blockAgrees(0), 0)) { (acc, b) =>
       if (b == 0) acc else acc.when(blockAgrees(b), b)
     }.otherwise(blocks - 1)
-    l.join(r, Seq("block", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("block") === firstAgreeing)
-      .withColumn("hamming", bit_count(xor))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"),
-        col("hamming").cast("long").as("hamming"))
+    graft.core.Caches.materializedThenRelease(
+      l.join(r, Seq("block", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("block") === firstAgreeing)
+        .withColumn("hamming", bit_count(xor))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming")),
+      sigs)
   }
 
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
