@@ -65,4 +65,27 @@ class StagedFrameSpec extends SparkTestBase {
     assert(!new java.io.File(dest, "part-garbage.parquet").exists(),
       "garbage from the torn publish survived the rebuild")
   }
+
+  test("stagedStreamResult registers its dir for Bench's setup map and " +
+    "GCs superseded-fingerprint stagings") {
+    // a dir for the SAME stream tag under a different (stale) code
+    // fingerprint: this binary can never serve it again, so running
+    // the stream query must delete it (ADVICE r11 — fingerprint-keyed
+    // staging otherwise accumulates one orphan dir per code edit, and
+    // Bench's old blanket /tmp scan misattributed its setup cost)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val stale = new java.io.File(tmp,
+      "graft_q248_result_v1_cdeadbeef_0123456789abcdef")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      stale.toPath.resolve("_SETUP_SECONDS"), "9.999\n")
+    SparkEntry.queries("q248_stream_static_enrich")(spark, sf).count()
+    assert(!stale.exists(),
+      "superseded-fingerprint staging dir survived a stream run")
+    import scala.jdk.CollectionConverters._
+    val registered = SparkEntry.stagedStreamDirsThisRun.asScala
+    assert(registered.exists(_.contains("graft_q248_result_v1_c")),
+      s"stream staging dir not registered for setup attribution: " +
+        s"$registered")
+  }
 }
