@@ -1320,10 +1320,17 @@ object SparkEntry {
     // token array — the grep-style full-scan path (at 100 TB a
     // positional-postings index buys the sparse-phrase case; the scan
     // IS the build cost of that index, so the one-shot query is pure
-    // map-side with a k-bounded TakeOrdered on top)
+    // map-side with a k-bounded TakeOrdered on top).
+    // Existence pre-filter: tokens are split(lower(text), "\s+"), so the
+    // adjacent pair (table, part) exists IFF lower(text) matches
+    // (^|\s)table\s+part(\s|$) — a grep-before-parse gate that is exactly
+    // the final n_hits > 0 predicate, letting the non-matching majority
+    // skip tokenize + array-walk entirely; survivors still pay the exact
+    // positional count, so output is bit-identical
     "q196_phrase_search" -> ((s, dir) => {
       val tks = ext.TextOps.tokens(col("text"))
       t(s, dir, "documents")
+        .filter(lower(col("text")).rlike("(^|\\s)table\\s+part(\\s|$)"))
         .select(col("doc_id"), tks.as("_t"), size(tks).as("_n"))
         .filter(col("_n") >= 2)
         .select(col("doc_id"),
