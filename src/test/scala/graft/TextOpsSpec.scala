@@ -355,4 +355,45 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(2L) === ((4L, 2L, 0.6931)))  // ln 2
     assert(got(3L) === ((4L, 4L, 1.3863)))  // ln 4
   }
+
+  test("phrase pre-filter regex is exactly token-pair adjacency (q196 gate)") {
+    // q196 gates the tokenize + positional array-walk on
+    // lower(text) RLIKE (^|\s)table\s+part(\s|$); the claim is IFF:
+    // since tokens are split(lower(text), \s+), token i = "table" and
+    // token i+1 = "part" holds exactly when that regex matches. Any
+    // drift (substring false-positive like "stable part"/"table parts",
+    // or a miss on multi-whitespace / boundary positions) silently
+    // changes q196's result set, so pin both directions on the
+    // adversarial battery.
+    val cases = Seq(
+      ("table part", true),            // whole text is the phrase
+      ("a table part b", true),        // interior
+      ("table  \t part", true),        // multi-whitespace separator
+      ("  table part", true),          // leading whitespace (empty token)
+      ("a table part", true),          // phrase at end
+      ("TABLE PART", true),            // case-folded by lower()
+      ("table part table part", true), // repeated
+      ("stable part", false),          // left boundary: suffix match only
+      ("table parts", false),          // right boundary: prefix match only
+      ("table", false),                // single token
+      ("part table", false),           // wrong order
+      ("table x part", false),         // not adjacent
+      ("tablepart", false),            // no separator
+      ("", false))
+    val rx = "(^|\\s)table\\s+part(\\s|$)"
+    val df = cases.toDF("text", "expected")
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n", size($"toks"))
+      .withColumn("walk", $"n" >= 2 && size(filter(
+        transform(sequence(lit(1), greatest($"n", lit(2)) - 1),
+          i => element_at($"toks", i) === lit("table")
+            && element_at($"toks", i + 1) === lit("part")),
+        x => x)) > 0)
+      .withColumn("gate", lower($"text").rlike(rx))
+    df.collect().foreach { r =>
+      val (text, exp) = (r.getAs[String]("text"), r.getAs[Boolean]("expected"))
+      assert(r.getAs[Boolean]("walk") === exp, s"array walk on '$text'")
+      assert(r.getAs[Boolean]("gate") === exp, s"regex gate on '$text'")
+    }
+  }
 }
