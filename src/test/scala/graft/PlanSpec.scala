@@ -202,6 +202,32 @@ class PlanSpec extends SparkTestBase {
       s"bloom probe should sit below the verify join:\n$p")
   }
 
+  test("q196 phrase gate short-circuits BEFORE any token-array conjunct") {
+    // Catalyst collapses the existence pre-filter (lower(text) RLIKE
+    // adjacency regex) and the pushed-down size/walk predicates into ONE
+    // scan-side Filter; codegen evaluates its conjuncts left-to-right
+    // with short-circuit AND. The performance property is therefore the
+    // conjunct ORDER: the cheap regex gate must precede every conjunct
+    // that tokenizes (split) — otherwise the non-matching corpus
+    // majority pays array materialization again
+    val exec = SparkEntry.queries("q196_phrase_search")(spark, sf)
+      .queryExecution.executedPlan
+    val gate = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.toUpperCase.contains("RLIKE") => f
+    }
+    assert(gate.nonEmpty, s"rlike gate missing from plan:\n$exec")
+    val cond = gate.head.condition.toString
+    val rlikeAt = cond.toUpperCase.indexOf("RLIKE")
+    val splitAt = cond.indexOf("split(")
+    assert(splitAt < 0 || rlikeAt < splitAt,
+      s"regex gate does not precede the tokenizing conjuncts:\n$cond")
+    // and the gate sits directly on the parquet scan subtree
+    assert(gate.head.child.collectLeaves()
+      .exists(_.toString.contains("Scan parquet")),
+      s"gate not on the scan side:\n$exec")
+  }
+
   test("q88 funnel plans user-keyed aggregates only — no window, no sort " +
     "to one reducer") {
     val p = plan(SparkEntry.queries("q88_event_funnel")(spark, sf))
