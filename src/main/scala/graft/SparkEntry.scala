@@ -2307,8 +2307,13 @@ object SparkEntry {
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("l_extendedprice")
-          * (lit(1.0) - col("l_discount"))) + lit(1e-9), 2)
+        // decimal money sum (the q108 precedent): the old double sum's
+        // +1e-9 nudge only shields exact .xx5 ties, not the ~1e-5
+        // accumulated float error that flipped three customers' last
+        // cent (and potentially the top-20 ORDER) at the 30x corpus
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+          .cast("double")
           .as("lost_revenue"), count(lit(1)).as("n_lines"))
       lost.join(t(s, dir, "customer").select(col("c_custkey"),
           col("c_name"), col("c_acctbal"), col("c_nationkey")),
@@ -5395,10 +5400,18 @@ object SparkEntry {
       val ord = bucketedStaged(s, dir, "orders",
         Seq("o_orderkey", "o_orderpriority"),
         "o_orderkey", buckets = 8, tag = "q108ord")
+      // money in DECIMAL, not double: at a 30x corpus the group sums
+      // reach 1.8e11 and a double sum's order-dependent error (~1e-13
+      // relative = ~0.02 absolute) crosses the 2-dp rounding floor, so
+      // engine and oracle legitimately disagree in the last cent.
+      // Exact decimal sums are engine-order-invariant at ANY scale;
+      // the rounded result is cast back to double (exact: cents fit
+      // in 2^53 far past 100x)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -6218,7 +6231,11 @@ object SparkEntry {
     * `capped` (identical ≤64 row_number cap) → `pairs(ia, ib,
     * pair_cnt)` with the same corpus-scaled support as the Spark side.
     * Callers prepend `WITH ` (or `WITH RECURSIVE `) and append their
-    * own CTEs.
+    * own CTEs. `pairs` is MATERIALIZED: DuckDB re-inlines plain CTEs
+    * per reference, so a consumer referencing `pairs` k times (q206
+    * references it through a five-layer chain) would re-run the
+    * capped self-join k-to-exponentially many times (valid inside
+    * WITH RECURSIVE too — verified on duckdb 1.0).
     */
   private val coengagementPairsSql: String =
     """items AS (SELECT DISTINCT user_id AS b, event_id % 4000 AS i
@@ -6226,7 +6243,8 @@ object SparkEntry {
       |capped AS (SELECT b, i FROM (
       |    SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i)
       |      AS rn FROM items) WHERE rn <= 64),
-      |pairs AS (SELECT x.i AS ia, y.i AS ib, count(*) AS pair_cnt
+      |pairs AS MATERIALIZED (SELECT x.i AS ia, y.i AS ib,
+      |    count(*) AS pair_cnt
       |  FROM capped x JOIN capped y ON x.b = y.b AND x.i < y.i
       |  GROUP BY 1, 2 HAVING count(*) >=
       |    (SELECT greatest(2, CAST(floor(count(*) / 30000.0) AS BIGINT))
@@ -7140,24 +7158,30 @@ object SparkEntry {
         |WHERE degree >= 2 ORDER BY deg.id""").stripMargin,
 
     // q100's two unrolled label-prop rounds verbatim, then the
-    // modularity decomposition over the final labels
+    // modularity decomposition over the final labels. The chained
+    // multi-referenced CTEs are MATERIALIZED: DuckDB otherwise
+    // re-inlines each reference, and this five-layer chain re-evaluated
+    // the base pair join ~3^depth times — at the 30x sweep corpus that
+    // meant >75 GB of spilled temp and no termination, on CTEs that
+    // were all EMPTY (the round-12 find; same oracle-side-formulation
+    // class as r11's quadratic all-pairs rewrites)
     "q206_modularity" ->
       ("WITH " + coengagementPairsSql + """,
-        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
         |          UNION ALL SELECT ib, ia FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges
         |          UNION SELECT DISTINCT dst AS id FROM edges),
         |l0 AS (SELECT id, id AS lbl FROM nodes),
         |c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
         |  FROM edges e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-        |l1 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |l1 AS MATERIALIZED (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
         |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
         |      ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1) a
         |  ON a.id = nd.id),
         |c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
         |  FROM edges e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-        |l2 AS (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
+        |l2 AS MATERIALIZED (SELECT nd.id, COALESCE(a.lbl, nd.id) AS lbl
         |  FROM nodes nd LEFT JOIN (SELECT id, lbl FROM (
         |    SELECT id, lbl, row_number() OVER (PARTITION BY id
         |      ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) a
@@ -7748,7 +7772,8 @@ object SparkEntry {
     // same aggregate-below-join, cents-rounded deterministic top 20
     "q240_returned_customers" ->
       """WITH lost AS (SELECT o_custkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
         |      AS lost_revenue,
         |    CAST(count(*) AS BIGINT) AS n_lines
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -11541,7 +11566,9 @@ object SparkEntry {
     // layout must be a pure physical optimization, invisible in rows
     "q108_bucket_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |    AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.tools.MakeTenX [srcDir] [destDir] [copies]
   * [eventsAxis] [docsAxis]` (defaults /root/testdata/sf0.1 → /tmp/sf1
-  * × 10). Offsets are `i * 10^ceil(log10(max_key + 1))` —
-  * decimal-aligned so replica ids are recognizable and never collide.
+  * × 10). Offsets are `i * max(10^8, 10^ceil(log10(max_key + 1)))` —
+  * decimal-aligned so replica ids are recognizable and never collide,
+  * floored at 10^8 so they also clear the engine's planted-mutation id
+  * namespaces (documents +1e5/+2e5, embeddings +1e5, orders +1e7) at
+  * any copy count.
   *
   * `docsAxis=distinct` replicates documents as DISTINCT content: copy i
   * applies letter permutation #i (translate — length, token count, and
@@ -70,10 +73,21 @@ object MakeTenX {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => save(load(t), t))
 
+    // Replica ids must ALSO clear the engine's planted-mutation id
+    // namespaces (documents +1e5/+2e5 in chainedCorpus/withNearDups,
+    // embeddings +1e5, orders CDC inserts +1e7): at 30 copies the plain
+    // decimal offset (10^4 for documents) walked replica ids straight
+    // into [1e5, 2.1e5], and the engine's ID-KEYED pair math vs the
+    // oracle's ROW-KEYED all-pairs diverged on the collided ids (the
+    // round-12 30x-sweep find; 10x passed only because max replica id
+    // stayed at 95999). Flooring the offset at 10^8 keeps every replica
+    // id above every planted namespace at any copy count ≤ 676, with
+    // BIGINT headroom to spare.
+    val plantedNamespaceFloor = 100000000L
     def decimalOffset(maxKey: Long): Long = {
       var off = 1L
       while (off <= maxKey) off *= 10
-      off
+      math.max(off, plantedNamespaceFloor)
     }
     /** Replicate with `keys` offset per copy; all other columns
       * verbatim. Returns the per-copy offset so FK-sharing tables can

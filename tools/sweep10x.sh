@@ -40,10 +40,13 @@ cd "$(dirname "$0")/.."
 SRC=${1:-/root/testdata/sf0.1}
 DEST=${2:-/tmp/sf1}
 OUT=${3:-/tmp/verify_sf1}
+# 4th arg scales the ladder rung: 10 (default) reproduces the round-11
+# protocol; 30 probes one more scale up on the same axes
+COPIES=${4:-10}
 EXCLUDE="q33_knn_brute q66_dedup_embedding q137_sq_search q267_knn_label_accuracy"
 
-echo "[sweep10x] 1/4 building 10x corpus $SRC -> $DEST"
-sbt -batch "runMain graft.tools.MakeTenX $SRC $DEST 10 eventid distinct"
+echo "[sweep10x] 1/4 building ${COPIES}x corpus $SRC -> $DEST"
+sbt -batch "runMain graft.tools.MakeTenX $SRC $DEST $COPIES eventid distinct"
 
 echo "[sweep10x] 2/4 dumping query results at $DEST -> $OUT"
 sbt -batch "runMain graft.Verify $DEST $OUT"
@@ -64,5 +67,5 @@ json.dump(kept, open(path, "w"))
 print(f"[sweep10x] {len(oracle)} oracles -> {len(kept)} after exclusions")
 EOF
 
-echo "[sweep10x] 4/4 DuckDB compare at 10x"
+echo "[sweep10x] 4/4 DuckDB compare at ${COPIES}x"
 python3 tools/check_oracle.py "$DEST" "$OUT"
