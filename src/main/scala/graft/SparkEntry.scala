@@ -103,8 +103,11 @@ object SparkEntry {
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        // decimal money sum (the q108 scale-stability class): exact at
+        // any corpus size, rounded result cast back to double
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -211,7 +214,10 @@ object SparkEntry {
     "q14_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+        // decimal: the cube's global cell sums EVERY order (2.2e10 at
+        // sf0.1, 6.8e11 at a 30x sweep) — the q108 stability class
+        .agg(round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+          .cast("double").as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
@@ -250,7 +256,8 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("sum_price"))
         .orderBy(col("month"))),
 
     "q20_date_parts" -> ((s, dir) =>
@@ -752,7 +759,8 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum(col("o_totalprice")), 2))
+        .agg(round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+          .cast("double"))
         .orderBy(col("o_orderpriority"))),
 
     // one-call df.summary() parity: count/mean/stddev/min/p25/p50/p75/max
@@ -4242,8 +4250,9 @@ object SparkEntry {
           t(s, dir, "lineitem"), t(s, dir, "orders"),
           "l_orderkey", "o_orderkey", buckets = 4)
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("o_orderpriority"))),
 
@@ -4832,8 +4841,11 @@ object SparkEntry {
           col("_m.tp").as("o_totalprice"), col("_m.op").as("_op"))
       operators.Relational.applyCdc(base, batch, "o_orderkey", "_op")
         .groupBy(col("o_orderstatus"))
+        // decimal money sum (q108 class): per-status totals reach 2e11
+        // at sweep corpora; the old +1e-9 nudge shields nothing there
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")) + lit(1e-9), 2).as("total"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("total"),
           sum(col("o_orderkey")).as("key_checksum"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -6354,7 +6366,9 @@ object SparkEntry {
 
     "q05_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |         AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -6444,7 +6458,8 @@ object SparkEntry {
 
     "q14_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+        |         AS DOUBLE) AS sum_price,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -6479,7 +6494,8 @@ object SparkEntry {
     "q19_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS sum_price
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+        |         AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q20_date_parts" ->
@@ -9565,14 +9581,22 @@ object SparkEntry {
 
     "q42_pivot" ->
       """SELECT o_orderpriority,
-        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |       CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+        |         THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2)
+        |         AS DOUBLE) AS F,
+        |       CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+        |         THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2)
+        |         AS DOUBLE) AS O,
+        |       CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+        |         THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2)
+        |         AS DOUBLE) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q43_salted_join" ->
       """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+        |         AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -10576,7 +10600,8 @@ object SparkEntry {
         |    ON b.o_orderkey = c.o_orderkey
         |  WHERE c.op IS NULL OR c.op <> 'D')
         |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(tp) + 1e-9, 2) AS total,
+        |  CAST(round(sum(CAST(tp AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS total,
         |  CAST(sum(k) AS BIGINT) AS key_checksum
         |FROM m GROUP BY st ORDER BY o_orderstatus""".stripMargin,
 
