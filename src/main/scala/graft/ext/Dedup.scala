@@ -135,6 +135,74 @@ object Dedup {
       sigs)
   }
 
+  private val portableSimhashBits = 60
+  private val portableSimhashBlocks = 4
+
+  /** The signature half of [[simhashNearDupsPortable]]: per-doc 60-bit
+    * portable SimHash (md5 token hash, per-bit majority vote). Exposed
+    * separately so a caller can MATERIALIZE the sig frame (cache, or
+    * corpus-keyed parquet staging — a production dedup index builds
+    * signatures once per corpus snapshot) before the banded pair join;
+    * the boundary is also what bounds CollapseProject (see
+    * [[simhashNearDupsPortable]]'s cache note).
+    */
+  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val bits = portableSimhashBits
+    val tokval = conv(substring(md5(col("_tok")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .select(col(idCol) +: (0 until bits).map(i =>
+        when(shiftright(tokval, i).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L).as(s"_v$i")): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("_v0")).as("_s0"),
+        (1 until bits).map(i => sum(col(s"_v$i")).as(s"_s$i")): _*)
+      .select(col(idCol),
+        (0 until bits).map(i =>
+          when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** The pair half of [[simhashNearDupsPortable]]: block-exact banding
+    * over an existing (id, sig) frame, first-agreeing-block dedup,
+    * bit_count verify. The caller owns `sigs`' materialization.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val blocks = portableSimhashBlocks
+    val bitsPerBlock = portableSimhashBits / blocks
+    val bnd = sigs.select(col(idCol), col("sig"), posexplode(
+        array((0 until blocks).map(b =>
+          shiftright(col("sig"), b * bitsPerBlock)
+            .bitwiseAND((1L << bitsPerBlock) - 1)): _*))
+      .as(Seq("block", "bucket")))
+    val l = bnd.select(col("block"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = bnd.select(col("block"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
+    def blockAgrees(b: Int): Column =
+      shiftright(xor, b * bitsPerBlock)
+        .bitwiseAND((1L << bitsPerBlock) - 1) === 0
+    val firstAgreeing = (0 until blocks - 1).foldLeft(
+        when(blockAgrees(0), 0)) { (acc, b) =>
+      if (b == 0) acc else acc.when(blockAgrees(b), b)
+    }.otherwise(blocks - 1)
+    graft.core.Caches.materializedThenRelease(
+      l.join(r, Seq("block", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("block") === firstAgreeing)
+        .withColumn("hamming", bit_count(xor))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming")),
+      sigs)
+  }
+
   /** ENGINE-PORTABLE SimHash near-dup twin (q296) — the q295 promotion
     * applied to the bit-vote math: the shipped q31 operator keys on the
     * codegen'd seed-42 XXH64 [[graft.functions.SimHash64]] (Spark-
@@ -169,21 +237,6 @@ object Dedup {
     */
   def simhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame = {
-    val bits = 60
-    val blocks = 4
-    val bitsPerBlock = bits / blocks
-    val tokval = conv(substring(md5(col("_tok")), 1, 15), 16, 10)
-      .cast("long")
-    val votes = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
-      .select(col(idCol),
-        explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
-      .select(col(idCol) +: (0 until bits).map(i =>
-        when(shiftright(tokval, i).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L).as(s"_v$i")): _*)
-      .groupBy(col(idCol))
-      .agg(sum(col("_v0")).as("_s0"),
-        (1 until bits).map(i => sum(col(s"_v$i")).as(s"_s$i")): _*)
     // CACHED for the same reason minhashNearDupsPortable caches its
     // signature frame, but here the dominant cost is DRIVER-side: the
     // sig column is a 60-term sum of whens over the 60 vote columns,
@@ -193,36 +246,11 @@ object Dedup {
     // execution (measured: 1.9 s/run planning-bound vs 0.65 s cached
     // at sf0.1, identical output; the executed work is |docs|-sized
     // either way). The cache cuts the lineage to a plain attribute.
-    val sigs = graft.core.Caches.cached(votes.select(col(idCol),
-      (0 until bits).map(i =>
-        when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sig")))
-    val bnd = sigs.select(col(idCol), col("sig"), posexplode(
-        array((0 until blocks).map(b =>
-          shiftright(col("sig"), b * bitsPerBlock)
-            .bitwiseAND((1L << bitsPerBlock) - 1)): _*))
-      .as(Seq("block", "bucket")))
-    val l = bnd.select(col("block"), col("bucket"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val r = bnd.select(col("block"), col("bucket"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val xor = col("sig_a").bitwiseXOR(col("sig_b"))
-    def blockAgrees(b: Int): Column =
-      shiftright(xor, b * bitsPerBlock)
-        .bitwiseAND((1L << bitsPerBlock) - 1) === 0
-    val firstAgreeing = (0 until blocks - 1).foldLeft(
-        when(blockAgrees(0), 0)) { (acc, b) =>
-      if (b == 0) acc else acc.when(blockAgrees(b), b)
-    }.otherwise(blocks - 1)
-    graft.core.Caches.materializedThenRelease(
-      l.join(r, Seq("block", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(col("block") === firstAgreeing)
-        .withColumn("hamming", bit_count(xor))
-        .filter(col("hamming") <= maxHamming)
-        .select(col("id_a"), col("id_b"),
-          col("hamming").cast("long").as("hamming")),
-      sigs)
+    // (q296 goes further: it STAGES the sig frame corpus-keyed, so a
+    // cold JVM pays a parquet scan, not the vote + the 60-term plan.)
+    val sigs = graft.core.Caches.cached(
+      simhashPortableSigs(df, idCol, textCol))
+    simhashPairsFromSigs(sigs, idCol, maxHamming)
   }
 
   def minhashBands(df: DataFrame, idCol: String, textCol: String,

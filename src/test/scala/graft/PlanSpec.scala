@@ -479,4 +479,33 @@ class PlanSpec extends SparkTestBase {
       // (after) the join operators in the tree dump
       s"order rollup did not stay below the joins:\n$p")
   }
+
+  test("q179 rank windows are hierarchical: every flag-only window runs " +
+    "over bucket summaries, value windows key on (flag, bucket)") {
+    // the r12 verdict's "few-groups rank window" class: a window
+    // partitioned ONLY by l_returnflag (3 values) must never see the
+    // value-level frame — its per-task row count would grow linearly
+    // with the corpus. After the prefix-sum inversion, flag-only
+    // windows may exist ONLY over the (flag, _bkt) bucket-summary
+    // aggregate (range-bounded rows), and the value-level cumsum must
+    // partition on (flag, _bkt) so each task holds one grid cell.
+    val p = plan(SparkEntry.queries("q179_spearman_corr")(spark, sf))
+    // windowspecdefinition prints partition keys then "col ASC ..."
+    // order keys; a value-level cumsum must carry BOTH partition keys
+    val bucketed =
+      "windowspecdefinition\\(l_returnflag#\\d+, _bkt#\\d+L?, ".r
+    assert(bucketed.findFirstIn(p).nonEmpty,
+      s"within-bucket value window (flag,_bkt) missing:\n$p")
+    // any flag-only window may only ORDER BY the bucket key (the
+    // bucket-summary prefix); ordering a flag-only window by a raw
+    // value column is the corpus-scaled 3-partition sort
+    val flagOnlyBad =
+      "windowspecdefinition\\(l_returnflag#\\d+, (?!_bkt#)[A-Za-z_]+#\\d+L? ASC".r
+    assert(flagOnlyBad.findFirstIn(p).isEmpty,
+      s"flag-only window orders a value column (corpus-scaled sort):\n$p")
+    // and the bucket-summary prefix runs over the bucket aggregate
+    assert("HashAggregate\\(keys=\\[l_returnflag#\\d+, _bkt#\\d+L?\\]".r
+      .findFirstIn(p).nonEmpty,
+      s"bucket-total aggregate missing:\n$p")
+  }
 }

@@ -79,9 +79,21 @@ class StagedFrameSpec extends SparkTestBase {
     stale.mkdirs()
     java.nio.file.Files.writeString(
       stale.toPath.resolve("_SETUP_SECONDS"), "9.999\n")
+    // age it past the 6 h liveness cutoff (ADVICE r12): a YOUNG
+    // superseded dir may belong to a concurrently running JVM built
+    // from different code and must survive — only old orphans go
+    stale.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000)
+    // and a young sibling that must NOT be collected
+    val live = new java.io.File(tmp,
+      "graft_q248_result_v1_clivebeef_0123456789abcdef")
+    live.mkdirs()
     SparkEntry.queries("q248_stream_static_enrich")(spark, sf).count()
     assert(!stale.exists(),
       "superseded-fingerprint staging dir survived a stream run")
+    assert(live.exists(),
+      "young superseded dir was collected — a concurrent JVM's live " +
+        "staging would be deleted mid-read")
+    org.apache.commons.io.FileUtils.deleteQuietly(live)
     import scala.jdk.CollectionConverters._
     val registered = SparkEntry.stagedStreamDirsThisRun.asScala
     assert(registered.exists(_.contains("graft_q248_result_v1_c")),

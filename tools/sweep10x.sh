@@ -69,3 +69,11 @@ EOF
 
 echo "[sweep10x] 4/4 DuckDB compare at ${COPIES}x"
 python3 tools/check_oracle.py "$DEST" "$OUT"
+
+# GC on success (VERDICT r12 #7): the staged corpus and verify dumps
+# are rebuilt from scratch on every run, so keeping them only
+# accumulates ~1.5 GB per rung across repeated ladder runs. Only
+# reached when check_oracle.py exits 0 (set -e) — a failing run keeps
+# its artifacts for diagnosis.
+echo "[sweep10x] success — removing staged corpus $DEST and dumps $OUT"
+rm -rf "$DEST" "$OUT"
