@@ -892,28 +892,16 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"))
       // avg rank of value v in group g: #{x<v} + (ties(v)+1)/2 —
-      // #{x<v} = bucket offset + within-bucket cumsum - cnt
-      def rankMap(c: String, bucket: Column => Column): DataFrame = {
-        val vals = li.groupBy(col("l_returnflag"), col(c))
-          .agg(count(lit(1)).as("_cnt"))
-          .withColumn("_bkt", bucket(col(c)).cast("long"))
-        val bw = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("_bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val boff = vals.groupBy(col("l_returnflag"), col("_bkt"))
-          .agg(sum(col("_cnt")).as("_btot"))
-          .withColumn("_boff",
-            coalesce(sum(col("_btot")).over(bw), lit(0L)))
-          .select(col("l_returnflag"), col("_bkt"), col("_boff"))
-        val vw = Window.partitionBy(col("l_returnflag"), col("_bkt"))
-          .orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        vals.join(broadcast(boff), Seq("l_returnflag", "_bkt"))
+      // #{x<v} = inclusive grid-bucket cumulative count − cnt
+      // (hierCumCounts is this query's inversion, factored)
+      def rankMap(c: String, bucket: Column => Column): DataFrame =
+        operators.Relational.hierCumCounts(
+            li.groupBy(col("l_returnflag"), col(c))
+              .agg(count(lit(1)).as("_cnt")),
+            Seq("l_returnflag"), c, "_cnt", bucket, "_cum")
           .withColumn(s"_r_$c",
-            col("_boff") + sum(col("_cnt")).over(vw)
-              - col("_cnt") + (col("_cnt") + lit(1)) / lit(2.0))
-          .drop("_cnt", "_bkt", "_boff")
-      }
+            col("_cum") - col("_cnt") + (col("_cnt") + lit(1)) / lit(2.0))
+          .drop("_cnt", "_cum")
       // grid widths: quantities are integral (1 value/bucket); prices
       // are 2-dp, so a width-100 bucket holds ≤10^4 grid values however
       // big the corpus — and the offset frame stays ~|range|/100 rows
@@ -1104,10 +1092,14 @@ object SparkEntry {
     // purchase values differ from weekday ones — the rank-based
     // (distribution-free) sibling of q130's Welch t. Pooled
     // tie-averaged ranks come from a VALUE-LEVEL aggregate (q179's
-    // trick): the cumsum window orders the distinct-value grid, which
-    // is bounded by the 2-decimal value resolution (~56k cells for
-    // [0,560]), NOT the corpus — then U, the tie term Σ(t³−t), and z
-    // fall out of one final aggregate
+    // trick), and the cumulative count over it is the hierCumCounts
+    // grid-bucket prefix-sum: the distinct-value frame saturates at
+    // the 2-decimal resolution (~56k cells for [0,560]) but GROWS
+    // with the corpus until then, so a single global cumsum window
+    // would put a corpus-tracking frame in one task
+    // (WindowScaleAuditSpec's criterion) — bucketed, no task ever
+    // holds more than one ~1000-cell grid slice. Then U, the tie term
+    // Σ(t³−t), and z fall out of one final aggregate
     "q186_mannwhitney_u" -> ((s, dir) => {
       // Spark dayofweek: 1=Sunday..7=Saturday
       val pv = t(s, dir, "events")
@@ -1116,10 +1108,10 @@ object SparkEntry {
           dayofweek(col("ts")).isin(1, 7).cast("int").as("_wk"))
       val byVal = pv.groupBy(col("value"))
         .agg(count(lit(1)).as("_c"), sum(col("_wk")).as("_c1"))
-      val vw = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = byVal.withColumn("_r",
-        sum(col("_c")).over(vw) - col("_c") + (col("_c") + lit(1)) / lit(2.0))
+      val ranked = operators.Relational.hierCumCounts(byVal, Seq.empty,
+          "value", "_c", v => floor(v / lit(10.0)), "_cum")
+        .withColumn("_r",
+          col("_cum") - col("_c") + (col("_c") + lit(1)) / lit(2.0))
       val u = col("_r1") - col("_n1") * (col("_n1") + lit(1)) / lit(2.0)
       val nn = col("_n1") + col("_n2")
       ranked.agg(
@@ -3247,18 +3239,22 @@ object SparkEntry {
 
     // distribution-free 95% CI for the median via order statistics
     // (ranks n/2 ± 0.98·√n), realized on the VALUE GRID (q210's trick:
-    // cumulative counts over distinct 2dp values — bounded rows, never
-    // a corpus-wide single-reducer sort). The uncertainty layer q45's
+    // cumulative counts over distinct 2dp values), with the cumulative
+    // count itself a hierCumCounts grid-bucket prefix-sum: the per-type
+    // value frame tracks the corpus until the 2dp grid saturates, so a
+    // 5-partition type window over it is a corpus-scaled single-task
+    // sort (WindowScaleAuditSpec's criterion) — bucketed, no task
+    // holds more than one grid cell. The uncertainty layer q45's
     // point percentiles lack
     "q270_median_ci" -> ((s, dir) => {
       val grid = t(s, dir, "events")
         .groupBy(col("event_type"), col("value"))
         .agg(count(lit(1)).as("_c"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = grid.withColumn("_cum", sum(col("_c")).over(w))
-      val n = cum.groupBy(col("event_type"))
-        .agg(max(col("_cum")).as("_n"))
+      val cum = operators.Relational.hierCumCounts(grid,
+        Seq("event_type"), "value", "_c",
+        v => floor(v / lit(10.0)), "_cum")
+      val n = grid.groupBy(col("event_type"))
+        .agg(sum(col("_c")).as("_n"))
       val ranks = n.select(col("event_type"), col("_n"),
         ceil(col("_n") / 2.0).as("_rmed"),
         greatest(lit(1.0), ceil(col("_n") / 2.0
@@ -4036,10 +4032,20 @@ object SparkEntry {
     // pairs → agreement estimate) had no oracle-checked row. Same
     // corpus (docs ∪ 50 truncated copies) and shipped geometry (16
     // hashes, 4 bands); est_jaccard is an exact k/16 rational
-    "q295_minhash_oracled" -> ((s, dir) =>
-      ext.Dedup.minhashNearDupsPortable(withNearDups(s, dir),
-          "doc_id", "text", threshold = 0.5)
-        .orderBy(col("id_a"), col("id_b"))),
+    // The 16-hash signature frame is STAGED corpus-keyed (q296's
+    // contract — a dedup index builds signatures once per corpus
+    // snapshot): the 16×|shingles| md5 sweep was the whole cold cost
+    // (3.2 s/JVM at sf0.1); off the staged parquet, cold is a scan +
+    // the banded join. Manual tag bump on sig-math edits, like every
+    // stagedFrame tag.
+    "q295_minhash_oracled" -> ((s, dir) => {
+      val sigs = stagedFrame(s, dir, "documents", "q295sig_v1") {
+        ext.Dedup.minhashPortableSigs(withNearDups(s, dir),
+          "doc_id", "text")
+      }
+      ext.Dedup.minhashPairsFromSigs(sigs, "doc_id", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // SimHash on an ENGINE-PORTABLE hash (md5), fully oracled — the
     // last of the promotion family (q294 ALS, q295 MinHash-LSH): the
@@ -5436,12 +5442,19 @@ object SparkEntry {
     // 2-D Pareto frontier of the part catalog (minimize price,
     // maximize size): sort + hierarchical prefix max, never
     // all-pairs — the oracle IS the corpus² NOT-EXISTS formulation
-    // the operator must reproduce exactly
+    // the operator must reproduce exactly. bucketWidth 1.0, NOT 100:
+    // p_retailprice spans [900, 1000), so a width-100 bucketing
+    // degenerates to ONE bucket and the within-bucket window sorts
+    // the whole distinct-point frame in a single task
+    // (WindowScaleAuditSpec's find); width 1 bounds a bucket at
+    // ≤ 100 2dp price cells × ≤ 50 sizes, corpus-independent, and the
+    // result is bucketing-invariant (prefix max covers earlier
+    // buckets, the window covers the rest)
     "q106_skyline" -> ((s, dir) =>
       operators.Relational.skyline2D(
         t(s, dir, "part").select(col("p_retailprice").as("price"),
           col("p_size").cast("double").as("psize")),
-        "price", "psize", bucketWidth = 100.0)
+        "price", "psize", bucketWidth = 1.0)
         .orderBy(col("price"), col("psize"))),
 
     // co-located fact-fact join off BUCKETED storage: both sides
@@ -8859,7 +8872,10 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY lift DESC, ante, cons LIMIT 25""".stripMargin,
 
-    // q32's pair frame swept over the threshold grid
+    // q32's pair frame swept over the threshold grid — and q32's
+    // posting-join candidate generation (a pair shares >= 1 shingle
+    // IFF the posting join emits it; the blocked all-pairs form is
+    // quadratic in block size on the ladder's documents axis)
     "q278_dedup_threshold_curve" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
@@ -8869,12 +8885,15 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM documents)),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(len(list_intersect(a.sh, b.sh))
-        |      / len(list_distinct(a.sh || b.sh)), 4) AS j
-        |  FROM d a JOIN d b ON a.lang = b.lang
-        |    AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
+        |p AS (SELECT id_a, id_b,
+        |    round(len(list_intersect(da.sh, db.sh))
+        |      / len(list_distinct(da.sh || db.sh)), 4) AS j
+        |  FROM cand JOIN d da ON da.doc_id = cand.id_a
+        |    JOIN d db ON db.doc_id = cand.id_b),
         |grid AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9])
         |    AS DOUBLE) AS threshold)
         |SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -10539,6 +10558,9 @@ object SparkEntry {
 
     // q78's chained-corpus + exact-Jaccard pair CTEs, rolled up per
     // source (pairs are within-source by the blocking key)
+    // posting-join candidate generation (q32's oracle shape — the
+    // blocked all-pairs form is quadratic in block size on the
+    // ladder's documents axis), exact jaccard per unique candidate
     "q177_source_dup_density" ->
       """WITH base AS (SELECT doc_id, lang, source, text FROM documents),
         |m1 AS (SELECT doc_id + 100000 AS doc_id, lang, source,
@@ -10560,13 +10582,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
         |        FROM corpus)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source
-        |  FROM d a JOIN d b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |      AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |        / len(list_distinct(a.sh || b.sh)) >= 0.6),
+        |  SELECT cand.id_a, cand.id_b, da.source
+        |  FROM cand JOIN d da ON da.doc_id = cand.id_a
+        |    JOIN d db ON db.doc_id = cand.id_b
+        |  WHERE len(list_intersect(da.sh, db.sh))
+        |        / len(list_distinct(da.sh || db.sh)) >= 0.6),
         |np AS (SELECT source, count(*) AS np FROM pairs GROUP BY source),
         |nd AS (SELECT source, count(*) AS n_docs FROM corpus
         |  GROUP BY source)
@@ -11084,6 +11109,13 @@ object SparkEntry {
     // same 3-gram/partition construction as the q32 oracle (uncapped:
     // hash-match holds while no shingle df exceeds 1000 — max ~30 at
     // test SF); containment = inter / min set size
+    // posting-join candidate generation (q32's oracle shape): the
+    // former blocked all-pairs formulation is quadratic in block size,
+    // and the documents axis of the scale ladder grows blocks linearly
+    // — the 100x rung spent 45+ min inside this one oracle. A pair
+    // shares >= 1 shingle IFF the posting join emits it, so the
+    // candidate set is IDENTICAL and the exact containment is computed
+    // per unique pair, same as before
     "q149_containment_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
@@ -11092,13 +11124,16 @@ object SparkEntry {
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
         |  FROM (SELECT doc_id, lang, source,
         |          regexp_split_to_array(lower(text), '\s+') AS t
-        |        FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.sh, b.sh))
-        |    / least(len(a.sh), len(b.sh)) + 1e-9, 4) AS containment
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS g FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(len(list_intersect(da.sh, db.sh))
+        |    / least(len(da.sh), len(db.sh)) + 1e-9, 4) AS containment
+        |FROM cand JOIN d da ON da.doc_id = cand.id_a
+        |  JOIN d db ON db.doc_id = cand.id_b
         |ORDER BY containment DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     // exact interpolated percentiles (quantile_cont ≡ percentile, the

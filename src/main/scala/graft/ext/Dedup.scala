@@ -82,7 +82,25 @@ object Dedup {
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.5, numHashes: Int = 16,
                               bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    // three consumers read the signature frame (banding + both sides of
+    // the estimate join) — cached so the 16×|shingles| md5 sweep runs
+    // once (the multi-reference rule; measured 3× recompute without it)
+    val sigs = graft.core.Caches.cached(
+      minhashPortableSigs(df, idCol, textCol, numHashes, shingleN))
+    minhashPairsFromSigs(sigs, idCol, threshold, numHashes, bands)
+  }
+
+  /** The signature half of [[minhashNearDupsPortable]]: per-doc array
+    * of `numHashes` md5 min-hashes over distinct `shingleN`-gram
+    * shingles. Exposed separately so a caller can MATERIALIZE the sig
+    * frame (cache, or corpus-keyed parquet staging — a production
+    * dedup index builds signatures once per corpus snapshot) before
+    * the banded pair join: the 16×|shingles| md5 sweep is the whole
+    * cold cost of the composite operator.
+    */
+  def minhashPortableSigs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, shingleN: Int = 3)
+  : DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
     val sh = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (shingleN - 1), lit(1))),
@@ -102,14 +120,21 @@ object Dedup {
       .select(col(idCol), explode(sh).as("_x"))
       .select(col(idCol) +: (0 until numHashes).map(s =>
         md5(concat(lit(s + ":"), col("_x"))).as(s"_h$s")): _*)
-    // three consumers read the signature frame (banding + both sides of
-    // the estimate join) — cached so the 16×|shingles| md5 sweep runs
-    // once (the multi-reference rule; measured 3× recompute without it)
-    val sigs = graft.core.Caches.cached(hashed.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(min(col("_h0")).as("_m0"),
         (1 until numHashes).map(s => min(col(s"_h$s")).as(s"_m$s")): _*)
       .select(col(idCol),
-        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("mh")))
+        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("mh"))
+  }
+
+  /** The pair half of [[minhashNearDupsPortable]]: banded bucketing
+    * over an existing (id, mh) frame, candidate dedup, agreement
+    * estimate. The caller owns `sigs`' materialization.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, idCol: String,
+                           threshold: Double = 0.5, numHashes: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bnd = sigs.select(col(idCol), col("mh"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws("", (0 until rowsPerBand).map(r =>

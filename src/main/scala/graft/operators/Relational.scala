@@ -461,6 +461,49 @@ object Relational {
       .drop("_lo", "_hi")
   }
 
+  /** Hierarchical inclusive running count over a value-level frame —
+    * the q179 grid-bucket prefix-sum, factored for every cumulative
+    * rank/CDF/order-statistic site. A window partitioned only by a
+    * FEW-VALUED group and ordered by value puts that group's whole
+    * value frame in ONE task, and a 2-dp value grid keeps growing
+    * until it saturates — per-task rows track the corpus until then
+    * (the r12 q179 verdict item, enforced package-wide by
+    * WindowScaleAuditSpec). Here instead: value counts → grid-bucket
+    * totals → per-group bucket-summary exclusive prefix (rows per
+    * partition = #buckets, bounded by the VALUE RANGE / width) →
+    * broadcast bucket offsets + a within-bucket inclusive cumsum whose
+    * partition holds only the distinct values inside one grid cell
+    * (≤ 100·width cells for 2-dp values). All-long sums → the result
+    * is bit-identical to the single-window inclusive cumsum at any
+    * bucketing.
+    *
+    * `vals` must already be value-level (one row per (group, value));
+    * `cntCol` is the long count to accumulate. A null value gets its
+    * own minimal bucket so it orders exactly like the window's
+    * NULLS FIRST and survives the equi-join on the bucket key.
+    */
+  def hierCumCounts(vals: DataFrame, groupCols: Seq[String],
+                    valueCol: String, cntCol: String,
+                    bucket: Column => Column, outCol: String)
+  : DataFrame = {
+    val gb = groupCols.map(col)
+    val keyed = vals.withColumn("_bkt",
+      when(col(valueCol).isNull, lit(Long.MinValue))
+        .otherwise(bucket(col(valueCol)).cast("long")))
+    val bw = Window.partitionBy(gb: _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = keyed.groupBy(gb :+ col("_bkt"): _*)
+      .agg(sum(col(cntCol)).as("_btot"))
+      .withColumn("_boff", coalesce(sum(col("_btot")).over(bw), lit(0L)))
+      .select(gb :+ col("_bkt") :+ col("_boff"): _*)
+    val vw = Window.partitionBy(gb :+ col("_bkt"): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(boff), groupCols :+ "_bkt")
+      .withColumn(outCol, col("_boff") + sum(col(cntCol)).over(vw))
+      .drop("_bkt", "_boff")
+  }
+
   /** Exact empirical-CDF (cume_dist) encoder table per group: for each
     * distinct (group, value), P(X ≤ value) — the rank-normalization
     * feature transform (uniform marginals, outlier-immune, the
@@ -469,24 +512,28 @@ object Relational {
     * Built scale-correctly: a `cume_dist()` window straight over the
     * corpus partitions by GROUP — one task per group, a straggler at
     * 100 TB. Instead the corpus-sized stage is the (group, value)
-    * count (key-partitioned, map-side combined); the cumsum windows
-    * run over the VALUE-LEVEL frame, bounded by the value domain per
-    * group, not corpus rows. Emitted as the encoder TABLE (join or
-    * broadcast it onto rows downstream) — the artifact a feature
-    * pipeline persists. Caveat: a continuous all-unique value column
-    * makes the value-level frame corpus-sized; discretize first
-    * ([[graft.operators.Profile.equiDepthBins]]) in that regime.
+    * count (key-partitioned, map-side combined); the cumulative count
+    * is the [[hierCumCounts]] grid-bucket prefix-sum (per-task rows
+    * bounded by a grid cell, never the per-group value frame — which
+    * itself tracks the corpus until the value grid saturates), and the
+    * per-group total is an aggregate broadcast back. Emitted as the
+    * encoder TABLE (join or broadcast it onto rows downstream) — the
+    * artifact a feature pipeline persists. Caveat: a continuous
+    * all-unique value column makes the value-level frame corpus-sized;
+    * discretize first ([[graft.operators.Profile.equiDepthBins]]) in
+    * that regime. `bucketWidth` is the grid-cell width in value units
+    * (≤ 100·width cells per task for 2-dp values).
     */
-  def cumeDistEncode(df: DataFrame, groupCol: String, valueCol: String)
-  : DataFrame = {
+  def cumeDistEncode(df: DataFrame, groupCol: String, valueCol: String,
+                     bucketWidth: Double = 10.0): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("value"))
       .agg(count(lit(1)).as("n"))
-    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("value"))
-    val wAll = Window.partitionBy(col(groupCol))
-    counts
-      .withColumn("_cum", sum(col("n")).over(wCum))
-      .withColumn("_tot", sum(col("n")).over(wAll))
+    val cum = hierCumCounts(counts, Seq(groupCol), "value", "n",
+      v => floor(v / lit(bucketWidth)), "_cum")
+    val tot = counts.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("_tot"))
+    cum.join(broadcast(tot), Seq(groupCol))
       .select(col(groupCol), col("value"), col("n"),
         round(col("_cum").cast("double") / col("_tot").cast("double")
           + lit(1e-9), 4).as("cdf"))
