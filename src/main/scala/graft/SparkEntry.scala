@@ -5058,12 +5058,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // leave-one-out smoothed target encoding of order priority against
-    // order value — the leakage-free categorical feature transform
+    // order value — the leakage-free categorical feature transform.
+    // Sums run exact DECIMAL(12,2) (o_totalprice's true grain): the
+    // encoded group mean is ~1e5 with a 4-dp grid, and a double Σ's
+    // summation-order ulp crossed that grid at the 100× ladder rung
     "q146_target_encode" -> ((s, dir) =>
       operators.Relational.targetEncodeLoo(
           t(s, dir, "orders").select(col("o_orderkey"),
             col("o_orderpriority"), col("o_totalprice")),
-          "o_orderpriority", "o_totalprice", smoothing = 20.0)
+          "o_orderpriority", "o_totalprice", smoothing = 20.0,
+          exactSumType = Some("decimal(12,2)"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("loo_enc"))
         .orderBy(col("o_orderkey"))),
 
@@ -11063,15 +11067,21 @@ object SparkEntry {
         |FROM c JOIN n USING (doc_id) GROUP BY 1, 2, 3
         |ORDER BY doc_id""".stripMargin,
 
-    // same (Σ_cat − y + m·μ)/(n−1+m) double chain both engines; the
-    // category sums' ordering ulp is absorbed by the 4-dp round
+    // Σ and Σ−y exact DECIMAL(12,2), so both engines divide
+    // bit-identical numerators; μ = exact Σ ÷ n in one double division.
+    // (The pre-r13 double-Σ form relied on the 4-dp round absorbing
+    // the ordering ulp — false at 100×, where the encoded mean's ~1e5
+    // magnitude makes 4 dp a tens-of-ulp relative tolerance.)
     "q146_target_encode" ->
-      """WITH g AS (SELECT avg(o_totalprice) AS mu FROM orders),
-        |c AS (SELECT o_orderpriority, sum(o_totalprice) AS s,
+      """WITH g AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      AS DOUBLE) / count(o_totalprice) AS mu FROM orders),
+        |c AS (SELECT o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
         |    CAST(count(o_totalprice) AS BIGINT) AS n
         |  FROM orders GROUP BY 1)
         |SELECT o_orderkey, o_orderpriority,
-        |  round((s - o_totalprice + 20.0 * mu) / (n - 1 + 20.0)
+        |  round((CAST(s - CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |      + 20.0 * mu) / (n - 1 + 20.0)
         |    + 1e-9, 4) AS loo_enc
         |FROM orders JOIN c USING (o_orderpriority) CROSS JOIN g
         |ORDER BY o_orderkey""".stripMargin,

@@ -415,18 +415,39 @@ object Relational {
     * task and skew at scale). μ is a one-row cross join. A singleton
     * category yields μ (the shrinkage limit), which is why m > 0 is
     * required.
+    *
+    * `exactSumType`: optional decimal type for the Σ accumulations.
+    * The encoded value is a group MEAN (target magnitude, ~1e5 for
+    * money), so its 4-dp output grid is a ~3e-10 RELATIVE tolerance —
+    * only tens of ulp. A double Σ over a category differs between
+    * engines by summation order alone, and at a 100× corpus that
+    * ordering ulp crosses the grid (the 100× ladder caught exactly
+    * this on q146: 100/1.5M rows flipped). Passing the target's true
+    * grain (e.g. `decimal(12,2)` for 2-dp money) makes Σ and Σ−y
+    * exact so both engines divide bit-identical numerators. The
+    * caller asserts the grain: a decimal cast FINER than the data is
+    * lossless, a coarser one silently pre-rounds (the q05 discount
+    * lesson), which is why this is opt-in rather than forced.
     */
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
-                      smoothing: Double = 20.0): DataFrame = {
+                      smoothing: Double = 20.0,
+                      exactSumType: Option[String] = None): DataFrame = {
     require(smoothing > 0, "smoothing must be > 0 (a singleton " +
       "category divides by n-1+m = m)")
-    val y = col(targetCol).cast("double")
+    val y = exactSumType match {
+      case Some(t) => col(targetCol).cast(t)
+      case None => col(targetCol).cast("double")
+    }
     val perCat = df.groupBy(col(catCol))
       .agg(sum(y).as("_s"), count(y).as("_n"))
-    val mu = df.agg(avg(y).as("_mu"))
+    // exact-decimal numerator ÷ exact count: both engines round the
+    // same rational to the same double (avg() would accumulate in
+    // engine-specific order/precision)
+    val mu = df.agg((sum(y).cast("double") / count(y)).as("_mu"))
     df.join(perCat, Seq(catCol)).join(broadcast(mu))
       .withColumn("loo_enc",
-        round((col("_s") - y + lit(smoothing) * col("_mu")) /
+        round(((col("_s") - y).cast("double")
+            + lit(smoothing) * col("_mu")) /
           (col("_n") - lit(1) + lit(smoothing)) + lit(1e-9), 4))
       .drop("_s", "_n", "_mu")
   }

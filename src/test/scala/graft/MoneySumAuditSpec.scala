@@ -49,17 +49,24 @@ class MoneySumAuditSpec extends SparkTestBase {
     "vec_id", "event_id")
 
   /** Sites past the magnitude bound whose sums ONLY feed
-    * ratio-normalized outputs: a quotient of two sums carries
-    * ~1e-13 RELATIVE error at any corpus size (numerator and
-    * denominator grow together), so its 4-dp rounding sits 7+ orders
-    * above the error floor — the magnitude criterion applies to sums
-    * EXPOSED as rounded values, not to moments inside a quotient.
+    * ratio-normalized outputs OF O(1) MAGNITUDE (shares, fitted
+    * coefficients): a quotient of two sums carries ~1e-13 RELATIVE
+    * error at any corpus size (numerator and denominator grow
+    * together), and against an O(1) value a 4-dp grid is a 5e-5
+    * ABSOLUTE tolerance — 8+ orders above the error floor.
+    *
+    * The magnitude qualifier is load-bearing, not decoration: q146's
+    * LOO encode sat here through round 12 on the quotient argument
+    * alone, but its output is a group MEAN (target magnitude, ~1e5
+    * money), where the same 4-dp grid is a ~3e-10 relative tolerance
+    * — tens of ulp — and the 100× ladder measured the summation-order
+    * ulp crossing it (100/1.5M rows flipped). A ratio entry is valid
+    * only when grid ÷ |output| stays orders above 1e-13; group-mean-
+    * scaled outputs take the DECIMAL treatment instead (q146 now does).
     * Keyed by (query :: sum-expression) so a future edit that adds a
     * genuinely exposed sum to one of these queries still fails.
     */
   private val ratioNormalized: Map[String, String] = Map(
-    "q146_target_encode :: sum(CAST(o_totalprice AS DOUBLE))" ->
-      "LOO encode divides (Σcat − y + mμ) by (n−1+m): group-mean scale",
     ("q163_ridge_regression :: sum((CAST(l_quantity AS DOUBLE) * " +
       "CAST(l_extendedprice AS DOUBLE)))") ->
       "moment feeds Cramer-rule coefficient quotients only",
