@@ -27,6 +27,16 @@ import org.apache.spark.sql.types.DoubleType
   * extrapolates with the corpus. Any site this flags gets the
   * DECIMAL(12,2) treatment the eight r12 sites got; DECIMAL sums are
   * invisible here by construction (not DoubleType).
+  *
+  * Known limitation: `halfGrid` is the 2-dp grid most exposed money
+  * sums round to. A site whose OUTPUT rounds finer (q146's 4-dp
+  * loo_enc) has a 200× tighter true bound this sweep under-enforces —
+  * tying each site's grid to its downstream round() would need
+  * expression-lineage tracing. The scale ladder is the empirical
+  * backstop for that residue (it is exactly how q146 was caught), and
+  * per-row rounded outputs only flip when output-row COUNT makes a
+  * ~1e-9-band boundary hit likely — the few-output-row profile means
+  * (q09/q58) sit orders below that.
   */
 class MoneySumAuditSpec extends SparkTestBase {
 
