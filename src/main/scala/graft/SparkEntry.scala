@@ -99,9 +99,13 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
       val reg = t(s, dir, "region")
-      // fact-fact join first (shuffle on orderkey), then broadcast dims
+      // fact-fact join first (shuffle on orderkey), then the dims.
+      // customer is UN-hinted (BroadcastScaleAuditSpec: it scales with
+      // the corpus, so a forced broadcast OOMs at target scale — the
+      // size-based planner broadcasts it while small and AQE re-decides
+      // per scale); nation/region keep the hint (25/5 rows at any SF)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -2157,9 +2161,12 @@ object SparkEntry {
     // dims broadcast), (nation, year) rollup, lag over the
     // calendar-bounded frame; first year (no prior) dropped
     "q231_nation_yoy" -> ((s, dir) => {
+      // customer is corpus-scaled → UN-hinted (BroadcastScaleAuditSpec);
+      // the planner broadcasts the 2-column projection while it is
+      // small and AQE degrades to a shuffle join when it is not
       val rev = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
@@ -2289,9 +2296,11 @@ object SparkEntry {
     // bounded conditional aggregate; revenue sums are map-side partial
     "q238_promo_revenue" -> ((s, dir) => {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      // part is corpus-scaled → UN-hinted (BroadcastScaleAuditSpec);
+      // size-based planning keeps the broadcast while part fits
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_type"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
           .as("month"))
