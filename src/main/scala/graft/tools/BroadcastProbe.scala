@@ -46,6 +46,13 @@ object BroadcastProbe {
         }
       if (smallHs.nonEmpty) {
         val bigHs = hintsOf(fn(spark, big).queryExecution.analyzed)
+        if (bigHs.length != smallHs.length)
+          // zip would silently truncate a shape mismatch; the audit
+          // spec FAILS on this — here it only costs table rows, but
+          // say so rather than under-report
+          System.err.println(s"[probe] $name: hint count differs across " +
+            s"rungs (${smallHs.length} vs ${bigHs.length}); table shows " +
+            "the matched prefix only")
         smallHs.zip(bigHs).foreach { case (sh, bh) =>
           val key = sh.child.canonicalized.hashCode
           if (!seen.contains(key)) {
