@@ -68,11 +68,15 @@ class BroadcastScaleAuditSpec extends SparkTestBase {
   private val adjudicated: Map[String, String] = Map.empty
 
   // (dir, canonicalized hinted subtree) → rows; hints shared across
-  // queries (operator helpers) probe once per corpus
-  private val cache = collection.mutable.HashMap[(String, Int), Long]()
+  // queries (operator helpers) probe once per corpus. Keyed on the
+  // canonicalized PLAN (structural equality is well-defined), not its
+  // hashCode — an Int-collision between distinct subtrees would
+  // silently return the wrong cached count.
+  private val cache =
+    collection.mutable.HashMap[(String, LogicalPlan), Long]()
 
   private def rowsOf(dir: String, h: ResolvedHint): Long =
-    cache.getOrElseUpdate((dir, h.child.canonicalized.hashCode),
+    cache.getOrElseUpdate((dir, h.child.canonicalized),
       Bridge.ofRows(spark, h.child).count())
 
   private def hintsOf(plan: LogicalPlan): Seq[ResolvedHint] =

@@ -17,14 +17,19 @@ package graft
   * repo rides `crossJoin(broadcast(tiny))`, which plans as
   * BroadcastNestedLoopJoin, not CartesianProduct).
   *
-  * BroadcastNestedLoopJoin is NOT swept here: a BNLJ's build side is a
-  * broadcast, and every explicit broadcast — including the
-  * `crossJoin(broadcast(…))` expansions — is covered by
-  * BroadcastScaleAuditSpec's two-rung growth probe; an UN-hinted BNLJ
-  * only arises when the planner sized the build side under the
-  * broadcast threshold itself, which AQE re-checks at runtime. The
-  * un-broadcast cartesian is the one shape with no safety net, hence
-  * the zero-tolerance sweep.
+  * The second test closes the BNLJ loophole: HINTED
+  * BroadcastNestedLoopJoins (`crossJoin(broadcast(…))`) are covered by
+  * BroadcastScaleAuditSpec's growth probe, but an UN-hinted non-equi
+  * join whose small side merely sizes under the broadcast threshold at
+  * test scale also plans as BNLJ and passes the physical sweep — and
+  * for an INNER non-equi join the fallback once that side outgrows the
+  * threshold is CartesianProduct itself (for outer/semi non-equi it is
+  * a forced broadcast of a corpus-scaled side — the OOM twin). AQE's
+  * runtime re-check is NOT a safety net here: it re-plans the strategy,
+  * but the only strategies for a non-equi join are BNLJ and cartesian.
+  * So every un-hinted non-equi logical join goes through the same
+  * two-rung growth probe the broadcast audit uses, applied to the side
+  * the planner would have to broadcast.
   *
   * Plan-only (initial physical plan, pre-AQE): AQE rewrites exchanges
   * and join STRATEGIES among equi-join implementations; it never
@@ -68,5 +73,106 @@ class CartesianSweepSpec extends SparkTestBase {
     val stale = adjudicated.keySet -- hit
     assert(stale.isEmpty,
       s"adjudicated entries match no cartesian query (stale): $stale")
+  }
+
+  // ---- un-hinted non-equi joins: the latent-cartesian growth probe ----
+
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfBig = "/root/testdata/sf0.01"
+  private val candidateRows = 6L // below: broadcastable even ×10^4
+  private val flagGrowth = 3.0 // ≥ this across the 10× rung → scales
+  private val projectedRowCap = 1000000.0 // rows at growth^4 (sf10)
+
+  /** Flagged un-hinted non-equi joins whose broadcast-obligated side is
+    * in fact bounded by something the two-rung probe cannot see.
+    * Rationale must name the bound.
+    */
+  private val bnljAdjudicated: Map[String, String] = Map.empty
+
+  import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+  import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, JoinHint, LogicalPlan}
+  import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  private def hintedBroadcast(h: JoinHint): Boolean =
+    Seq(h.leftHint, h.rightHint)
+      .exists(_.exists(_.strategy.contains(BROADCAST)))
+
+  /** Non-equi joins with no explicit broadcast hint, from the OPTIMIZED
+    * plan (hints have been folded into `Join.hint` there; the optimizer
+    * has also finished pushing equality conjuncts INTO conditions, so
+    * "non-equi here" is what JoinSelection actually sees).
+    */
+  private def unhintedNonEqui(plan: LogicalPlan): Seq[Join] =
+    plan.collect {
+      case j: Join
+          if ExtractEquiJoinKeys.unapply(j).isEmpty &&
+            !hintedBroadcast(j.hint) => j
+    }
+
+  /** The side(s) JoinSelection would have to broadcast for a BNLJ: the
+    * non-preserved side for one-sided join types; either (so the
+    * smaller) for inner/cross/full.
+    */
+  private def broadcastObligatedRows(dir0: String, j: Join)(
+      rows: (String, LogicalPlan) => Long): Long = j.joinType match {
+    case LeftOuter | LeftSemi | LeftAnti => rows(dir0, j.right)
+    case RightOuter => rows(dir0, j.left)
+    case _ => math.min(rows(dir0, j.left), rows(dir0, j.right))
+  }
+
+  private val rowCache =
+    collection.mutable.HashMap[(String, LogicalPlan), Long]()
+  private def rowsOf(dir: String, p: LogicalPlan): Long =
+    rowCache.getOrElseUpdate((dir, p.canonicalized),
+      Bridge.ofRows(spark, p).count())
+
+  private def bnljLabel(name: String, j: Join, idx: Int): String =
+    s"$name :: ${j.joinType} nonEqui<" +
+      s"${j.condition.map(_.sql).getOrElse("<none>").take(60)}> #$idx"
+
+  test("no un-hinted non-equi join relies on a corpus-scaled side " +
+    "staying under the broadcast threshold (latent-cartesian probe)") {
+    val offenders = collection.mutable.LinkedHashSet[String]()
+    val hit = collection.mutable.Set[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val smallJs =
+        try unhintedNonEqui(fn(spark, sfSmall).queryExecution.optimizedPlan)
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan at sf0.001: ${e.getMessage}")
+        }
+      val candidates = smallJs.zipWithIndex.flatMap { case (j, i) =>
+        val n = broadcastObligatedRows(sfSmall, j)(rowsOf)
+        if (n >= candidateRows) Some((i, n)) else None
+      }
+      if (candidates.nonEmpty) {
+        val bigJs =
+          unhintedNonEqui(fn(spark, sfBig).queryExecution.optimizedPlan)
+        assert(bigJs.length == smallJs.length,
+          s"$name: non-equi join count differs across scales " +
+            s"(${smallJs.length} vs ${bigJs.length}) — probe cannot " +
+            "match sites")
+        candidates.foreach { case (i, sn) =>
+          val bn = broadcastObligatedRows(sfBig, bigJs(i))(rowsOf)
+          val growth = bn.toDouble / math.max(sn, 1L)
+          val projected = sn * math.pow(growth, 4)
+          if (growth >= flagGrowth && projected >= projectedRowCap) {
+            val key = bnljLabel(name, bigJs(i), i)
+            if (bnljAdjudicated.contains(key)) hit += key
+            else offenders += f"$key rows $sn→$bn (×$growth%.1f at " +
+              f"10×, ~${projected / 1e6}%.1fM at target) — becomes a " +
+              "cartesian (inner) or forced huge broadcast (outer) " +
+              "once past the threshold"
+          }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "un-hinted non-equi joins whose broadcast-obligated side tracks " +
+        "the corpus (restore an equi-condition, pre-bound the side, " +
+        s"or adjudicate with a named bound):\n${offenders.mkString("\n")}")
+    val stale = bnljAdjudicated.keySet -- hit
+    assert(stale.isEmpty,
+      s"adjudicated entries match no flagged join (stale): $stale")
   }
 }

@@ -50,12 +50,16 @@ class CollectScaleAuditSpec extends SparkTestBase {
     */
   private val adjudicated: Map[String, String] = Map.empty
 
-  private val cache = collection.mutable.HashMap[(String, Int), Long]()
+  // Keyed on the canonicalized plan/expressions themselves (structural
+  // equality), not their hashCode — an Int collision would return the
+  // wrong cached group size for a distinct aggregate.
+  private val cache = collection.mutable.HashMap[
+    (String, LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression]),
+    Long]()
 
   private def maxGroupRows(dir: String, a: Aggregate): Long = {
-    val key = (dir,
-      (a.child.canonicalized, a.groupingExpressions.map(_.canonicalized))
-        .hashCode)
+    val key = (dir, a.child.canonicalized,
+      a.groupingExpressions.map(_.canonicalized))
     cache.getOrElseUpdate(key, {
       if (a.groupingExpressions.isEmpty)
         Bridge.ofRows(spark, a.child).count()
