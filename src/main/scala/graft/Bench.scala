@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   * goes to SPARK_GRAFT_BENCH_DETAIL (default `BENCH_DETAIL.json`,
   * tracked in git).
   *
+  * Every output additionally carries a DISTURBANCE index (loadavg at
+  * start + the median per-query steady ratio vs the committed
+  * BENCH_DETAIL), and a run that crosses either threshold writes
+  * `*.disturbed` files instead of the tracked ones — the acceptance
+  * rule that used to live in PLANS.md prose, now enforced by the
+  * capture itself (override: SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1).
+  *
   * Timing note: each query is driven by `.count()`, which lets Catalyst
   * prune columns and drop a final orderBy — fine for relative iteration
   * (every round pays the same discount), but absolute parity with the
@@ -137,6 +144,72 @@ object Bench {
     }
     val steadyQs = sec(steady)
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    // ---- disturbance index (VERDICT r13 #5) ----
+    // Same-HEAD bench totals swing 122–176 s with ambient machine load;
+    // the acceptance discipline (quiet loadavg, confirm deltas with
+    // TimeMany) lived in PLANS.md prose. Make it machine-readable: the
+    // index is (a) 1-min loadavg at START (contention the run began
+    // under) and (b) the MEDIAN per-query ratio of this run's steady
+    // seconds vs the COMMITTED BENCH_DETAIL — the median is insensitive
+    // to genuine regressions in a few queries (those move the tail, not
+    // the middle) but shifts wholesale under ambient contention. When
+    // either crosses its threshold the run REFUSES the committed slot:
+    // artifacts go to <name>.disturbed and the tracked files keep their
+    // quieter capture (override: SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1,
+    // e.g. for a first capture on a busy-but-only machine).
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val committedDetail: Option[String] =
+      try {
+        val p = java.nio.file.Paths.get(detailOut)
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
+    // ratios only make sense against a committed capture of the SAME
+    // corpus — a sweep pointed at another SF dir skips the comparison
+    val priorSteady: Map[String, Double] = committedDetail
+      .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+      .map { txt =>
+        def grab(key: String): Map[String, Double] = {
+          val i = txt.indexOf("\"" + key + "\":{")
+          if (i < 0) Map.empty
+          else {
+            val s = txt.substring(i + key.length + 4)
+            val body = s.substring(0, math.max(s.indexOf('}'), 0))
+            "\"(q[0-9]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+        val c = grab("cold"); val w = grab("warm")
+        (c.keySet ++ w.keySet).map { k =>
+          k -> math.min(c.getOrElse(k, Double.MaxValue),
+            w.getOrElse(k, Double.MaxValue))
+        }.toMap
+      }.getOrElse(Map.empty)
+    // skip sub-50ms prior rows: their ratio is timer noise, and with
+    // ~300 queries the median would otherwise be dominated by it
+    val ratios = steady.flatMap { case (n, v) =>
+      priorSteady.get(n.takeWhile(_ != '_')).filter(_ >= 0.05)
+        .map(p => v / p)
+    }.sorted
+    val medianRatio = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    val loadCap = 0.25 * cpus.toInt // a quarter-busy machine is not quiet
+    val ratioCap = 1.15
+    val disturbed = loadStart > loadCap ||
+      (medianRatio > 0 && medianRatio > ratioCap)
+    val acceptDisturbed =
+      sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_DISTURBED").contains("1")
+    val divert = disturbed && !acceptDisturbed
+    val disturbanceJson =
+      s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"n_ratio_queries":${ratios.size},"disturbed":$disturbed,"committed":${!divert}}"""
+    if (disturbed)
+      System.err.println(s"[bench] DISTURBED run (loadavg_start=" +
+        f"$loadStart%.2f cap=$loadCap%.1f, median_ratio=$medianRatio%.3f " +
+        s"cap=$ratioCap, ${ratios.size} compared): " +
+        (if (divert) "artifacts diverted to *.disturbed — re-run on a " +
+          "quiet machine or set SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1"
+         else "accepted by SPARK_GRAFT_BENCH_ACCEPT_DISTURBED"))
     // The r9 "total_warm" sibling field is dropped (ADVICE r10): it only
     // served key-grep consumers — a consumer matching
     // {"metric":"total_warm"} still found nothing — and its bytes came
@@ -144,7 +217,7 @@ object Bench {
     // line. warm_total lives in BENCH_DETAIL.json; only key-based lookup
     // of this line is supported.
     val line =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir","disturbance":$disturbanceJson}"""
     // the FULL per-query line goes to the SPARK_GRAFT_BENCH_OUT file
     // ONLY (default BENCH.json, tracked in git — the canonical
     // artifact). It is deliberately NOT printed: at 296 queries it is
@@ -153,7 +226,8 @@ object Bench {
     // below put two SAME-metric lines with DIFFERENT queries payloads
     // on the streams — a key-selecting consumer could nondeterministically
     // read the truncated sample as the full map (ADVICE r11).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json") +
+      (if (divert) ".disturbed" else "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     // The ONLY printed metric line = a COMPACT summary guaranteed to
     // fit the driver's bounded (~2 KB) output-capture tail, printed to
@@ -166,7 +240,7 @@ object Bench {
     // bounded sample, and pointers to the full per-query records.
     val top10 = sec(steady.sortBy(-_._2).take(10).sortBy(_._1))
     val compact =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"BENCH.json+BENCH_DETAIL.json","loadavg":[${num(loadStart)},${num(loadEnd)}]}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"BENCH.json+BENCH_DETAIL.json","loadavg":[${num(loadStart)},${num(loadEnd)}],"disturbance":$disturbanceJson}"""
     println(compact)
     System.err.println(compact)
     // the driver's output-capture window is bounded, so the primary line
@@ -219,11 +293,12 @@ object Bench {
          |"setup":$setupJson,
          |"rows":$rowsJson,
          |"empty":$empties,
+         |"disturbance":$disturbanceJson,
          |"failed":$failed}""".stripMargin
-    val detailOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailOut), detail + "\n")
+      java.nio.file.Paths.get(
+        detailOut + (if (divert) ".disturbed" else "")),
+      detail + "\n")
     spark.stop()
   }
 }

@@ -4051,7 +4051,9 @@ object SparkEntry {
     // q294 promotion applied to the LSH family: q30/q31/q34/q63 are
     // rows-only because DuckDB cannot replay xxhash64, so the LSH math
     // itself (shingle → per-seed minhash → banded buckets → candidate
-    // pairs → agreement estimate) had no oracle-checked row. Same
+    // pairs → agreement estimate) had no oracle-checked row — q295/
+    // q296/q297 are the oracled twins (MinHash / SimHash / sign-LSH;
+    // every rows-only LSH member now has one). Same
     // corpus (docs ∪ 50 truncated copies) and shipped geometry (16
     // hashes, 4 bands); est_jaccard is an exact k/16 rational
     // The 16-hash signature frame is STAGED corpus-keyed (q296's
@@ -4104,6 +4106,48 @@ object SparkEntry {
           "doc_id", "text")
       }
       ext.Dedup.simhashPairsFromSigs(sigs, "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Sign-LSH on ENGINE-PORTABLE md5 plane signs, fully oracled — the
+    // last LSH family member without an oracled twin (q294 ALS, q295
+    // MinHash, q296 SimHash; VERDICT r13 #4): the shipped q34 keys on
+    // xxhash64 Rademacher planes, so only its math twin is
+    // DuckDB-replayable. Identical algebra to Similarity.
+    // signLshSignature — bit p = sign of ⟨vec, r_p⟩, banded bucketing,
+    // Hamming verify — with two portability moves: (a) plane signs
+    // from md5("p:d") hex parity; (b) vectors QUANTIZED to integers
+    // (floor(x·1000 + 0.5)) so the projection sums are exact — a float
+    // vote sum near zero could flip sign between engines' summation
+    // orders, and `floor` dodges round-half-mode drift entirely.
+    // Corpus = embeddings stratum vec_id < 1000 (q296's slice
+    // contract: the twin certifies math identity; the full-corpus
+    // scale shape is the shipped q34/q66's, under the package audits)
+    // + 50 planted copies at +100000 with an integer perturbation
+    // ((d·7)%19 − 9 ≈ ±2% of the ~±400 quantized components), which
+    // land at sig-Hamming ≈ 0: the output is exactly the planted
+    // near-dup structure plus any ambient near-agreeing pairs. 32
+    // planes / 4 disjoint 8-bit blocks: pigeonhole-exhaustive at
+    // Hamming ≤ 3, and random pairs sit at expected Hamming 16 with
+    // P(≤3) ≈ 1.3e-6 — bucket-join candidates stay block-local, never
+    // corpus². Sig frame STAGED corpus-keyed like q295/q296 (the
+    // 32-sum md5 sweep bills once per corpus snapshot); manual tag
+    // bump on sig-math edits.
+    "q297_signlsh_oracled" -> ((s, dir) => {
+      val sigs = stagedFrame(s, dir, "embeddings", "q297sig_v1") {
+        val base = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 1000)
+          .select(col("vec_id"),
+            ext.Similarity.quantizeVec(col("embedding"), 1000).as("_q"))
+        val copies = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("_q"),
+              (x, i) => x + (i.cast("long") * 7) % 19 - 9).as("_q"))
+        ext.Similarity.signLshPortableSigs(base.unionByName(copies),
+          "vec_id", "_q")
+      }
+      ext.Dedup.bitSigPairsFromSigs(sigs, "vec_id", maxHamming = 3,
+          totalBits = 32, blocks = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -8494,6 +8538,50 @@ object SparkEntry {
         |    bit_count(xor(a.sig, c.sig)) AS hamming
         |  FROM bnd a JOIN bnd c
         |    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.sig, c.sig)) <= 3)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the identical sign-LSH algebra on md5 plane signs: quantize
+    // (floor(x·1000 + 0.5) — bit-exact in both engines, no round-half
+    // mode), per-plane signed integer vote sums, 32-bit sig, exact
+    // 8-bit-block agreement candidates (pigeonhole-exhaustive at
+    // Hamming ≤ 3), bit_count(xor) verify. Corpus stratum vec_id <
+    // 1000 + 50 integer-perturbed copies at +100000 matches the Spark
+    // side; DISTINCT replaces the first-agreeing-block map-side dedup
+    // (same pair set)
+    "q297_signlsh_oracled" -> {
+      val signCase = (p: Int) =>
+        s"CASE WHEN ('0x' || substring(md5('$p:' || d::VARCHAR), 1, 1))" +
+          s"::BIGINT % 2 = 1 THEN 1 ELSE -1 END"
+      val voteSums = (0 until 32).map(p =>
+        s"sum(q * ${signCase(p)}) AS s$p").mkString(",\n    ")
+      val sigExpr = (0 until 32).map(p =>
+        s"(CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH qrows AS (
+        |  SELECT vec_id, d - 1 AS d,
+        |    CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS d
+        |    FROM embeddings WHERE vec_id < 1000) u),
+        |corpus AS (
+        |  SELECT vec_id, d, q FROM qrows
+        |  UNION ALL
+        |  SELECT vec_id + 100000, d, q + (d * 7) % 19 - 9
+        |  FROM qrows WHERE vec_id < 50),
+        |votes AS (SELECT vec_id,
+        |    $voteSums
+        |  FROM corpus GROUP BY vec_id),
+        |sigs AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig
+        |  FROM votes),
+        |bnd AS (SELECT vec_id, sig, b, (sig >> (8 * b)) & 255 AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+        |    bit_count(xor(a.sig, c.sig)) AS hamming
+        |  FROM bnd a JOIN bnd c
+        |    ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id < c.vec_id
         |  WHERE bit_count(xor(a.sig, c.sig)) <= 3)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM cand ORDER BY id_a, id_b""".stripMargin

@@ -197,9 +197,27 @@ object Dedup {
     * bit_count verify. The caller owns `sigs`' materialization.
     */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
-                           maxHamming: Int = 3): DataFrame = {
-    val blocks = portableSimhashBlocks
-    val bitsPerBlock = portableSimhashBits / blocks
+                           maxHamming: Int = 3): DataFrame =
+    bitSigPairsFromSigs(sigs, idCol, maxHamming,
+      portableSimhashBits, portableSimhashBlocks)
+
+  /** Generalized block-exact Hamming pair join over any (id, sig)
+    * bit-signature frame (`sig` a long holding `totalBits` bits):
+    * candidates from exact agreement on one of `blocks` disjoint
+    * `totalBits/blocks`-bit blocks — EXHAUSTIVE for Hamming ≤
+    * `maxHamming` whenever `maxHamming < blocks` (pigeonhole) — kept
+    * only at their FIRST agreeing block (map-side dedup, no distinct
+    * shuffle on the pair stream), then `bit_count(xor)` verify. Shared
+    * by the SimHash (q296) and sign-LSH (q297) portable twins; the
+    * (block, bucket)-local join is never corpus².
+    */
+  def bitSigPairsFromSigs(sigs: DataFrame, idCol: String,
+                          maxHamming: Int, totalBits: Int,
+                          blocks: Int): DataFrame = {
+    require(totalBits % blocks == 0, "blocks must divide totalBits")
+    require(maxHamming < blocks,
+      "pigeonhole exhaustiveness needs maxHamming < blocks")
+    val bitsPerBlock = totalBits / blocks
     val bnd = sigs.select(col(idCol), col("sig"), posexplode(
         array((0 until blocks).map(b =>
           shiftright(col("sig"), b * bitsPerBlock)

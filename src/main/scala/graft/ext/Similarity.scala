@@ -77,6 +77,57 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Quantize a float/double vector column to integer fixed-point:
+    * q_d = floor(x_d·scale + 0.5). From here on the sign-LSH vote
+    * algebra is EXACT integer arithmetic — order-independent sums, no
+    * float drift — which is what makes the portable twin (q297)
+    * replayable by a SQL oracle: `floor` on a double is bit-exact in
+    * every engine, where round-half modes differ. Mirrors DuckDB
+    * `CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)`.
+    */
+  def quantizeVec(vec: Column, scale: Int): Column =
+    transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("long"))
+
+  /** ENGINE-PORTABLE sign-LSH signature (the q297 twin's sig half):
+    * the same random-hyperplane math as [[signLshSignature]] — bit p =
+    * sign of ⟨vec, r_p⟩ with r_p a Rademacher vector — but with the
+    * plane signs drawn from md5 parity instead of xxhash64, and the
+    * vector pre-quantized to integers ([[quantizeVec]]) so the
+    * projection sums are exact and a SQL oracle replays them
+    * bit-identically. sign(p, d) = +1 iff the first hex char of
+    * md5("p:d") is odd (Spark `conv(substring(md5(…),1,1),16,10)` ≡
+    * DuckDB `('0x'||substr(md5(…),1,1))::BIGINT`).
+    *
+    * Scale shape: explode to (id, d, q) rows and take the `planes`
+    * signed sums as plain aggregates (map-side combine) — the same
+    * CollapseProject-avoidance as [[graft.ext.Dedup.simhashPortableSigs]];
+    * everything downstream of the groupBy is |vectors|-sized. The
+    * `planes` md5 calls per (id, d) row depend only on (p, d) —
+    * callers stage the sig frame corpus-keyed (q295/q296's contract)
+    * so the sweep is billed once per corpus snapshot.
+    */
+  def signLshPortableSigs(df: DataFrame, idCol: String, qvecCol: String,
+                          planes: Int = 32): DataFrame = {
+    require(planes <= 62, "sig must fit a signed long")
+    val rows = df.select(col(idCol), col(qvecCol))
+      .repartition(col(idCol))
+      .select(col(idCol), posexplode(col(qvecCol)).as(Seq("_d", "_qv")))
+    def sign(p: Int): Column =
+      when(conv(substring(md5(concat(lit(s"$p:"),
+            col("_d").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2 === 1, lit(1L))
+        .otherwise(lit(-1L))
+    rows.select(col(idCol) +:
+        (0 until planes).map(p => (col("_qv") * sign(p)).as(s"_w$p")): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("_w0")).as("_s0"),
+        (1 until planes).map(p => sum(col(s"_w$p")).as(s"_s$p")): _*)
+      .select(col(idCol),
+        (0 until planes).map(p =>
+          when(col(s"_s$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   /** Approximate near-neighbor pairs: same sign-LSH bucket in ANY band →
     * exact cosine ≥ threshold. The join key is (band, bucket), so
     * candidate generation is linear in bucket occupancy — the 100 TB-safe

@@ -30,13 +30,17 @@ object BroadcastProbe {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
       }
 
-    val cache = collection.mutable.HashMap[(String, Int), Long]()
+    // Keyed on the canonicalized plan itself (structural equality), not
+    // its hashCode — an Int collision between distinct subtrees would
+    // return a wrong cached count / drop a distinct site from the table.
+    val cache = collection.mutable.HashMap[(String, LogicalPlan), Long]()
     def rowsOf(dir: String, h: ResolvedHint): Long =
-      cache.getOrElseUpdate((dir, h.child.canonicalized.hashCode),
+      cache.getOrElseUpdate((dir, h.child.canonicalized),
         Bridge.ofRows(spark, h.child).count())
 
     // distinct hinted subtree → (first query using it, rows small, rows big)
-    val seen = collection.mutable.LinkedHashMap[Int, (String, Long, Long)]()
+    val seen =
+      collection.mutable.LinkedHashMap[LogicalPlan, (String, Long, Long)]()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val smallHs =
         try hintsOf(fn(spark, small).queryExecution.analyzed)
@@ -54,7 +58,7 @@ object BroadcastProbe {
             s"rungs (${smallHs.length} vs ${bigHs.length}); table shows " +
             "the matched prefix only")
         smallHs.zip(bigHs).foreach { case (sh, bh) =>
-          val key = sh.child.canonicalized.hashCode
+          val key = sh.child.canonicalized
           if (!seen.contains(key)) {
             val label = s"$name<${sh.child.schema.fieldNames.take(4).mkString(",")}>"
             seen(key) = (label, rowsOf(small, sh), rowsOf(big, bh))

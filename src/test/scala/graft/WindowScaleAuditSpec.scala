@@ -60,13 +60,17 @@ class WindowScaleAuditSpec extends SparkTestBase {
   private case class M(parts: Long, maxRpp: Long)
 
   // (dir, canonicalized child+spec) → measurement; windows shared
-  // across queries (operator helpers) probe once per corpus
-  private val cache = collection.mutable.HashMap[(String, Int), M]()
+  // across queries (operator helpers) probe once per corpus. Keyed on
+  // the canonicalized objects themselves (structural equality), not
+  // their hashCode — an Int collision would return a wrong cached
+  // measurement (same fix as the broadcast/collect audits, ADVICE r13).
+  private val cache = collection.mutable.HashMap[
+    (String, LogicalPlan,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]), M]()
 
   private def measure(dir: String, w: Window): M = {
-    val key = (dir,
-      (w.child.canonicalized, w.partitionSpec.map(_.canonicalized))
-        .hashCode)
+    val key = (dir, w.child.canonicalized,
+      w.partitionSpec.map(_.canonicalized))
     cache.getOrElseUpdate(key, {
       if (w.partitionSpec.isEmpty) {
         val n = Bridge.ofRows(spark, w.child).count()
