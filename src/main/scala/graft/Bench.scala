@@ -239,8 +239,16 @@ object Bench {
     // metric/value keys, the 10 most expensive steady queries as a
     // bounded sample, and pointers to the full per-query records.
     val top10 = sec(steady.sortBy(-_._2).take(10).sortBy(_._1))
+    // the "full" pointer must name THIS run's files: on a diverted run
+    // the tracked BENCH.json/BENCH_DETAIL.json hold a DIFFERENT
+    // (older, quieter) capture, and a consumer following a stale
+    // pointer would join this run's total with that run's per-query
+    // map with no parse error
+    val fullPtr =
+      if (divert) "BENCH.json.disturbed+BENCH_DETAIL.json.disturbed"
+      else "BENCH.json+BENCH_DETAIL.json"
     val compact =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"BENCH.json+BENCH_DETAIL.json","loadavg":[${num(loadStart)},${num(loadEnd)}],"disturbance":$disturbanceJson}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"$fullPtr","loadavg":[${num(loadStart)},${num(loadEnd)}],"disturbance":$disturbanceJson}"""
     println(compact)
     System.err.println(compact)
     // the driver's output-capture window is bounded, so the primary line

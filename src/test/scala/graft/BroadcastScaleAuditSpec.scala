@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, LogicalPlan, ResolvedHint}
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** The "forced broadcast of a corpus-scaled side" criterion, EXECUTABLE
   * as a sweep over every explicit `broadcast()` hint instead of
@@ -67,17 +66,10 @@ class BroadcastScaleAuditSpec extends SparkTestBase {
     */
   private val adjudicated: Map[String, String] = Map.empty
 
-  // (dir, canonicalized hinted subtree) → rows; hints shared across
-  // queries (operator helpers) probe once per corpus. Keyed on the
-  // canonicalized PLAN (structural equality is well-defined), not its
-  // hashCode — an Int-collision between distinct subtrees would
-  // silently return the wrong cached count.
-  private val cache =
-    collection.mutable.HashMap[(String, LogicalPlan), Long]()
-
+  // hinted subtrees shared across queries (operator helpers) probe
+  // once per corpus — and once across ALL audits ([[PlanProbe]])
   private def rowsOf(dir: String, h: ResolvedHint): Long =
-    cache.getOrElseUpdate((dir, h.child.canonicalized),
-      Bridge.ofRows(spark, h.child).count())
+    PlanProbe.rows(spark, dir, h.child)
 
   private def hintsOf(plan: LogicalPlan): Seq[ResolvedHint] =
     plan.collect {

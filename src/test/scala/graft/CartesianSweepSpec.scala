@@ -91,8 +91,7 @@ class CartesianSweepSpec extends SparkTestBase {
 
   import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
   import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, JoinHint, LogicalPlan}
-  import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-  import org.apache.spark.sql.graftbridge.Bridge
+  import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 
   private def hintedBroadcast(h: JoinHint): Boolean =
     Seq(h.leftHint, h.rightHint)
@@ -111,21 +110,21 @@ class CartesianSweepSpec extends SparkTestBase {
     }
 
   /** The side(s) JoinSelection would have to broadcast for a BNLJ: the
-    * non-preserved side for one-sided join types; either (so the
-    * smaller) for inner/cross/full.
+    * non-preserved side for one-sided join types — including
+    * ExistenceJoin (from a rewritten EXISTS/IN under OR), where only
+    * the right side is broadcastable; either (so the smaller) for
+    * inner/cross/full.
     */
   private def broadcastObligatedRows(dir0: String, j: Join)(
       rows: (String, LogicalPlan) => Long): Long = j.joinType match {
-    case LeftOuter | LeftSemi | LeftAnti => rows(dir0, j.right)
+    case LeftOuter | LeftSemi | LeftAnti | ExistenceJoin(_) =>
+      rows(dir0, j.right)
     case RightOuter => rows(dir0, j.left)
     case _ => math.min(rows(dir0, j.left), rows(dir0, j.right))
   }
 
-  private val rowCache =
-    collection.mutable.HashMap[(String, LogicalPlan), Long]()
   private def rowsOf(dir: String, p: LogicalPlan): Long =
-    rowCache.getOrElseUpdate((dir, p.canonicalized),
-      Bridge.ofRows(spark, p).count())
+    PlanProbe.rows(spark, dir, p)
 
   private def bnljLabel(name: String, j: Join, idx: Int): String =
     s"$name :: ${j.joinType} nonEqui<" +

@@ -21,11 +21,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Funnel (the family's two-rung shape, applied per join SIDE):
   *   1. plan every `SparkEntry.queries` entry at sf0.001; collect the
   *      equi-joins (`ExtractEquiJoinKeys`) from the optimized plan;
-  *   2. SKIP joins where either side is corpus-independent (rows < 6
-  *      at sf0.001, or side-rows growth < 3× across the 10× rung):
-  *      size-based planning broadcasts that side at every scale, so no
-  *      shuffle materializes — explicit-hint growth is
-  *      BroadcastScaleAuditSpec's jurisdiction;
+  *   2. SKIP joins where some side is corpus-independent AND small —
+  *      rows < 6 at sf0.001, or (side-rows growth < 3× across the 10×
+  *      rung AND ≤ 100k rows at sf0.01): size-based planning
+  *      broadcasts that side at every scale, so no shuffle
+  *      materializes. Growth-stability ALONE is not enough — a flat
+  *      but 100k+-row side exceeds the ~10MB broadcast threshold and
+  *      still shuffles, so its corpus-scaled partner stays in the
+  *      sweep. Explicit-hint growth is BroadcastScaleAuditSpec's
+  *      jurisdiction;
   *   3. for genuine both-sides-corpus-scaled joins, probe each side's
   *      MAX key frequency on its join keys at sf0.001 — candidates are
   *      maxFreq ≥ 150;
@@ -57,6 +61,7 @@ class JoinSkewAuditSpec extends SparkTestBase {
 
   private val tinyRows = 6L // below: broadcastable at any scale
   private val sideGrowthFloor = 3.0 // side-rows growth < this → dim side
+  private val flatBroadcastRows = 100000L // flat side ≤ this → broadcastable
   private val candidateFreq = 150L // max key rows at sf0.001 worth re-probing
   private val flagGrowth = 3.0 // key-frequency growth ≥ this → corpus-scaled
   private val hotKeyRowCap = 5e6 // projected rows of ONE key at target
@@ -67,11 +72,8 @@ class JoinSkewAuditSpec extends SparkTestBase {
     */
   private val adjudicated: Map[String, String] = Map.empty
 
-  private val rowCache =
-    collection.mutable.HashMap[(String, LogicalPlan), Long]()
   private def rowsOf(dir: String, p: LogicalPlan): Long =
-    rowCache.getOrElseUpdate((dir, p.canonicalized),
-      Bridge.ofRows(spark, p).count())
+    PlanProbe.rows(spark, dir, p)
 
   // (dir, side plan, keys) → max rows of any single join-key value
   private val freqCache = collection.mutable.HashMap[
@@ -136,12 +138,17 @@ class JoinSkewAuditSpec extends SparkTestBase {
             val (bj, blk, brk) = bigJs(i)
             val bigSides = Seq(("left", bj.left, blk),
               ("right", bj.right, brk))
-            val growths = sides.zip(bigSides).map {
+            // exempt only if some side is flat AND absolutely small —
+            // growth-stability alone doesn't fit a 100k+-row side
+            // under the broadcast threshold, and the partner side's
+            // hot key would otherwise escape the sweep
+            val exemptSide = sides.zip(bigSides).exists {
               case ((_, sp, _), (_, bp, _)) =>
-                rowsOf(sfBig, bp).toDouble /
-                  math.max(rowsOf(sfSmall, sp), 1L)
+                val br = rowsOf(sfBig, bp)
+                br.toDouble / math.max(rowsOf(sfSmall, sp), 1L) <
+                  sideGrowthFloor && br <= flatBroadcastRows
             }
-            if (growths.forall(_ >= sideGrowthFloor)) {
+            if (!exemptSide) {
               sides.zip(bigSides).zip(smallFreqs).foreach {
                 case (((sideName, _, sk), (_, bp, bk)), sf0) =>
                   if (sf0 >= candidateFreq) {
@@ -181,7 +188,7 @@ class JoinSkewAuditSpec extends SparkTestBase {
   /** Positive control: the probe + flag arithmetic DOES catch a
     * corpus-scaled hot key. Builds the same join shape at two
     * synthetic "rungs" (a Zipf-head key holding 30% of an N-row fact
-    * table, N = 1k then 10k) and asserts the funnel's criterion fires
+    * table, N = 2k then 20k) and asserts the funnel's criterion fires
     * on it — so the main sweep's clean pass certifies the queries,
     * not a probe that can't see skew.
     */
