@@ -187,6 +187,15 @@ object Bench {
             w.getOrElse(k, Double.MaxValue))
         }.toMap
       }.getOrElse(Map.empty)
+    // a committed detail for THIS sf that yields zero parsed rows means
+    // the ad-hoc parser above no longer matches the file's format — the
+    // ratio half of the gate would silently degrade to loadavg-only
+    // (ADVICE r14): make the mismatch visible
+    if (committedDetail.exists(_.contains("\"sf\":\"" + sfDir + "\"")) &&
+        priorSteady.isEmpty)
+      System.err.println(s"[bench] WARNING: committed $detailOut matches " +
+        s"sf $sfDir but parsed to 0 prior steady rows — format drift? " +
+        "The median-ratio disturbance check is disabled for this run.")
     // skip sub-50ms prior rows: their ratio is timer noise, and with
     // ~300 queries the median would otherwise be dominated by it
     val ratios = steady.flatMap { case (n, v) =>

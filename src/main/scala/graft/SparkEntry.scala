@@ -461,6 +461,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // planes=4 is a FLOOR, not the bucket count: the default
+    // targetBucketRows/maxBucketRows guards make the effective plane
+    // count corpus-adaptive and cap per-bucket occupancy, so the
+    // band-bucket self-join's candidate budget stays O(corpus) as the
+    // corpus outgrows 16 buckets (the round-14 `weak` finding: 290 s
+    // at the 100x rung from a quadratic pair budget at fixed planes=4)
     "q34_lsh_neighbors" -> ((s, dir) =>
       ext.Similarity.lshNearNeighbors(t(s, dir, "embeddings"),
           threshold = 0.3, planes = 4)
@@ -8560,11 +8566,11 @@ object SparkEntry {
       val sigExpr = (0 until 32).map(p =>
         s"(CASE WHEN s$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
       s"""WITH qrows AS (
-        |  SELECT vec_id, d - 1 AS d,
-        |    CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5)
+        |  SELECT vec_id, d1 - 1 AS d,
+        |    CAST(floor(CAST(embedding[d1] AS DOUBLE) * 1000 + 0.5)
         |      AS BIGINT) AS q
         |  FROM (SELECT vec_id, embedding,
-        |      unnest(generate_series(1, len(embedding))) AS d
+        |      unnest(generate_series(1, len(embedding))) AS d1
         |    FROM embeddings WHERE vec_id < 1000) u),
         |corpus AS (
         |  SELECT vec_id, d, q FROM qrows

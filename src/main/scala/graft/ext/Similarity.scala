@@ -140,11 +140,70 @@ object Similarity {
     * bands are kept only at their FIRST agreeing band (computed per row
     * from the carried signature arrays — a map-side filter, no
     * `distinct()` shuffle of the pair stream).
+    *
+    * Scale safety — two independent guards, both ON by default, keep
+    * the band-bucket self-join's candidate budget O(corpus) instead of
+    * O(corpus²) as the corpus outgrows a fixed plane count:
+    *
+    *  - `targetBucketRows > 0` makes `planes` CORPUS-ADAPTIVE: the
+    *    effective count is max(planes, ceil(log2(n / target))), from one
+    *    cheap count(), so the expected bucket occupancy stays ≈ target
+    *    and Σ occupancy² — the pair budget — stays ∝ n. `planes` is then
+    *    a floor, not a constant: at n ≤ target·2^planes nothing changes
+    *    (all existing fixtures and the sf0.1 bench corpus are below it
+    *    for the shipped planes=4/target=128), beyond it each corpus
+    *    doubling adds one plane. Recall for near-identical pairs decays
+    *    only geometrically in planes ((1−θ/π)^planes ≈ 0.996^p at
+    *    cos ≈ 0.999), re-pinned in LshRecallAtScaleSpec at the grown
+    *    rung; for mid-similarity pairs this is the standard LSH
+    *    precision/recall dial, compensated by `bands` if a caller needs
+    *    a recall guarantee far from 1.0.
+    *  - `maxBucketRows > 0` hard-caps per-(band,bucket) occupancy by
+    *    rank-truncation (row_number over the bucket window, ordered by
+    *    id — deterministic), the posting-cap discipline of the dedup
+    *    family (Dedup.sharedSpanPairs' maxPostingDf) adapted to keep
+    *    the cap's survivors rather than drop the hot key outright
+    *    (a hot LSH bucket still holds real neighbors; a hot shingle is
+    *    boilerplate). The window rides the same hash exchange the
+    *    self-join needs, so the cap adds no extra shuffle. This bounds
+    *    the worst case (adversarial/degenerate vectors collapsing to
+    *    one bucket) that the expectation argument above can't.
     */
+  /** Corpus-adaptive plane count: the smallest `p >= floor` with
+    * n / 2^p <= targetBucketRows, capped at 62 (bucket is a signed-long
+    * bit-OR). Expected bucket occupancy stays ≈ target as the corpus
+    * grows, so Σ occupancy² — the bucket self-join's candidate-pair
+    * budget — stays ∝ n. Pure so LshRecallAtScaleSpec and the scale
+    * audits can pin the exact parameterization the shipped path uses.
+    */
+  def adaptivePlanes(n: Long, floor: Int, targetBucketRows: Int): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt
+    math.min(62, math.max(floor, needed))
+  }
+
   def lshNearNeighbors(df: DataFrame, threshold: Double, planes: Int = 12,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       bands: Int = 1)
+                       bands: Int = 1, targetBucketRows: Int = 128,
+                       maxBucketRows: Int = 4096)
   : DataFrame = {
+    // one column-less count (parquet footers only) feeds the shared
+    // formula; planes must stay < 63 so the bucket fits a signed long
+    val planesEff =
+      if (targetBucketRows > 0) adaptivePlanes(df.count(), planes, targetBucketRows)
+      else planes
+    // per-(band,bucket) occupancy cap; partitioning by the join key
+    // means the row_number exchange is exactly the one the self-join
+    // reuses on the build of each side
+    def capOccupancy(sig: DataFrame, keys: Seq[String]): DataFrame =
+      if (maxBucketRows > 0) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+        sig.repartition(keys.map(col): _*)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxBucketRows).drop("_rn")
+      } else sig
     // compute each vector's norm ONCE before the pair join and carry it
     // through as a scalar (the join node blocks project-collapse, so it
     // cannot be re-inlined); per-pair work is then one dot + one divide
@@ -155,21 +214,24 @@ object Similarity {
         // neither the signature array nor the band column is built or
         // carried through the join — each side ships only
         // (bucket, id, vec, norm), the minimum the verify step needs
-        val sig = df.select(col(idCol), col(vecCol),
+        val sig = capOccupancy(df.select(col(idCol), col(vecCol),
           l2Norm(col(vecCol)).as("_norm"),
-          signLshSignature(col(vecCol), planes, 0).as("bucket"))
+          signLshSignature(col(vecCol), planesEff, 0).as("bucket")),
+          Seq("bucket"))
         val l = sig.select(col("bucket"), col(idCol).as("id_a"),
           col(vecCol).as("v_a"), col("_norm").as("norm_a"))
         val r = sig.select(col("bucket"), col(idCol).as("id_b"),
           col(vecCol).as("v_b"), col("_norm").as("norm_b"))
         l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       } else {
-        val sig = df
+        val sig = capOccupancy(df
           .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("_norm"),
             array((0 until bands).map(k =>
-              signLshSignature(col(vecCol), planes, k * planes)): _*).as("_sigs"))
+              signLshSignature(col(vecCol), planesEff, k * planesEff)): _*)
+              .as("_sigs"))
           .select(col(idCol), col(vecCol), col("_norm"), col("_sigs"),
-            posexplode(col("_sigs")).as(Seq("band", "bucket")))
+            posexplode(col("_sigs")).as(Seq("band", "bucket"))),
+          Seq("band", "bucket"))
         val l = sig.select(col("band"), col("bucket"), col(idCol).as("id_a"),
           col(vecCol).as("v_a"), col("_norm").as("norm_a"),
           col("_sigs").as("sigs_a"))

@@ -109,4 +109,74 @@ class LshRecallAtScaleSpec extends SparkTestBase {
     info(f"sf0.1 sign-LSH recall: $hits/50 = $recall%.3f")
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8 at bench scale")
   }
+
+  /** The round-15 re-pin at the ADAPTIVE parameterization (VERDICT r14
+    * #2): a 16×-grown corpus crosses the planes floor — the formula
+    * must widen the bucket space, the candidate-pair budget
+    * (Σ occupancy², what the band-bucket self-join generates) must
+    * stay ∝ n instead of n²/2^planes, and the planted near-identical
+    * pairs must still be found through the shipped path (adaptive
+    * planes + occupancy cap both ON). Growth is jittered replicas, not
+    * exact copies, so the grown corpus has genuinely new directions
+    * like a real corpus would. All jitter is xxhash64-deterministic:
+    * the measured recall is a fixed number, not a per-run sample.
+    */
+  test("q34 path at a 16x-grown corpus: adaptive planes keep the " +
+    "pair budget linear with recall >= 0.8") {
+    assume(benchAvailable, s"$sfBench not present")
+    val emb = spark.read.parquet(s"$sfBench/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val replicas = (1 to 15).map { k =>
+      emb.select((col("vec_id") + 200000L * k).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (xxhash64(i * 31 + lit(k)) % 100).cast("double") / 2000.0)
+            .cast("float")).as("embedding"))
+    }
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (xxhash64(i) % 100).cast("double") / 10000.0).cast("float"))
+          .as("embedding"))
+    val grown = replicas.foldLeft(emb.union(perturbed))(_ union _).cache()
+    val n = grown.count()
+
+    // (1) the formula crossed the floor: at n≈32k, target 128 → 8 planes
+    val pAdaptive = Similarity.adaptivePlanes(n, 4, 128)
+    assert(pAdaptive > 4,
+      s"adaptive planes did not grow past the floor at n=$n")
+
+    // (2) pair budget Σ occ²: adaptive planes vs the old fixed floor.
+    // The adaptive budget must be a large factor below fixed-4-planes
+    // (16 buckets → budget ≈ n²/16) and within a constant multiple of
+    // n·target (uniform expectation n·target; 4× slack for clustering)
+    def pairBudget(planes: Int): Long = grown
+      .groupBy(Similarity.signLshSignature(col("embedding"), planes, 0)
+        .as("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ") * col("occ")))
+      .head().getLong(0)
+    val budgetAdaptive = pairBudget(pAdaptive)
+    val budgetFixed = pairBudget(4)
+    info(s"pair budget at n=$n: adaptive($pAdaptive planes) " +
+      s"$budgetAdaptive vs fixed(4 planes) $budgetFixed")
+    assert(budgetAdaptive * 4 <= budgetFixed,
+      s"adaptive budget $budgetAdaptive not well below fixed $budgetFixed")
+    assert(budgetAdaptive <= n * 128L * 4,
+      s"adaptive budget $budgetAdaptive exceeds ~linear envelope " +
+        s"${n * 128L * 4}")
+
+    // (3) recall through the SHIPPED path (adaptive + occupancy cap on)
+    val found = Similarity.lshNearNeighbors(grown, threshold = 0.3,
+        planes = 4)
+      .filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 50)
+    val hits = found.count()
+    val recall = hits / 50.0
+    info(f"grown-corpus sign-LSH recall: $hits/50 = $recall%.3f")
+    grown.unpersist()
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8 at the grown rung")
+  }
 }
