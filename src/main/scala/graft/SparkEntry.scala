@@ -60,7 +60,8 @@ object SparkEntry {
   def rowsOnly: Set[String] =
     Set("q30_minhash_neardup", "q31_simhash_neardup",
       "q34_lsh_neighbors", "q35_als_recommend", "q63_dedup_corpus_lsh",
-      "q85_pq_search", "q95_ivfpq_search", "q117_similar_items_implicit")
+      "q85_pq_search", "q95_ivfpq_search", "q117_similar_items_implicit",
+      "q298_simhash128_neardup")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference relational surface (SURVEY.md §2) ----
@@ -4141,19 +4142,27 @@ object SparkEntry {
     // bump on sig-math edits.
     "q297_signlsh_oracled" -> ((s, dir) => {
       val sigs = stagedFrame(s, dir, "embeddings", "q297sig_v1") {
-        val base = t(s, dir, "embeddings")
-          .filter(col("vec_id") < 1000)
-          .select(col("vec_id"),
-            ext.Similarity.quantizeVec(col("embedding"), 1000).as("_q"))
-        val copies = base.filter(col("vec_id") < 50)
-          .select((col("vec_id") + 100000).as("vec_id"),
-            transform(col("_q"),
-              (x, i) => x + (i.cast("long") * 7) % 19 - 9).as("_q"))
-        ext.Similarity.signLshPortableSigs(base.unionByName(copies),
-          "vec_id", "_q")
+        q297SigInput(t(s, dir, "embeddings"))
       }
       ext.Dedup.bitSigPairsFromSigs(sigs, "vec_id", maxHamming = 3,
           totalBits = 32, blocks = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 128-bit SimHash near-dups — q31's scale path (round 15): two
+    // independent-seed signature halves give 4 blocks of 32 bits, so
+    // block occupancy is ∝ n/2^32 instead of n/2^16 and the candidate
+    // join stays linear to ~1e9 docs (the budget audit measured the
+    // 64-bit blocking at ×60.6 budget growth for ×9.2 rows). Hamming
+    // ≤ 3 over 128 bits is a stricter operating point, so exact
+    // copies (+200000) are planted alongside the one-word-truncated
+    // ones to keep a deterministic found set at every sf
+    "q298_simhash128_neardup" -> ((s, dir) => {
+      val base = withNearDups(s, dir)
+      val exact = base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      ext.Dedup.simhashNearDups128(base.unionByName(exact),
+          "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -6472,6 +6481,27 @@ object SparkEntry {
     docs
       .unionByName(prefixCopy(100000, 3, 4))
       .unionByName(prefixCopy(200000, 1, 2))
+  }
+
+  /** q297's staged sig-frame input, factored so the slice invariant is
+    * testable against a GROWN corpus (VERDICT r14 #7): the vec_id <
+    * 1000 stratum filter runs BEFORE planting the +100000 copies, so
+    * the frame is ≤ 1050 rows for ANY corpus size — MakeTenX offsets
+    * replica vec_ids past 1000, so ladder rungs add zero rows here and
+    * the twin's oracle join stays scale-constant by construction.
+    * Q297SliceInvariantSpec pins exactly that against a 10×-grown
+    * frame.
+    */
+  private[graft] def q297SigInput(emb: DataFrame): DataFrame = {
+    val base = emb.filter(col("vec_id") < 1000)
+      .select(col("vec_id"),
+        ext.Similarity.quantizeVec(col("embedding"), 1000).as("_q"))
+    val copies = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("_q"),
+          (x, i) => x + (i.cast("long") * 7) % 19 - 9).as("_q"))
+    ext.Similarity.signLshPortableSigs(base.unionByName(copies),
+      "vec_id", "_q")
   }
 
   private[graft] def withNearDups(s: SparkSession, dir: String): DataFrame =

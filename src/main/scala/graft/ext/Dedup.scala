@@ -389,6 +389,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** 128-bit SimHash near-dup pairs — [[simhashNearDups]]' scale path
+    * (BucketPairBudgetAuditSpec, round 15). The 64-bit operator's
+    * 16-bit blocks are the widest pigeonhole-exhaustive blocking for
+    * Hamming ≤ 3 on a 64-bit signature (exhaustive needs ≥ d+1 = 4
+    * blocks), so per-block-value occupancy is ∝ n/2^16 and the
+    * candidate join's pair budget is Θ(n²/2^16) — measured ×60.6
+    * budget growth for ×9.2 rows on the sf0.01→sf0.1 rung while the
+    * true-pair output stayed linear (59→588). The fix the audit
+    * prescribes is a WIDER KEY SPACE: two independent seed-42/seed-1042
+    * XXH64 signature halves form a 128-bit SimHash whose 4 blocks are
+    * 32 bits wide — same ≥-1-exact-block exhaustiveness at d ≤ 3, but
+    * occupancy ∝ n/2^32, pushing the quadratic knee out by 2^16×
+    * (linear to ~10^9 docs). Hamming is over all 128 bits, so d ≤ 3
+    * here is a STRICTER near-dup test than the 64-bit operator's (the
+    * bit budget doubles but the threshold doesn't) — a different
+    * operating point, not a drop-in: q31 keeps the 64-bit fixture the
+    * q296 oracle twin mirrors, and callers pick by corpus size.
+    */
+  def simhashNearDups128(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "pigeonhole exhaustiveness over 4 blocks needs maxHamming < 4")
+    val withSig = df.select(col(idCol),
+      graft.functions.SimHash64(col(textCol)).as("sig_lo"),
+      graft.functions.SimHash64Seeded(col(textCol), 1042L).as("sig_hi"))
+    // 4 disjoint 32-bit blocks: (lo half, hi half) of each signature;
+    // mask AFTER the shift — shiftright is arithmetic, and a sig with
+    // bit 63 set would otherwise sign-extend into the block value
+    def blockVal(sig: Column, half: Int): Column =
+      shiftright(sig, half * 32).bitwiseAND(0xFFFFFFFFL)
+    val blocks = withSig.select(col(idCol), col("sig_lo"), col("sig_hi"),
+      posexplode(array(
+        blockVal(col("sig_lo"), 0), blockVal(col("sig_lo"), 1),
+        blockVal(col("sig_hi"), 0), blockVal(col("sig_hi"), 1)))
+        .as(Seq("block", "block_val")))
+    val l = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_a"), col("sig_lo").as("lo_a"),
+      col("sig_hi").as("hi_a"))
+    val r = blocks.select(col("block"), col("block_val"),
+      col(idCol).as("id_b"), col("sig_lo").as("lo_b"),
+      col("sig_hi").as("hi_b"))
+    val xorLo = col("lo_a").bitwiseXOR(col("lo_b"))
+    val xorHi = col("hi_a").bitwiseXOR(col("hi_b"))
+    def blockAgrees(b: Int): Column = {
+      val (sig, half) = if (b < 2) (xorLo, b) else (xorHi, b - 2)
+      shiftright(sig, half * 32).bitwiseAND(0xFFFFFFFFL) === 0
+    }
+    val firstAgreeing = when(blockAgrees(0), 0).when(blockAgrees(1), 1)
+      .when(blockAgrees(2), 2).otherwise(3)
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("block") === firstAgreeing)
+      .withColumn("hamming", bit_count(xorLo) + bit_count(xorHi))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+  }
+
   /** Apply a near-dup pair list to the corpus: drop every document that
     * has a LOWER-id near-duplicate partner, keeping the canonical (min-id)
     * representative of each duplicate group. Pairs are emitted with

@@ -40,6 +40,42 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[SimHash64]] with a caller-chosen XXH64 seed: an independent 64-bit
+  * signature half. Two seeds give a 128-bit SimHash — the scale path
+  * for exhaustive Hamming-≤3 blocking when the 16-bit blocks of a
+  * 64-bit signature saturate (per-block-value occupancy ∝ n/2^16 turns
+  * the candidate join quadratic; 32-bit blocks push that knee out by
+  * 2^16×). Kept as a separate expression so the registered 1-arg
+  * `simhash64` SQL function keeps its shape.
+  */
+case class SimHash64Seeded(child: Expression, seed: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64_seeded requires a STRING input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_seeded"
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.computeSeeded(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash64.computeSeeded($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : SimHash64Seeded = copy(child = newChild)
+}
+
+object SimHash64Seeded {
+  def apply(text: Column, seed: Long): Column =
+    Bridge.column(SimHash64Seeded(Bridge.expression(text), seed))
+}
+
 object SimHash64 {
 
   def apply(text: Column): Column =
@@ -48,12 +84,14 @@ object SimHash64 {
   private val Seed = 42L // Spark's xxhash64 seed
   private val SplitPattern = java.util.regex.Pattern.compile("\\s+")
 
-  def compute(text: UTF8String): Long = {
+  def compute(text: UTF8String): Long = computeSeeded(text, Seed)
+
+  def computeSeeded(text: UTF8String, seed: Long): Long = {
     val tokens = SplitPattern.split(text.toLowerCase.toString, -1)
     val counters = new Array[Int](64)
     var t = 0
     while (t < tokens.length) {
-      val h = XXH64.hashUTF8String(UTF8String.fromString(tokens(t)), Seed)
+      val h = XXH64.hashUTF8String(UTF8String.fromString(tokens(t)), seed)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the row count of named SparkEntry queries at a
+  * given SF — the cheapest way to see whether a candidate-generation
+  * stage is output-bound (pairs ≈ results) or junk-bound (pairs ≫
+  * results) when adjudicating a scale-audit flag.
+  * Usage: runMain graft.tools.CountQ <sf_dir> <q1,q2,...>
+  */
+object CountQ {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master("local[32]").appName("countq"), 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args(1).split(',').foreach { name =>
+      val full = graft.SparkEntry.queries.keys
+        .find(k => k == name || k.startsWith(name + "_") ||
+          k.startsWith(name))
+        .getOrElse(sys.error(s"no query matches $name"))
+      val n = graft.SparkEntry.queries(full)(spark, args(0)).count()
+      println(s"COUNT $full = $n")
+    }
+    spark.stop()
+  }
+}

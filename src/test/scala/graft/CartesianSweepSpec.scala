@@ -147,16 +147,21 @@ class CartesianSweepSpec extends SparkTestBase {
       if (candidates.nonEmpty) {
         val bigJs =
           unhintedNonEqui(fn(spark, sfBig).queryExecution.optimizedPlan)
-        assert(bigJs.length == smallJs.length,
-          s"$name: non-equi join count differs across scales " +
-            s"(${smallJs.length} vs ${bigJs.length}) — probe cannot " +
-            "match sites")
         candidates.foreach { case (i, sn) =>
-          val bn = broadcastObligatedRows(sfBig, bigJs(i))(rowsOf)
+          // match the site across scales by structural signature +
+          // ordinal rank, not position (ADVICE r14: a reordered plan
+          // would silently pair sides of DIFFERENT joins)
+          val sig = JoinProbe.nonEquiSig(smallJs(i))
+          val sigRank = smallJs.take(i)
+            .count(JoinProbe.nonEquiSig(_) == sig)
+          val bigJ = JoinProbe.matchNonEqui(bigJs, sig, sigRank)
+            .getOrElse(fail(s"$name: no sf0.01 non-equi join matches " +
+              s"[$sig] occurrence $sigRank — probe cannot match sites"))
+          val bn = broadcastObligatedRows(sfBig, bigJ)(rowsOf)
           val growth = bn.toDouble / math.max(sn, 1L)
           val projected = sn * math.pow(growth, 4)
           if (growth >= flagGrowth && projected >= projectedRowCap) {
-            val key = bnljLabel(name, bigJs(i), i)
+            val key = bnljLabel(name, bigJ, i)
             if (bnljAdjudicated.contains(key)) hit += key
             else offenders += f"$key rows $sn→$bn (×$growth%.1f at " +
               f"10×, ~${projected / 1e6}%.1fM at target) — becomes a " +

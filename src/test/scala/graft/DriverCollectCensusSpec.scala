@@ -53,6 +53,38 @@ class DriverCollectCensusSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val matPattern =
     "\\.(?:collect|collectAsList|toLocalIterator|head|first)\\(\\)".r
 
+  /** The ARGFUL take(n)/head(n) residual surface (VERDICT r14 #5 /
+    * round 15): a source census cannot type-resolve the receiver, and
+    * the call shape is identical on Scala collections — so instead of
+    * guessing, every argful site is COUNT-PINNED per file. All 14
+    * current sites are Scala-collection receivers (reviewed this
+    * round): Bench's top-10 sort of an in-driver seconds list,
+    * SparkEntry's string/byte-array prefixes (PGM/WAV fixture
+    * synthesis, digest hex, a temp-file name), MakeTenX's alphabet
+    * rotation, BroadcastProbe's schema-name label, and the top-k
+    * aggregators' bounded buffer merges. ZERO are Dataset-typed — a
+    * Dataset take(n) ships n rows to the driver and would need a
+    * named bound here like the argless forms above. A new site (or a
+    * removed one) changes its file's count and fails this census
+    * until re-reviewed.
+    */
+  private val argfulCensus: Map[String, (Int, String)] = Map(
+    "graft/Bench.scala" -> ((1,
+      "top-10 selection over the in-driver per-query seconds list")),
+    "graft/SparkEntry.scala" -> ((5,
+      "string/byte-array prefixes: PGM/WAV fixture text (2), digest " +
+        "hex truncations (2), a UUID temp-file suffix (1)")),
+    "graft/tools/MakeTenX.scala" -> ((1,
+      "alphabet-string rotation for replica text mutation")),
+    "graft/tools/BroadcastProbe.scala" -> ((1,
+      "schema field-name prefix for a diagnostic label")),
+    "graft/functions/TopKScored.scala" -> ((3,
+      "k-bounded aggregation buffer (Array) inserts/merges")),
+    "graft/functions/TopKAggregator.scala" -> ((3,
+      "k-bounded aggregation buffer (Array) inserts/merges")))
+
+  private val argfulPattern = "\\.(?:take|head)\\(\\s*[^)\\s]".r
+
   private def stripComments(src: String): String =
     src.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("//[^\n]*", "")
 
@@ -81,5 +113,32 @@ class DriverCollectCensusSpec extends org.scalatest.funsuite.AnyFunSuite {
     val stale = census.keySet -- found.keySet
     assert(stale.isEmpty,
       s"census entries match no file with materializations (stale): $stale")
+  }
+
+  test("every argful take(n)/head(n) in src/main matches its pinned " +
+    "count (receiver-type boundary, reviewed per site)") {
+    val root = Paths.get("src/main/scala")
+    val found = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map { p =>
+        val n = argfulPattern
+          .findAllIn(stripComments(Files.readString(p))).size
+        root.relativize(p).toString -> n
+      }
+      .filter(_._2 > 0).toMap
+    val unexpected = found.filter { case (f, n) =>
+      argfulCensus.get(f).forall(_._1 != n)
+    }
+    assert(unexpected.isEmpty,
+      "argful take/head sites outside the pinned census (if the " +
+        "receiver is a Dataset this ships n rows to the driver — " +
+        "review and re-pin with the receiver named):\n" +
+        unexpected.map { case (f, n) =>
+          s"$f: $n site(s), census pins " +
+            s"${argfulCensus.get(f).map(_._1).getOrElse(0)}"
+        }.mkString("\n"))
+    val stale = argfulCensus.keySet -- found.keySet
+    assert(stale.isEmpty,
+      s"argful census entries match no file (stale): $stale")
   }
 }

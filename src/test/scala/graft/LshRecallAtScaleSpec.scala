@@ -71,6 +71,49 @@ class LshRecallAtScaleSpec extends SparkTestBase {
       s"Hamming<=3 blocking must be exhaustive; missed ${nTruth - hits}")
   }
 
+  /** The 128-bit scale path (q298) must honor the SAME exhaustiveness
+    * contract as the 64-bit fixture: Hamming ≤ 3 over the 128-bit
+    * signature forces ≥ 1 exact 32-bit block (pigeonhole over 4
+    * blocks), so a miss at any corpus size is a logic bug — floor 1.0,
+    * not a probabilistic bound. Truth is computed directly from the
+    * two signature halves over the q298 corpus (planted exact copies
+    * at +200000 guarantee a non-vacuous truth set; the +100000
+    * one-word-truncated copies contribute whichever pairs land ≤ 3 at
+    * the stricter 128-bit operating point).
+    */
+  test("q298 path at sf0.1: 128-bit SimHash blocking stays EXHAUSTIVE " +
+    "for Hamming<=3 positives at bench scale") {
+    assume(benchAvailable, s"$sfBench not present")
+    val base = SparkEntry.withNearDups(spark, sfBench)
+    val withExact = base.unionByName(base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val sigs = withExact.select(col("doc_id"),
+      graft.functions.SimHash64(col("text")).as("lo"),
+      graft.functions.SimHash64Seeded(col("text"), 1042L).as("hi"))
+    val orig = sigs.filter(col("doc_id") < 100000)
+      .select(col("doc_id").as("id_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val copies = sigs.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") % 100000).as("id_a"),
+        col("doc_id").as("id_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val truth = orig.join(copies, "id_a")
+      .withColumn("hamming128",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming128") <= 3)
+      .select("id_a", "id_b")
+    val nTruth = truth.count()
+    assert(nTruth >= 25L, s"vacuous truth set ($nTruth pairs) — the " +
+      "25 exact copies alone should land at Hamming 0")
+    val found = Dedup.simhashNearDups128(withExact, "doc_id", "text",
+      maxHamming = 3).select("id_a", "id_b")
+    val hits = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    info(s"sf0.1 simhash128 recall: $hits/$nTruth")
+    assert(hits === nTruth,
+      s"Hamming<=3 blocking must be exhaustive; missed ${nTruth - hits}")
+  }
+
   test("q30 path at sf0.1: MinHash recall >= 0.8 over true-Jaccard>=0.5 " +
     "positives at bench scale") {
     assume(benchAvailable, s"$sfBench not present")
