@@ -128,6 +128,20 @@ object Similarity {
           .reduce(_ + _).as("sig"))
   }
 
+  /** Corpus-adaptive plane count: the smallest `p >= floor` with
+    * n / 2^p <= targetBucketRows, capped at 62 (bucket is a signed-long
+    * bit-OR). Expected bucket occupancy stays ≈ target as the corpus
+    * grows, so Σ occupancy² — the bucket self-join's candidate-pair
+    * budget — stays ∝ n. Pure so LshRecallAtScaleSpec and the scale
+    * audits can pin the exact parameterization the shipped path uses.
+    */
+  def adaptivePlanes(n: Long, floor: Int, targetBucketRows: Int): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketRows)) /
+        math.log(2.0)).toInt
+    math.min(62, math.max(floor, needed))
+  }
+
   /** Approximate near-neighbor pairs: same sign-LSH bucket in ANY band →
     * exact cosine ≥ threshold. The join key is (band, bucket), so
     * candidate generation is linear in bucket occupancy — the 100 TB-safe
@@ -145,15 +159,17 @@ object Similarity {
     * the band-bucket self-join's candidate budget O(corpus) instead of
     * O(corpus²) as the corpus outgrows a fixed plane count:
     *
-    *  - `targetBucketRows > 0` makes `planes` CORPUS-ADAPTIVE: the
-    *    effective count is max(planes, ceil(log2(n / target))), from one
-    *    cheap count(), so the expected bucket occupancy stays ≈ target
-    *    and Σ occupancy² — the pair budget — stays ∝ n. `planes` is then
-    *    a floor, not a constant: at n ≤ target·2^planes nothing changes
-    *    (all existing fixtures and the sf0.1 bench corpus are below it
-    *    for the shipped planes=4/target=128), beyond it each corpus
-    *    doubling adds one plane. Recall for near-identical pairs decays
-    *    only geometrically in planes ((1−θ/π)^planes ≈ 0.996^p at
+    *  - `targetBucketRows > 0` makes `planes` CORPUS-ADAPTIVE via
+    *    [[adaptivePlanes]], from one count() of `df` (a metadata-cheap
+    *    job on a parquet scan; callers passing an expensive DERIVED
+    *    frame should cache it, since the count adds one evaluation).
+    *    Expected bucket occupancy stays ≈ target and Σ occupancy² —
+    *    the pair budget — stays ∝ n. `planes` is then a floor, not a
+    *    constant: at n ≤ target·2^planes nothing changes (all existing
+    *    fixtures and the sf0.1 bench corpus are below it for the
+    *    shipped planes=4/target=128), beyond it each corpus doubling
+    *    adds one plane. Recall for near-identical pairs decays only
+    *    geometrically in planes ((1−θ/π)^planes ≈ 0.996^p at
     *    cos ≈ 0.999), re-pinned in LshRecallAtScaleSpec at the grown
     *    rung; for mid-similarity pairs this is the standard LSH
     *    precision/recall dial, compensated by `bands` if a caller needs
@@ -167,22 +183,12 @@ object Similarity {
     *    boilerplate). The window rides the same hash exchange the
     *    self-join needs, so the cap adds no extra shuffle. This bounds
     *    the worst case (adversarial/degenerate vectors collapsing to
-    *    one bucket) that the expectation argument above can't.
+    *    one bucket) that the expectation argument above can't. With
+    *    `bands > 1` the cap composes CONSERVATIVELY with the
+    *    first-agreeing-band dedup: a pair truncated out of its first
+    *    agreeing band is dropped even if both rows survive in a later
+    *    band (recall-only effect, never duplication).
     */
-  /** Corpus-adaptive plane count: the smallest `p >= floor` with
-    * n / 2^p <= targetBucketRows, capped at 62 (bucket is a signed-long
-    * bit-OR). Expected bucket occupancy stays ≈ target as the corpus
-    * grows, so Σ occupancy² — the bucket self-join's candidate-pair
-    * budget — stays ∝ n. Pure so LshRecallAtScaleSpec and the scale
-    * audits can pin the exact parameterization the shipped path uses.
-    */
-  def adaptivePlanes(n: Long, floor: Int, targetBucketRows: Int): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketRows)) /
-        math.log(2.0)).toInt
-    math.min(62, math.max(floor, needed))
-  }
-
   def lshNearNeighbors(df: DataFrame, threshold: Double, planes: Int = 12,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        bands: Int = 1, targetBucketRows: Int = 128,

@@ -164,6 +164,9 @@ class BucketPairBudgetAuditSpec extends SparkTestBase {
           val g1 = rSmall.zip(rBig).map { case (a, b) =>
             b.toDouble / math.max(a, 1L)
           }
+          lazy val benchSite = JoinProbe.matchJoin(benchJs, sig, sigRank)
+            .getOrElse(fail(s"$name: no sf0.1 equi-join matches " +
+              s"[$sig] occurrence $sigRank — audit cannot match sites"))
           // the join's probe pair: first pair where a side grows
           val pick: Option[(String, String,
             (Join, Seq[Expression], Seq[Expression]),
@@ -173,10 +176,6 @@ class BucketPairBudgetAuditSpec extends SparkTestBase {
               Some((sfSmall, sfBig, (j, lk, rk), bigSite, g1.max,
                 rSmall, rBig))
             else {
-              val benchSite = JoinProbe.matchJoin(benchJs, sig, sigRank)
-                .getOrElse(fail(s"$name: no sf0.1 equi-join matches " +
-                  s"[$sig] occurrence $sigRank — audit cannot match " +
-                  "sites"))
               val rBench = Seq(rowsOf(sfBench, benchSite._1.left),
                 rowsOf(sfBench, benchSite._1.right))
               val g2 = rBig.zip(rBench).map { case (a, b) =>
@@ -190,12 +189,24 @@ class BucketPairBudgetAuditSpec extends SparkTestBase {
           pick.foreach { case (loDir, hiDir, loSite, hiSite, gRows,
                                rLo, rHi) =>
             pairPicked += 1
-            // broadcast-class side → candidate generation bounded by it
-            val sidesHi = Seq(hiSite._1.left, hiSite._1.right)
-            val flatSmallSide = rLo.zip(rHi).zip(sidesHi).exists {
-              case ((lo, hi), p) =>
-                hi.toDouble / math.max(lo, 1L) < sideGrowthFloor &&
-                  estBytes(hi, p) <= bcThresholdBytes
+            // broadcast-class side → candidate generation bounded by
+            // it. Broadcast-class must hold THROUGH sf0.1: a side flat
+            // on the picked pair can still grow on the later one (the
+            // embeddings shape — the r14 #3 blind spot), so flatness
+            // is re-checked against sf0.1 rows and bytes are estimated
+            // at the largest probed corpus. For pair-2 picks the hi
+            // rung IS sf0.1 and the extra ratio degenerates to 1.
+            def sideOf(site: (Join, Seq[Expression], Seq[Expression]),
+                       si: Int): LogicalPlan =
+              if (si == 0) site._1.left else site._1.right
+            val flatSmallSide = rLo.zip(rHi).zipWithIndex.exists {
+              case ((lo, hi), si) =>
+                hi.toDouble / math.max(lo, 1L) < sideGrowthFloor && {
+                  val bp = sideOf(benchSite, si)
+                  val br = rowsOf(sfBench, bp)
+                  br.toDouble / math.max(hi, 1L) < sideGrowthFloor &&
+                    estBytes(br, bp) <= bcThresholdBytes
+                }
             }
             if (!flatSmallSide) {
               loProbed += 1

@@ -79,6 +79,7 @@ class CartesianSweepSpec extends SparkTestBase {
 
   private val sfSmall = "/root/testdata/sf0.001"
   private val sfBig = "/root/testdata/sf0.01"
+  private val sfBench = "/root/testdata/sf0.1"
   private val candidateRows = 6L // below: broadcastable even ×10^4
   private val flagGrowth = 3.0 // ≥ this across the 10× rung → scales
   private val projectedRowCap = 1000000.0 // rows at growth^4 (sf10)
@@ -147,6 +148,8 @@ class CartesianSweepSpec extends SparkTestBase {
       if (candidates.nonEmpty) {
         val bigJs =
           unhintedNonEqui(fn(spark, sfBig).queryExecution.optimizedPlan)
+        lazy val benchJs =
+          unhintedNonEqui(fn(spark, sfBench).queryExecution.optimizedPlan)
         candidates.foreach { case (i, sn) =>
           // match the site across scales by structural signature +
           // ordinal rank, not position (ADVICE r14: a reordered plan
@@ -158,15 +161,29 @@ class CartesianSweepSpec extends SparkTestBase {
             .getOrElse(fail(s"$name: no sf0.01 non-equi join matches " +
               s"[$sig] occurrence $sigRank — probe cannot match sites"))
           val bn = broadcastObligatedRows(sfBig, bigJ)(rowsOf)
-          val growth = bn.toDouble / math.max(sn, 1L)
-          val projected = sn * math.pow(growth, 4)
+          val g1 = bn.toDouble / math.max(sn, 1L)
+          // a side flat on the early pair can still grow on the late
+          // one (the embeddings shape — VERDICT r14 #3): fall back to
+          // the sf0.01→sf0.1 pair before declaring it safe. Exponent
+          // is decades-to-target: 4 from sf0.001, 3 from sf0.01.
+          val (growth, base, exponent, loDir, hiDir) =
+            if (g1 >= flagGrowth) (g1, sn, 4, sfSmall, sfBig)
+            else {
+              val benchJ = JoinProbe.matchNonEqui(benchJs, sig, sigRank)
+                .getOrElse(fail(s"$name: no sf0.1 non-equi join " +
+                  s"matches [$sig] occurrence $sigRank — probe cannot " +
+                  "match sites"))
+              val cn = broadcastObligatedRows(sfBench, benchJ)(rowsOf)
+              (cn.toDouble / math.max(bn, 1L), bn, 3, sfBig, sfBench)
+            }
+          val projected = base * math.pow(growth, exponent)
           if (growth >= flagGrowth && projected >= projectedRowCap) {
             val key = bnljLabel(name, bigJ, i)
             if (bnljAdjudicated.contains(key)) hit += key
-            else offenders += f"$key rows $sn→$bn (×$growth%.1f at " +
-              f"10×, ~${projected / 1e6}%.1fM at target) — becomes a " +
-              "cartesian (inner) or forced huge broadcast (outer) " +
-              "once past the threshold"
+            else offenders += f"$key rows ×$growth%.1f on " +
+              f"$loDir→$hiDir (~${projected / 1e6}%.1fM at target) — " +
+              "becomes a cartesian (inner) or forced huge broadcast " +
+              "(outer) once past the threshold"
           }
         }
       }

@@ -1,11 +1,8 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.Count
-import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** The "skewed shuffle join" criterion (the sixth member of the scale
   * audit family — VERDICT r13 #3): q43 salts its hot-key join by hand,
@@ -103,62 +100,16 @@ class JoinSkewAuditSpec extends SparkTestBase {
   private def estBytes(rows: Long, p: LogicalPlan): Long =
     rows * math.max(1, p.output.map(_.dataType.defaultSize).sum)
 
-  // (dir, side plan, keys) → max rows of any single join-key value
-  private val freqCache = collection.mutable.HashMap[
-    (String, LogicalPlan, Seq[Expression]), Long]()
+  // equi-join extraction, cross-scale site matching (qualifier-stripped
+  // key signatures + ordinal rank — ADVICE r14), and the cached,
+  // null-safe frequency probe all live in JoinProbe: one copy shared
+  // with BucketPairBudgetAuditSpec, the PlanProbe discipline.
+  private def equiJoinsOf(plan: LogicalPlan) = JoinProbe.equiJoinsOf(plan)
+  private def keySig(lk: Seq[Expression], rk: Seq[Expression]) =
+    JoinProbe.keySig(lk, rk)
   private def maxKeyFreq(dir: String, side: LogicalPlan,
                          keys: Seq[Expression]): Long =
-    freqCache.getOrElseUpdate(
-      (dir, side.canonicalized, keys.map(_.canonicalized)), {
-        val probe = Aggregate(keys,
-          keys.zipWithIndex.map { case (e, i) => Alias(e, s"_k$i")() }
-            :+ Alias(Count(Literal(1)).toAggregateExpression(), "_c")(),
-          side)
-        // empty side (a filter matching nothing at this rung) → max()
-        // is NULL → probe as frequency 0, not an opaque NPE (ADVICE r14)
-        Bridge.ofRows(spark, probe)
-          .agg(max(col("_c"))).collect().headOption
-          .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
-      })
-
-  /** Equi-joins with extracted keys: (join, leftKeys, rightKeys). */
-  private def equiJoinsOf(plan: LogicalPlan)
-  : Seq[(Join, Seq[Expression], Seq[Expression])] =
-    plan.collect { case j: Join =>
-      ExtractEquiJoinKeys.unapply(j).map { t =>
-        (j, t._2, t._3)
-      }
-    }.flatten
-
-  /** Structural signature for matching the SAME join site across
-    * scales: the key expressions' SQL on both sides, with attribute
-    * QUALIFIERS stripped — bucketed-scan qualifiers embed a
-    * dir-derived table hash (graft_q108li_..._<dirhash>), which would
-    * make the same site signature-mismatch across rungs. Attribute
-    * names survive re-planning against a different-sized corpus where
-    * traversal position may not (ADVICE r14: positional pairing
-    * compares sides of DIFFERENT joins if the optimizer reorders);
-    * plans with several same-signature sites are disambiguated by
-    * ordinal rank.
-    */
-  private def keySig(lk: Seq[Expression], rk: Seq[Expression]): String = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    def bare(e: Expression): String = e.transform {
-      case a: AttributeReference => a.withQualifier(Seq.empty)
-    }.sql
-    lk.map(bare).mkString(",") + " | " + rk.map(bare).mkString(",")
-  }
-
-  /** The join in `js` matching `sig`, taking the `rank`-th occurrence
-    * (for plans with several same-signature sites, e.g. self-join
-    * chains); None if the other scale has fewer matching sites.
-    */
-  private def matchJoin(js: Seq[(Join, Seq[Expression], Seq[Expression])],
-                        sig: String, rank: Int)
-  : Option[(Join, Seq[Expression], Seq[Expression])] = {
-    val same = js.filter { case (_, lk, rk) => keySig(lk, rk) == sig }
-    if (same.length > rank) Some(same(rank)) else None
-  }
+    JoinProbe.maxKeyFreq(spark, dir, side, keys)
 
   private def label(name: String, keys: Seq[Expression], side: String,
                     idx: Int): String =
@@ -191,10 +142,10 @@ class JoinSkewAuditSpec extends SparkTestBase {
         if (smallRows.forall(_ >= tinyRows)) {
           freqProbed += 1
           // the same site at the other rungs, matched by signature
-          lazy val bigSite = matchJoin(bigJs, sig, sigRank).getOrElse(
+          lazy val bigSite = JoinProbe.matchJoin(bigJs, sig, sigRank).getOrElse(
             fail(s"$name: no sf0.01 equi-join matches keys [$sig] " +
               s"occurrence $sigRank — audit cannot match sites"))
-          lazy val benchSite = matchJoin(benchJs, sig, sigRank).getOrElse(
+          lazy val benchSite = JoinProbe.matchJoin(benchJs, sig, sigRank).getOrElse(
             fail(s"$name: no sf0.1 equi-join matches keys [$sig] " +
               s"occurrence $sigRank — audit cannot match sites"))
           def sideAt(site: (Join, Seq[Expression], Seq[Expression]),
