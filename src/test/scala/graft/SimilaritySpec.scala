@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("Broadcast"), s"expected broadcast of queries:\n$plan")
   }
 
+  test("adaptivePlanes: floor below the knee, +1 plane per corpus " +
+    "doubling above, capped at 62") {
+    import graft.ext.Similarity.adaptivePlanes
+    // below the knee (n <= target * 2^floor) the floor wins
+    assert(adaptivePlanes(0L, 4, 128) === 4)
+    assert(adaptivePlanes(500L, 4, 128) === 4)
+    assert(adaptivePlanes(2048L, 4, 128) === 4) // exactly at the knee
+    // above it: smallest p with n / 2^p <= target
+    assert(adaptivePlanes(2049L, 4, 128) === 5)
+    assert(adaptivePlanes(32050L, 4, 128) === 8) // the grown-rung pin
+    assert(adaptivePlanes(200000L, 4, 128) === 11) // the 100x corpus
+    // signed-long ceiling regardless of n
+    assert(adaptivePlanes(Long.MaxValue, 4, 1) === 62)
+  }
+
   test("lshNearNeighbors finds identical vectors (cos 1) in one bucket") {
     val df = vecs(1 -> Seq(1f, 2f, 3f), 2 -> Seq(1f, 2f, 3f), 3 -> Seq(-3f, 1f, -2f))
     val out = Similarity.lshNearNeighbors(df, threshold = 0.9, planes = 4)
