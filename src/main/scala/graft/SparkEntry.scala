@@ -390,6 +390,10 @@ object SparkEntry {
           threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LEGACY 64-bit shape, kept as the q296 oracle twin's mirror —
+    // its 16-bit blocking is Θ(n²/2^16) (pair-budget audit: ×60.6 for
+    // ×9.2 rows), bounded-corpus only; the at-scale path is q298's
+    // simhashNearDups128 (32-bit blocks, measured linear)
     "q31_simhash_neardup" -> ((s, dir) =>
       ext.Dedup.simhashNearDups(withNearDups(s, dir), "doc_id", "text",
           maxHamming = 3)

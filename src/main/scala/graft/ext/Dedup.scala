@@ -358,6 +358,16 @@ object Dedup {
     * (Hamming-distance blocking: two signatures within Hamming distance 3
     * must agree on at least one of 4 blocks).
     *
+    * BOUNDED-CORPUS VARIANT (round 15/16 adjudication): 16-bit blocks
+    * are the widest exhaustive blocking a 64-bit signature allows at
+    * d ≤ 3, so the candidate budget is Θ(n²/2^16) — measured ×60.6 for
+    * ×9.2 rows by BucketPairBudgetAuditSpec. Fine to ~10^6–10^7 docs
+    * (the block join stays under ~10^8 candidates); beyond that use
+    * [[simhashNearDups128]] (32-bit blocks, measured linear), a
+    * different operating point (Hamming over 128 bits), not a drop-in.
+    * q31 keeps this shape because the q296 oracle twin mirrors its
+    * 64-bit algebra; it is the only main-source caller.
+    *
     * A pair agreeing on SEVERAL blocks meets once per agreeing block;
     * instead of a `distinct()` (a full shuffle of the pair stream), each
     * pair is kept only where the join block is the FIRST agreeing block —

@@ -136,10 +136,16 @@ object Similarity {
     * audits can pin the exact parameterization the shipped path uses.
     */
   def adaptivePlanes(n: Long, floor: Int, targetBucketRows: Int): Int = {
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketRows)) /
-        math.log(2.0)).toInt
-    math.min(62, math.max(floor, needed))
+    require(targetBucketRows > 0, "targetBucketRows must be positive")
+    // integer ceil-log2 — smallest p with n <= target * 2^p, expressed
+    // as ((n-1) >> p) < target so no intermediate can overflow. The
+    // former double-log form could land at 4.0000000000000004 at exact
+    // power-of-two knees and bump a plane one doubling early (ADVICE
+    // r15); this is exact by construction.
+    val m = math.max(1L, n)
+    var p = 0
+    while (p < 62 && ((m - 1) >> p) >= targetBucketRows) p += 1
+    math.min(62, math.max(floor, p))
   }
 
   /** Approximate near-neighbor pairs: same sign-LSH bucket in ANY band →
@@ -195,10 +201,26 @@ object Similarity {
                        maxBucketRows: Int = 4096)
   : DataFrame = {
     // one column-less count (parquet footers only) feeds the shared
-    // formula; planes must stay < 63 so the bucket fits a signed long
+    // formula; planes must stay < 63 so the bucket fits a signed long.
+    // The count is an EAGER job at construction time (ADVICE r15): on
+    // a scan-backed frame it is metadata-cheap, but an uncached DERIVED
+    // input (join/agg/explode upstream) gets evaluated twice — warn so
+    // the cost is observable instead of silent.
     val planesEff =
-      if (targetBucketRows > 0) adaptivePlanes(df.count(), planes, targetBucketRows)
-      else planes
+      if (targetBucketRows > 0) {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+        val derived = df.queryExecution.optimizedPlan.find {
+          case _: Join | _: Aggregate | _: Generate | _: LWindow => true
+          case _ => false
+        }.isDefined
+        if (derived &&
+            df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          System.err.println(
+            "[graft] lshNearNeighbors: adaptive-planes count() over an " +
+              "uncached derived input evaluates it twice — cache the " +
+              "input or pass targetBucketRows=0 with explicit planes")
+        adaptivePlanes(df.count(), planes, targetBucketRows)
+      } else planes
     // per-(band,bucket) occupancy cap; partitioning by the join key
     // means the row_number exchange is exactly the one the self-join
     // reuses on the build of each side
@@ -257,6 +279,33 @@ object Similarity {
         dot(col("v_a"), col("v_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** Diagnostic companion to [[lshNearNeighbors]]: per-(band, bucket)
+    * posting occupancy under the SAME plane parameterization (adaptive
+    * knee included), so an engaged `maxBucketRows` cap is OBSERVABLE
+    * instead of silent (ADVICE r15) — any row with
+    * `occupancy > maxBucketRows` is a bucket the pair join truncated
+    * (recall-only, survivors are the cap smallest ids). One groupBy on
+    * the join key; no pair join is run. Columns: band, bucket,
+    * occupancy.
+    */
+  def lshBucketStats(df: DataFrame, planes: Int = 12,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     bands: Int = 1, targetBucketRows: Int = 128)
+  : DataFrame = {
+    val planesEff =
+      if (targetBucketRows > 0) adaptivePlanes(df.count(), planes, targetBucketRows)
+      else planes
+    val keyed =
+      if (bands == 1)
+        df.select(lit(0).as("band"),
+          signLshSignature(col(vecCol), planesEff, 0).as("bucket"))
+      else
+        df.select(posexplode(array((0 until bands).map(k =>
+          signLshSignature(col(vecCol), planesEff, k * planesEff)): _*))
+          .as(Seq("band", "bucket")))
+    keyed.groupBy("band", "bucket").agg(count(lit(1)).as("occupancy"))
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of

@@ -15,10 +15,18 @@ object CountQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args(1).split(',').foreach { name =>
-      val full = graft.SparkEntry.queries.keys
-        .find(k => k == name || k.startsWith(name + "_") ||
-          k.startsWith(name))
-        .getOrElse(sys.error(s"no query matches $name"))
+      // exact match first; otherwise a prefix match must be UNIQUE —
+      // 'q29' matching any of q290..q298 by Map iteration order was
+      // nondeterministic (ADVICE r15)
+      val keys = graft.SparkEntry.queries.keys.toSeq
+      val full = keys.find(_ == name).getOrElse {
+        keys.filter(_.startsWith(name)) match {
+          case Seq(one) => one
+          case Seq() => sys.error(s"no query matches $name")
+          case many => sys.error(
+            s"ambiguous prefix $name: ${many.sorted.mkString(", ")}")
+        }
+      }
       val n = graft.SparkEntry.queries(full)(spark, args(0)).count()
       println(s"COUNT $full = $n")
     }

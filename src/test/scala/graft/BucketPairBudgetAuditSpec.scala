@@ -87,7 +87,9 @@ class BucketPairBudgetAuditSpec extends SparkTestBase {
         "The shipped scale path is simhashNearDups128 (q298): two " +
         "independent-seed halves → 4×32-bit blocks, occupancy ∝ n/2^32, " +
         "linear to ~1e9 docs — the 'widen the key space' remedy, " +
-        "measured linear by this suite's scale-path control. q31 keeps " +
+        "measured linear by this suite's scale-path control (round-15 " +
+        "ladder pins: budget ×9.3 for rows ×8.8 on sf0.01→sf0.1 vs the " +
+        "64-bit ×60.6 for ×9.2; 3.8 s at the 100× rung). q31 keeps " +
         "the 64-bit fixture at oracle-checkable corpus sizes."),
     "q66_dedup_embedding :: join#1 [centroid_id | _cid_b]" ->
       ("exact cell-pair semantics over CALLER-CHOSEN centroids: the " +
