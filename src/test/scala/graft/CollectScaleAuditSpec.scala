@@ -1,10 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Collect, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Collect}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** The "corpus-scaled collect buffer" criterion, the aggregation-state
   * analog of WindowScaleAuditSpec: `collect_list`/`collect_set`
@@ -50,30 +47,13 @@ class CollectScaleAuditSpec extends SparkTestBase {
     */
   private val adjudicated: Map[String, String] = Map.empty
 
-  // Keyed on the canonicalized plan/expressions themselves (structural
-  // equality), not their hashCode — an Int collision would return the
-  // wrong cached group size for a distinct aggregate.
-  private val cache = collection.mutable.HashMap[
-    (String, LogicalPlan, Seq[org.apache.spark.sql.catalyst.expressions.Expression]),
-    Long]()
-
-  private def maxGroupRows(dir: String, a: Aggregate): Long = {
-    val key = (dir, a.child.canonicalized,
-      a.groupingExpressions.map(_.canonicalized))
-    cache.getOrElseUpdate(key, {
-      if (a.groupingExpressions.isEmpty)
-        Bridge.ofRows(spark, a.child).count()
-      else {
-        val probe = Aggregate(a.groupingExpressions,
-          a.groupingExpressions.zipWithIndex
-            .map { case (e, i) => Alias(e, s"_k$i")() }
-            :+ Alias(Count(Literal(1)).toAggregateExpression(), "_c")(),
-          a.child)
-        Bridge.ofRows(spark, probe)
-          .agg(max(col("_c"))).head().getLong(0)
-      }
-    })
-  }
+  // One copy of the max-group-rows probe for all aggregation-state
+  // audits (this suite and AggStateAuditSpec): JoinProbe.maxKeyFreq IS
+  // the same computation (rows per key value over a subtree), with the
+  // shared canonicalized-plan-object cache — a subtree probed by one
+  // audit is free for the other.
+  private def maxGroupRows(dir: String, a: Aggregate): Long =
+    JoinProbe.maxKeyFreq(spark, dir, a.child, a.groupingExpressions)
 
   private def collectAggsOf(plan: LogicalPlan): Seq[Aggregate] =
     plan.collect {
