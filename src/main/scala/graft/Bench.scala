@@ -209,9 +209,21 @@ object Bench {
       (medianRatio > 0 && medianRatio > ratioCap)
     val acceptDisturbed =
       sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_DISTURBED").contains("1")
-    val divert = disturbed && !acceptDisturbed
+    // a query that threw in ANY pass invalidates the run outright: a
+    // THIRD-pass failure records time-to-failure (~ms) and min(cold,
+    // warm) then silently IMPROVES total_steady — a killed/OOMing run
+    // wrote an 80 s "capture" with 136 four-millisecond rows before
+    // this guard (round 16). Broken beats disturbed: no env override.
+    val failedAll = (first ++ second ++ third).filter(_._3 == -1L)
+      .map(_._1).distinct.sorted
+    val divert = (disturbed && !acceptDisturbed) || failedAll.nonEmpty
+    if (failedAll.nonEmpty)
+      System.err.println(s"[bench] BROKEN run: ${failedAll.size} " +
+        s"queries failed in some pass (${failedAll.take(5).mkString(", ")}" +
+        (if (failedAll.size > 5) ", …" else "") +
+        ") — artifacts diverted to *.disturbed, exit nonzero")
     val disturbanceJson =
-      s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"n_ratio_queries":${ratios.size},"disturbed":$disturbed,"committed":${!divert}}"""
+      s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"n_ratio_queries":${ratios.size},"failed_any_pass":${failedAll.size},"disturbed":$disturbed,"committed":${!divert}}"""
     if (disturbed)
       System.err.println(s"[bench] DISTURBED run (loadavg_start=" +
         f"$loadStart%.2f cap=$loadCap%.1f, median_ratio=$medianRatio%.3f " +
@@ -272,9 +284,10 @@ object Bench {
     // a query that THREW during count() records rows = -1; surface those
     // by name so a hard failure is machine-checkable from the tracked
     // artifact, not just visible on stderr (its recorded time is
-    // time-to-failure, not a healthy measurement)
-    val failed = results.filter(_._3 == -1L)
-      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    // time-to-failure, not a healthy measurement). ALL passes count —
+    // a warm-pass-only failure corrupts steady just as surely.
+    val failed = failedAll
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     // one-time staged-artifact build costs (_SETUP_SECONDS, written by
     // stagedStreamResult when it runs the REAL streaming query): folded
     // into the tracked artifact so the amortized costs stay visible to
@@ -317,5 +330,9 @@ object Bench {
         detailOut + (if (divert) ".disturbed" else "")),
       detail + "\n")
     spark.stop()
+    // after artifacts + compact line are out (diagnosable), a broken
+    // run still fails the invocation so a driver records rc != 0
+    // instead of a number built on time-to-failure rows
+    if (failedAll.nonEmpty) sys.exit(1)
   }
 }
