@@ -69,8 +69,10 @@ class DriverCollectCensusSpec extends org.scalatest.funsuite.AnyFunSuite {
     * until re-reviewed.
     */
   private val argfulCensus: Map[String, (Int, String)] = Map(
-    "graft/Bench.scala" -> ((1,
-      "top-10 selection over the in-driver per-query seconds list")),
+    "graft/Bench.scala" -> ((2,
+      "top-10 selection over the in-driver per-query seconds list; " +
+        "failedAll.take(5) — first five names from the in-driver " +
+        "failed-query Seq[String] for the broken-run stderr message")),
     "graft/SparkEntry.scala" -> ((5,
       "string/byte-array prefixes: PGM/WAV fixture text (2), digest " +
         "hex truncations (2), a UUID temp-file suffix (1)")),
