@@ -225,11 +225,15 @@ object Bench {
     val disturbanceJson =
       s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"n_ratio_queries":${ratios.size},"failed_any_pass":${failedAll.size},"disturbed":$disturbed,"committed":${!divert}}"""
     if (disturbed)
+      // keyed on the DISTURBANCE-caused divert, not the combined flag:
+      // a broken run must not advise the ACCEPT_DISTURBED override it
+      // deliberately ignores
       System.err.println(s"[bench] DISTURBED run (loadavg_start=" +
         f"$loadStart%.2f cap=$loadCap%.1f, median_ratio=$medianRatio%.3f " +
         s"cap=$ratioCap, ${ratios.size} compared): " +
-        (if (divert) "artifacts diverted to *.disturbed — re-run on a " +
-          "quiet machine or set SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1"
+        (if (!acceptDisturbed) "artifacts diverted to *.disturbed — " +
+          "re-run on a quiet machine or set " +
+          "SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1"
          else "accepted by SPARK_GRAFT_BENCH_ACCEPT_DISTURBED"))
     // The r9 "total_warm" sibling field is dropped (ADVICE r10): it only
     // served key-grep consumers — a consumer matching

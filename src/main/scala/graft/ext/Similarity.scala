@@ -148,6 +148,31 @@ object Similarity {
     math.min(62, math.max(floor, p))
   }
 
+  /** ONE resolution of the effective plane count for the operator and
+    * its diagnostics ([[lshNearNeighbors]], [[lshBucketStats]]) — the
+    * stats companion's "same parameterization" guarantee is this shared
+    * code path, not a hand-kept copy. The count is an EAGER job at
+    * construction time (ADVICE r15): metadata-cheap on a scan-backed
+    * frame, but an uncached DERIVED input (join/agg/explode upstream)
+    * gets evaluated twice — warn so the cost is observable.
+    */
+  private def effectivePlanes(df: DataFrame, planes: Int,
+                              targetBucketRows: Int): Int =
+    if (targetBucketRows > 0) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+      val derived = df.queryExecution.optimizedPlan.find {
+        case _: Join | _: Aggregate | _: Generate | _: LWindow => true
+        case _ => false
+      }.isDefined
+      if (derived &&
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        System.err.println(
+          "[graft] sign-LSH: adaptive-planes count() over an uncached " +
+            "derived input evaluates it twice — cache the input or " +
+            "pass targetBucketRows=0 with explicit planes")
+      adaptivePlanes(df.count(), planes, targetBucketRows)
+    } else planes
+
   /** Approximate near-neighbor pairs: same sign-LSH bucket in ANY band →
     * exact cosine ≥ threshold. The join key is (band, bucket), so
     * candidate generation is linear in bucket occupancy — the 100 TB-safe
@@ -200,27 +225,7 @@ object Similarity {
                        bands: Int = 1, targetBucketRows: Int = 128,
                        maxBucketRows: Int = 4096)
   : DataFrame = {
-    // one column-less count (parquet footers only) feeds the shared
-    // formula; planes must stay < 63 so the bucket fits a signed long.
-    // The count is an EAGER job at construction time (ADVICE r15): on
-    // a scan-backed frame it is metadata-cheap, but an uncached DERIVED
-    // input (join/agg/explode upstream) gets evaluated twice — warn so
-    // the cost is observable instead of silent.
-    val planesEff =
-      if (targetBucketRows > 0) {
-        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
-        val derived = df.queryExecution.optimizedPlan.find {
-          case _: Join | _: Aggregate | _: Generate | _: LWindow => true
-          case _ => false
-        }.isDefined
-        if (derived &&
-            df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          System.err.println(
-            "[graft] lshNearNeighbors: adaptive-planes count() over an " +
-              "uncached derived input evaluates it twice — cache the " +
-              "input or pass targetBucketRows=0 with explicit planes")
-        adaptivePlanes(df.count(), planes, targetBucketRows)
-      } else planes
+    val planesEff = effectivePlanes(df, planes, targetBucketRows)
     // per-(band,bucket) occupancy cap; partitioning by the join key
     // means the row_number exchange is exactly the one the self-join
     // reuses on the build of each side
@@ -294,9 +299,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bands: Int = 1, targetBucketRows: Int = 128)
   : DataFrame = {
-    val planesEff =
-      if (targetBucketRows > 0) adaptivePlanes(df.count(), planes, targetBucketRows)
-      else planes
+    val planesEff = effectivePlanes(df, planes, targetBucketRows)
     val keyed =
       if (bands == 1)
         df.select(lit(0).as("band"),

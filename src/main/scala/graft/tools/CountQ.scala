@@ -15,18 +15,22 @@ object CountQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args(1).split(',').foreach { name =>
-      // exact match first; otherwise a prefix match must be UNIQUE —
-      // 'q29' matching any of q290..q298 by Map iteration order was
-      // nondeterministic (ADVICE r15)
+      // exact match, then the canonical short qNN name (the
+      // underscore-boundary form every bench artifact uses — unique by
+      // key convention, so 'q29' means q29_fingerprint, never q290+),
+      // then a raw prefix only if UNIQUE — Map-iteration-order picks
+      // were nondeterministic (ADVICE r15)
       val keys = graft.SparkEntry.queries.keys.toSeq
-      val full = keys.find(_ == name).getOrElse {
-        keys.filter(_.startsWith(name)) match {
-          case Seq(one) => one
-          case Seq() => sys.error(s"no query matches $name")
-          case many => sys.error(
-            s"ambiguous prefix $name: ${many.sorted.mkString(", ")}")
+      val full = keys.find(_ == name)
+        .orElse(keys.find(_.takeWhile(_ != '_') == name))
+        .getOrElse {
+          keys.filter(_.startsWith(name)) match {
+            case Seq(one) => one
+            case Seq() => sys.error(s"no query matches $name")
+            case many => sys.error(
+              s"ambiguous prefix $name: ${many.sorted.mkString(", ")}")
+          }
         }
-      }
       val n = graft.SparkEntry.queries(full)(spark, args(0)).count()
       println(s"COUNT $full = $n")
     }

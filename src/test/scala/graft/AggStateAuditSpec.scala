@@ -158,6 +158,28 @@ class AggStateAuditSpec extends SparkTestBase {
         .exists(f => mapStateBuiltins(f.getClass.getSimpleName)) => a
     }
 
+  /** Cross-scale site identity by SIGNATURE + ordinal rank, never by
+    * traversal position (the JoinProbe rule — ADVICE r14: optimizer
+    * order can differ per scale, and positional pairing would compare
+    * growth of DIFFERENT sites): qualifier-stripped grouping SQL plus
+    * the sorted aggregate-function class list.
+    */
+  private def aggSig(a: Aggregate): String = {
+    def bare(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.transform {
+        case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          ar.withQualifier(Seq.empty)
+      }.sql
+    a.groupingExpressions.map(bare).mkString(",") + " | " +
+      aggFnsOf(a).map(_.getClass.getSimpleName).sorted.mkString(",")
+  }
+
+  private def matchAgg(as: Seq[Aggregate], sig: String,
+                       rank: Int): Option[Aggregate] = {
+    val same = as.filter(aggSig(_) == sig)
+    if (same.length > rank) Some(same(rank)) else None
+  }
+
   /** The shared flag criterion (factored so the planted controls run
     * the exact production path): pick the site's rung pair where its
     * max group grows ≥ pairGrowthFloor, then flag when the hi-rung
@@ -220,15 +242,16 @@ class AggStateAuditSpec extends SparkTestBase {
         lazy val benchMs = mapStateAggsOf(
           fn(spark, sfBench).queryExecution.optimizedPlan)
         smallMs.zipWithIndex.foreach { case (a, i) =>
-          assert(bigMs.length == smallMs.length,
-            s"$name: map-state aggregate count differs across scales " +
-              s"(${smallMs.length} vs ${bigMs.length}) — cannot match")
+          val sig = aggSig(a)
+          val rank = smallMs.take(i).count(aggSig(_) == sig)
+          val big = matchAgg(bigMs, sig, rank).getOrElse(
+            fail(s"$name: no sf0.01 map-state aggregate matches [$sig] " +
+              s"occurrence $rank — audit cannot match sites"))
           sitesProbed += 1
-          probeSite(a, bigMs(i), {
-            assert(benchMs.length == smallMs.length,
-              s"$name: map-state aggregate count differs at sf0.1")
-            benchMs(i)
-          }).foreach { case (lo, hi, g) =>
+          probeSite(a, big, matchAgg(benchMs, sig, rank).getOrElse(
+            fail(s"$name: no sf0.1 map-state aggregate matches [$sig] " +
+              s"occurrence $rank — audit cannot match sites"))
+          ).foreach { case (lo, hi, g) =>
             sitesFlagged += 1
             val classes = aggFnsOf(a).map(_.getClass.getSimpleName)
               .filter(mapStateBuiltins).distinct
