@@ -47,8 +47,19 @@ object Bench {
     // empty pipeline (the round-7 graph-family failure mode — zero-edge
     // PageRank benched for two rounds before a row probe caught it), so
     // emptiness is machine-checked every round below.
-    def pass(): Seq[(String, Double, Long)] =
+    // process-CPU clock next to the wall clock (VERDICT r16 #3):
+    // same-HEAD wall totals swing 122–176 s with ambient machine load
+    // while process CPU stays flat, so recording both lets a wholesale
+    // wall-time shift with flat CPU be dismissed as ambient in one
+    // line — and a CPU shift flag a real plan change. local[n] runs
+    // every executor in-process, so the process delta covers the
+    // query's full task work (plus GC, which is part of its cost).
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def pass(): Seq[(String, Double, Double, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -56,7 +67,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1L
         }
-        (name, (System.nanoTime() - t0) / 1e9, n)
+        (name, (System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9, n)
       }
     // machine-load stamps: the r10 driver run measured a uniform 1.16×
     // slowdown vs the builder's controlled run — ambient contention, but
@@ -99,14 +111,21 @@ object Bench {
     // that was 0.16 s warm), so round-over-round diffs on cold keep
     // re-paying that accounting tax. Warm is the steady-state number a
     // production session with live staged artifacts actually sees.
-    val results = first.zip(second).map { case ((n, a, _), (_, b, rows)) =>
-      (n, math.min(a, b), rows)
+    val results = first.zip(second).map {
+      case ((n, a, _, _), (_, b, _, rows)) => (n, math.min(a, b), rows)
     }
     // per-query MAX over the same two swept passes: together with the
     // min this is the per-query spread — a reader can bound how much a
     // single-pass GC/contention spike could move any number
-    val coldMax = first.zip(second).map { case ((n, a, _), (_, b, _)) =>
+    val coldMax = first.zip(second).map { case ((n, a, _, _), (_, b, _, _)) =>
       (n, math.max(a, b))
+    }
+    // per-query process-CPU seconds under the SAME min-of-passes
+    // protocol as steady wall time (VERDICT r16 #3) — recorded in
+    // BENCH_DETAIL next to the wall columns, never gated on
+    val cpuSteady = first.zip(second).zip(third).map {
+      case (((n, _, ca, _), (_, _, cb, _)), (_, _, cw, _)) =>
+        (n, math.min(ca, math.min(cb, cw)))
     }
     results.filter(_._3 == 0L).foreach { case (n, _, _) =>
       System.err.println(s"[bench] EMPTY RESULT: $n returned 0 rows at " +
@@ -139,7 +158,7 @@ object Bench {
     // above for cache-free queries, while cached/staged queries keep
     // their warm number — a steady-state min without a fourth pass.
     // Cold and warm stay separately recorded in BENCH_DETAIL.
-    val steady = results.zip(third).map { case ((n, c, _), (_, w, _)) =>
+    val steady = results.zip(third).map { case ((n, c, _), (_, w, _, _)) =>
       (n, math.min(c, w))
     }
     val steadyQs = sec(steady)
@@ -168,25 +187,32 @@ object Bench {
       } catch { case _: Throwable => None }
     // ratios only make sense against a committed capture of the SAME
     // corpus — a sweep pointed at another SF dir skips the comparison
-    val priorSteady: Map[String, Double] = committedDetail
+    def grab(txt: String, key: String): Map[String, Double] = {
+      val i = txt.indexOf("\"" + key + "\":{")
+      if (i < 0) Map.empty
+      else {
+        val s = txt.substring(i + key.length + 4)
+        val body = s.substring(0, math.max(s.indexOf('}'), 0))
+        "\"(q[0-9]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val committedSameSf = committedDetail
       .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+    val priorSteady: Map[String, Double] = committedSameSf
       .map { txt =>
-        def grab(key: String): Map[String, Double] = {
-          val i = txt.indexOf("\"" + key + "\":{")
-          if (i < 0) Map.empty
-          else {
-            val s = txt.substring(i + key.length + 4)
-            val body = s.substring(0, math.max(s.indexOf('}'), 0))
-            "\"(q[0-9]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-        }
-        val c = grab("cold"); val w = grab("warm")
+        val c = grab(txt, "cold"); val w = grab(txt, "warm")
         (c.keySet ++ w.keySet).map { k =>
           k -> math.min(c.getOrElse(k, Double.MaxValue),
             w.getOrElse(k, Double.MaxValue))
         }.toMap
       }.getOrElse(Map.empty)
+    // prior per-query CPU (present from r17 captures on): purely
+    // informational — the disturbance GATE stays wall-only (unchanged
+    // r14/r16 thresholds); the cpu median lets a reader separate
+    // ambient wall drift (cpu flat) from a real plan change (cpu moves)
+    val priorCpu: Map[String, Double] = committedSameSf
+      .map(txt => grab(txt, "cpu")).getOrElse(Map.empty)
     // a committed detail for THIS sf that yields zero parsed rows means
     // the ad-hoc parser above no longer matches the file's format — the
     // ratio half of the gate would silently degrade to loadavg-only
@@ -203,6 +229,12 @@ object Bench {
         .map(p => v / p)
     }.sorted
     val medianRatio = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    val cpuRatios = cpuSteady.flatMap { case (n, v) =>
+      priorCpu.get(n.takeWhile(_ != '_')).filter(_ >= 0.05)
+        .map(p => v / p)
+    }.sorted
+    val medianCpuRatio =
+      if (cpuRatios.isEmpty) -1.0 else cpuRatios(cpuRatios.size / 2)
     val loadCap = 0.25 * cpus.toInt // a quarter-busy machine is not quiet
     val ratioCap = 1.15
     val disturbed = loadStart > loadCap ||
@@ -214,7 +246,7 @@ object Bench {
     // warm) then silently IMPROVES total_steady — a killed/OOMing run
     // wrote an 80 s "capture" with 136 four-millisecond rows before
     // this guard (round 16). Broken beats disturbed: no env override.
-    val failedAll = (first ++ second ++ third).filter(_._3 == -1L)
+    val failedAll = (first ++ second ++ third).filter(_._4 == -1L)
       .map(_._1).distinct.sorted
     val divert = (disturbed && !acceptDisturbed) || failedAll.nonEmpty
     if (failedAll.nonEmpty)
@@ -223,15 +255,18 @@ object Bench {
         (if (failedAll.size > 5) ", …" else "") +
         ") — artifacts diverted to *.disturbed, exit nonzero")
     val disturbanceJson =
-      s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"n_ratio_queries":${ratios.size},"failed_any_pass":${failedAll.size},"disturbed":$disturbed,"committed":${!divert}}"""
+      s"""{"loadavg_start":${num(loadStart)},"median_ratio_vs_committed":${num(medianRatio)},"median_cpu_ratio_vs_committed":${num(medianCpuRatio)},"n_ratio_queries":${ratios.size},"failed_any_pass":${failedAll.size},"disturbed":$disturbed,"committed":${!divert}}"""
     if (disturbed)
       // keyed on the DISTURBANCE-caused divert, not the combined flag:
       // a broken run must not advise the ACCEPT_DISTURBED override it
-      // deliberately ignores
+      // deliberately ignores (ADVICE r16: the broken-run divert holds
+      // regardless of the env var, so advising it would be a lie)
       System.err.println(s"[bench] DISTURBED run (loadavg_start=" +
         f"$loadStart%.2f cap=$loadCap%.1f, median_ratio=$medianRatio%.3f " +
         s"cap=$ratioCap, ${ratios.size} compared): " +
-        (if (!acceptDisturbed) "artifacts diverted to *.disturbed — " +
+        (if (failedAll.nonEmpty) "artifacts diverted — run is also " +
+          "BROKEN (failed queries above); no override applies"
+         else if (!acceptDisturbed) "artifacts diverted to *.disturbed — " +
           "re-run on a quiet machine or set " +
           "SPARK_GRAFT_BENCH_ACCEPT_DISTURBED=1"
          else "accepted by SPARK_GRAFT_BENCH_ACCEPT_DISTURBED"))
@@ -324,6 +359,8 @@ object Bench {
          |"cold":$qs,
          |"cold_max":${sec(coldMax)},
          |"warm":$warmQs,
+         |"cpu":${sec(cpuSteady)},
+         |"cpu_total":${num(cpuSteady.map(_._2).sum)},
          |"setup":$setupJson,
          |"rows":$rowsJson,
          |"empty":$empties,

@@ -15,6 +15,16 @@ class EntrySpec extends SparkTestBase {
       "oracle entries without a query")
   }
 
+  test("short qNN prefixes are unique across declared queries") {
+    // every bench artifact and CountQ's tiered resolution key on the
+    // short prefix ("q29" for q29_fingerprint); a duplicate would emit
+    // colliding JSON keys in Bench's per-query maps and silently
+    // reintroduce nondeterministic name resolution (ADVICE r16)
+    val dup = SparkEntry.queries.keys.toSeq
+      .groupBy(_.takeWhile(_ != '_')).filter(_._2.size > 1)
+    assert(dup.isEmpty, s"duplicate short prefixes: $dup")
+  }
+
   // The co-engagement graph family is legitimately EMPTY at sf0.001:
   // 15 users share no item pair under the ≥2-user support floor — the
   // corpus-scaled threshold doing its job on a corpus with no repeated
