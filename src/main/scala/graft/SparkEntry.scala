@@ -1822,8 +1822,11 @@ object SparkEntry {
     // (Σ tokens): min-per-shingle is a mergeable aggregate, no pair
     // join, so no hot-posting cap needed
     "q216_ngram_novelty" -> ((s, dir) => {
-      val posts = t(s, dir, "documents")
-        .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+      // fanOutForMapWork (r17): the shingle build otherwise runs
+      // single-task in the scan stage on a one-row-group input
+      val posts = Tables.fanOutForMapWork(t(s, dir, "documents")
+          .filter(size(split(lower(col("text")), "\\s+")) >= 3)
+          .select(col("doc_id"), col("source"), col("text")))
         .select(col("doc_id"), col("source"),
           functions.ShingleHashes(col("text"), 3).as("_sh"))
         .select(col("doc_id"), col("source"),
@@ -2697,7 +2700,10 @@ object SparkEntry {
     // power iteration. Vocab-bounded: the rank frame is |vocab| rows
     // regardless of corpus size
     "q251_textrank" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      // fanOutForMapWork (r17): tokenize + positional-bigram explode
+      // otherwise run single-task in the scan stage
+      val toks = Tables.fanOutForMapWork(
+          t(s, dir, "documents").select(col("text")))
         .select(ext.TextOps.tokens(col("text")).as("_t"),
           size(ext.TextOps.tokens(col("text"))).as("_n"))
         .filter(col("_n") >= 2)
@@ -3184,8 +3190,12 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("_qid"),
           col("embedding").as("_qv"), col("label").as("_qlab"))
-      val c = emb.select(col("vec_id").as("_cid"),
-        col("embedding").as("_cv"), col("label").as("_clab"))
+      // fanOutForMapWork (r17, guide §2.5): 400k broadcast-pair cosines
+      // + the k-bounded aggregator all run in the corpus scan stage —
+      // single-task on the one-row-group embeddings table
+      val c = Tables.fanOutForMapWork(
+        emb.select(col("vec_id").as("_cid"),
+          col("embedding").as("_cv"), col("label").as("_clab")))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("_cid") =!= col("_qid"))
         .select(col("_qid"), col("_qlab"), col("_cid"), col("_clab"),
@@ -3550,9 +3560,11 @@ object SparkEntry {
     // mapPartitions is the sanctioned multimodal plumbing (q44's tier)
     "q279_audio_features" -> ((s, dir) => {
       import s.implicits._
-      val feats = t(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id").cast("long"), col("source"), col("text"))
+      // fanOutForMapWork (r17, guide §2.5): WAV encode/decode per doc
+      // runs in the scan stage — single-task on a one-row-group input
+      val feats = Tables.fanOutForMapWork(t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id").cast("long"), col("source"), col("text")))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
           // 7-bit mask BOTH here and in the oracle SQL (ascii % 128):
@@ -3584,9 +3596,11 @@ object SparkEntry {
     // thumbnail-pixel rollups out
     "q280_image_stats" -> ((s, dir) => {
       import s.implicits._
-      val feats = t(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id").cast("long"), col("source"), col("text"))
+      // fanOutForMapWork (r17): q279's rationale — PGM decode + resize
+      // per doc otherwise runs single-task in the scan stage
+      val feats = Tables.fanOutForMapWork(t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id").cast("long"), col("source"), col("text")))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, src, text) =>
           val gray = text.take(200).map(c => (c.toInt & 0x7f).toByte)

@@ -759,7 +759,11 @@ object Dedup {
                                 partitionCols: Seq[String],
                                 maxPostingDf: Int): DataFrame = {
     val part = partitionCols.map(col)
-    val d = df
+    // fanOutForMapWork (r17, guide §2.5): the shingle build is the
+    // operator's dominant narrow work and runs in the scan stage — a
+    // one-row-group input would shingle the whole corpus in one task
+    val d = graft.sources.Tables.fanOutForMapWork(
+        df.select(part :+ col(idCol) :+ col(textCol): _*))
       .select(part :+ col(idCol) :+
         graft.functions.ShingleHashes(col(textCol), shingleN).as("sh"): _*)
       .select(part :+ col(idCol) :+ col("sh") :+
@@ -791,7 +795,13 @@ object Dedup {
       col(idCol).as("id_a"), col("n_sh").as("n_a"))
     val b = postings.select(col("pkey").as("pkey_b"),
       col(idCol).as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, col("pkey") === col("pkey_b") && col("id_a") < col("id_b"))
+    // merge hint (r17, sharedSpanPairs' rationale): both sides are the
+    // IDENTICAL posting subtree — sort-merge shares its one exchange
+    // via ReusedExchange, where the size-estimated broadcast would
+    // rebuild the whole shingle pipeline for the build side and is
+    // corpus-sized (OOM) at scale
+    a.hint("merge")
+      .join(b, col("pkey") === col("pkey_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
   }
@@ -833,25 +843,47 @@ object Dedup {
                       window: Int = 32, minShared: Long = 2L,
                       maxPostingDf: Int = 1000): DataFrame = {
     // stage text as an attribute before the HOF touches it (the
-    // lambda-capture trap: outer EXPRESSIONS re-evaluate per element)
-    val staged = df.select(col(idCol), col(textCol).as("_txt"))
-      .filter(length(col("_txt")) >= window)
+    // lambda-capture trap: outer EXPRESSIONS re-evaluate per element).
+    // fanOutForMapWork (r17, guide §2.5): the per-position window md5
+    // below is the operator's dominant cost and runs in the SCAN stage —
+    // a one-row-group input would hash the whole corpus in one task
+    val staged = graft.sources.Tables.fanOutForMapWork(
+      df.select(col(idCol), col(textCol).as("_txt"))
+        .filter(length(col("_txt")) >= window))
+    // posting key = one 64-bit remix of the anchored window
+    // (shinglePairCounts' documented trick): the shuffle moves longs
+    // instead of 32-char strings, and a cross-key collision needs two
+    // xxhash64 values to agree (~n²/2⁶⁵ for n distinct windows) —
+    // negligible against the 1/16 anchor sampling itself (r17)
     val wins = staged
       .select(col(idCol), explode(transform(
         sequence(lit(1), length(col("_txt")) - (window - 1)),
         i => col("_txt").substr(i, lit(window)))).as("_win"))
       .filter(md5(col("_win")).startsWith("0"))
-      .distinct()
+      .select(col(idCol), xxhash64(col("_win")).as("_wkey"))
+    // ONE exchange for the whole tail (r17: was distinct-exchange +
+    // repartition-exchange): partitioning by _wkey alone already
+    // co-locates every (id, _wkey) duplicate, so the per-doc dedup
+    // aggregate, the posting-cap window, and (via ReuseExchange) both
+    // pair-join sides all ride the same shuffle
     val postings = {
       import org.apache.spark.sql.expressions.Window
-      wins.repartition(col("_win"))
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_win")))
+      wins.repartition(col("_wkey"))
+        .dropDuplicates(idCol, "_wkey")
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_wkey")))
         .filter(col("_df") <= maxPostingDf)
         .drop("_df")
     }
-    val a = postings.select(col("_win"), col(idCol).as("id_a"))
-    val b = postings.select(col("_win").as("_win_b"), col(idCol).as("id_b"))
-    a.join(b, col("_win") === col("_win_b") && col("id_a") < col("id_b"))
+    val a = postings.select(col("_wkey"), col(idCol).as("id_a"))
+    val b = postings.select(col("_wkey").as("_wkey_b"), col(idCol).as("id_b"))
+    // merge hint (r17): the self-join's sides are the IDENTICAL posting
+    // subtree — as sort-merge they share ONE exchange (ReusedExchange);
+    // the size-estimated broadcast alternative rebuilds the whole
+    // anchored-window pipeline for the build side, and at corpus scale
+    // a posting-stream broadcast is corpus-sized (OOM), so SMJ is also
+    // the only 100 TB-correct strategy here
+    a.hint("merge")
+      .join(b, col("_wkey") === col("_wkey_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -380,7 +380,11 @@ object Multimodal {
   : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
+    // fanOutForMapWork (r17, guide §2.5): the batched decode/inference
+    // below is the operator's whole cost and runs in the scan stage —
+    // single-task on a one-row-group input
+    graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol).cast("long"), col(blobCol)))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -396,7 +400,11 @@ object Multimodal {
     * metadata → stub-decode → stub-features. One projection, no shuffle.
     */
   def pipeline(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), asBlob(col(textCol)).as("blob"))
+    // fanOutForMapWork (r17, guide §2.5): the decode/feature projection
+    // chain is narrow — single-task on a one-row-group input otherwise
+    graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), asBlob(col(textCol)).as("blob"))
       .withColumn("meta", blobMetadata(col("blob")))
       .withColumn("decoded", decodeImageStub(col("blob")))
       .withColumn("features", extractFeaturesStub(col("decoded")))

@@ -46,7 +46,11 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    // fanOutForMapWork (r17, guide §2.5): the |queries|×|corpus| cosine
+    // scoring and the k-bounded partial aggregate run in the corpus
+    // scan stage — single-task on a one-row-group input
+    val c = graft.sources.Tables.fanOutForMapWork(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
     Relational.topKPerGroupAgg(scored, k, Seq("query_id"),
@@ -159,17 +163,29 @@ object Similarity {
   private def effectivePlanes(df: DataFrame, planes: Int,
                               targetBucketRows: Int): Int =
     if (targetBucketRows > 0) {
-      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
-      val derived = df.queryExecution.optimizedPlan.find {
-        case _: Join | _: Aggregate | _: Generate | _: LWindow => true
-        case _ => false
-      }.isDefined
-      if (derived &&
-          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        System.err.println(
-          "[graft] sign-LSH: adaptive-planes count() over an uncached " +
-            "derived input evaluates it twice — cache the input or " +
-            "pass targetBucketRows=0 with explicit planes")
+      // cheap storageLevel check FIRST (ADVICE r16): a directly-cached
+      // input never warns, so the common case skips forcing the
+      // analyzer/optimizer pass the derived-shape probe needs
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, Window => LWindow}
+        import org.apache.spark.sql.execution.columnar.InMemoryRelation
+        val plan = df.queryExecution.optimizedPlan
+        val derived = plan.find {
+          case _: Join | _: Aggregate | _: Generate | _: LWindow => true
+          case _ => false
+        }.isDefined
+        // a cached ANCESTOR shows up as an InMemoryRelation subtree
+        // (withCachedData substitutes it before optimization): the
+        // re-evaluation is then only the cheap tail above the cache,
+        // so it does not warrant the warning (ADVICE r16)
+        val cachedBelow =
+          plan.find(_.isInstanceOf[InMemoryRelation]).isDefined
+        if (derived && !cachedBelow)
+          System.err.println(
+            "[graft] sign-LSH: adaptive-planes count() over an uncached " +
+              "derived input evaluates it twice — cache the input or " +
+              "pass targetBucketRows=0 with explicit planes")
+      }
       adaptivePlanes(df.count(), planes, targetBucketRows)
     } else planes
 
@@ -320,7 +336,11 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cIdCol: String = "centroid_id", cVecCol: String = "centroid")
   : DataFrame = {
-    val joined = df.join(broadcast(centroids))
+    // fanOutForMapWork (r17, guide §2.5): the |centroids|-way cosine
+    // argmax per vector runs in the scan stage — single-task on a
+    // one-row-group input
+    val joined = graft.sources.Tables.fanOutForMapWork(df)
+      .join(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col(cVecCol)))
     Relational.topKPerGroup(joined, 1, Seq(idCol),
         Seq(col("cos").desc, col(cIdCol)))

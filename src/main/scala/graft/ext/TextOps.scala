@@ -92,7 +92,11 @@ object TextOps {
     val nTok = size(toks).cast("double")
     val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
     val chars = length(text).cast("double")
-    df.withColumn("n_tokens", nTok.cast("long"))
+    // fanOutForMapWork (r17, guide §2.5): the regex/tokenize battery is
+    // the operator's whole cost and runs in the scan stage — single-task
+    // on a one-row-group input
+    graft.sources.Tables.fanOutForMapWork(df)
+      .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("punct_ratio", r4(punct / greatest(chars, lit(1.0))))
       .withColumn("stopword_ratio",
         r4(stopwordHits(toks, stopwords("en")).cast("double") /
@@ -178,7 +182,11 @@ object TextOps {
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkTokens >= 1)
-    val staged = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // fanOutForMapWork (r17): tokenize+slice chain otherwise runs
+    // single-task in the scan stage on a one-row-group input
+    val staged = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("long").as("_n"))
     staged.select(col(idCol),
@@ -230,7 +238,11 @@ object TextOps {
   val longNumRe = "[0-9]{7,}"
 
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    // fanOutForMapWork (r17): four regex passes per row otherwise run
+    // single-task in the scan stage on a one-row-group input
+    graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
       regexp_replace(
         regexp_replace(col(textCol), emailRe, "<EMAIL>"),
         longNumRe, "<NUM>").as("text_clean"),
@@ -253,7 +265,11 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    val staged = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    // fanOutForMapWork (r17): tokenize + sort + fold per row otherwise
+    // run single-task in the scan stage on a one-row-group input
+    val staged = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("long").as("n_tokens"),
         array_sort(col("_toks")).as("_sorted"))
@@ -335,8 +351,9 @@ object TextOps {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int = 0): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("_tok"))
+    val toks = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
     // |vocab|-sized and referenced by totals AND the vocabulary cut —
     // cached so the corpus-sized explode+aggregate runs once (the
     // round-5 multi-reference-derived-frame rule, see PLANS.md)
@@ -380,7 +397,9 @@ object TextOps {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+    val toks = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
     val tf = toks.groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
     val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
@@ -410,7 +429,9 @@ object TextOps {
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    val staged = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+    val staged = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
       .select(col(idCol), col("_t"), size(col("_t")).as("_n"))
     val pairs = staged.filter(col("_n") >= 2)
       .select(col(idCol),
@@ -454,7 +475,9 @@ object TextOps {
     */
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 10L, k: Int = 20): DataFrame = {
-    val staged = df.select(tokens(col(textCol)).as("_t"))
+    val staged = graft.sources.Tables.fanOutForMapWork(
+        df.select(col(textCol)))
+      .select(tokens(col(textCol)).as("_t"))
       .select(col("_t"), size(col("_t")).as("_n"))
     // both count frames are multi-referenced (totals rollup + scoring
     // joins) — cached so each corpus-level explode+aggregate runs once
@@ -505,12 +528,15 @@ object TextOps {
     */
   def tokenDistributionDivergence(df: DataFrame, textCol: String,
                                   sideA: Column): DataFrame = {
-    val counts = df
+    // fanOutForMapWork (r17): tokenize+explode otherwise runs
+    // single-task in the scan stage on a one-row-group input
+    val fanned = graft.sources.Tables.fanOutForMapWork(df)
+    val counts = fanned
       .select(sideA.as("_a"), explode(tokens(col(textCol))).as("_tok"))
       .groupBy(col("_tok")).agg(
         sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_a"), 0L).otherwise(1L)).as("_cb"))
-    val totals = df.select(sideA.as("_a"),
+    val totals = fanned.select(sideA.as("_a"),
         tokenCount(col(textCol)).as("_n"))
       .agg(sum(when(col("_a"), col("_n")).otherwise(0L)).as("_na"),
         sum(when(col("_a"), 0L).otherwise(col("_n"))).as("_nb"))
@@ -556,7 +582,9 @@ object TextOps {
     // (group, token) conditional counts — the one corpus-sized shuffle;
     // cached: the global vocab AND the group totals both derive from it
     val gt = graft.core.Caches.cached(
-      df.select(col(groupCol).as("_g"),
+      graft.sources.Tables.fanOutForMapWork(
+          df.select(col(groupCol), col(textCol)))
+        .select(col(groupCol).as("_g"),
           explode(tokens(col(textCol))).as("_tok"))
         .groupBy(col("_g"), col("_tok")).agg(count(lit(1)).as("_cg")))
     val glob = gt.groupBy(col("_tok")).agg(sum(col("_cg")).as("_ct"))
@@ -682,7 +710,9 @@ object TextOps {
   : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val p = col("_c") / col("_n").cast("double")
-    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+    graft.sources.Tables.fanOutForMapWork(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
       .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
       .withColumn("_n", sum(col("_c")).over(w))
       .groupBy(col(idCol)).agg(
@@ -719,7 +749,8 @@ object TextOps {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 256,
                         seed: Long = 42L): DataFrame = {
-    val staged = df.select(col(idCol), isTarget.as("_tgt"),
+    val staged = graft.sources.Tables.fanOutForMapWork(df)
+      .select(col(idCol), isTarget.as("_tgt"),
         tokens(col(textCol)).as("_t"))
       .select(col(idCol), col("_tgt"), col("_t"), size(col("_t")).as("_n"))
     val feats = staged.filter(col("_n") >= 2)

@@ -139,7 +139,16 @@ object Profile {
           lit(accuracy)).cast("array<double>").as(s"${c}__apct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // NO fan-out here, deliberately (r17): the rank certificate gates
+    // the sketch at ±1/accuracy — the error of a SINGLE QuantileSummaries
+    // stream. Fanning the input makes approx_percentile MERGE partial
+    // summaries, whose compounded rank error can exceed that window, and
+    // the gate then fails closed (sentinel −1; observed at sf0.01 p50
+    // under a forced fan-out). The exact-percentile map merge is exact,
+    // but it shares the aggregate, so this profile keeps the input
+    // partitioning as given — the certificate is pinned to the
+    // single-stream contract by construction.
+    val wide = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // rank certificate: v within [Q(p−ε), Q(p+ε)] (tiny absolute slack
     // for float-interpolation noise at the window edges)
     def gated(c: String, i: Int): Column = {
@@ -182,7 +191,10 @@ object Profile {
         pct.as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // fanOutForMapWork (r17): see summaryAllGated
+    val wide = graft.sources.Tables
+      .fanOutForMapWork(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val entries = cols.flatMap { c =>
       Seq(lit(c),
         struct(col(s"${c}__count").cast("long").as("n"),
@@ -239,13 +251,27 @@ object Profile {
   : DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val pcts = (1 until bins).map(_.toDouble / bins)
-    val cuts = df.agg(
-      percentile(col(valueCol), typedLit(pcts)).as("_cuts"))
+    // fanOutForMapWork (r17, guide §2.5): the cut-point percentile's
+    // per-partition value map builds in the scan stage — single-task
+    // on a one-row-group input (1.78 s -> 1.40 s on the near-distinct
+    // price column, noop-sink decomposition)
+    val cuts = graft.sources.Tables
+      .fanOutForMapWork(df.select(col(valueCol)))
+      .agg(percentile(col(valueCol), typedLit(pcts)).as("_cuts"))
       .select(transform(col("_cuts"), c => round(c + lit(1e-9), 4))
         .as("_cuts"))
+    // bin = #{cuts below value}, expanded to bins−1 STATIC comparisons
+    // (r17, guide §4.1/expressions): the former
+    // size(filter(_cuts, c => value > c)) is a HigherOrderFunction —
+    // CodegenFallback, evaluated interpreted per ROW and breaking the
+    // whole-stage-codegen span around it; element_at + when + sum stay
+    // fully codegen'd. Identical arithmetic: a NULL value yields 0
+    // either way (filter lambda NULL-drops; when() takes otherwise).
+    val binId = (1 until bins).map(i =>
+      when(col(valueCol) > element_at(col("_cuts"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
     df.join(broadcast(cuts))
-      .withColumn("bin_id",
-        size(filter(col("_cuts"), c => col(valueCol) > c)).cast("long"))
+      .withColumn("bin_id", binId.cast("long"))
       .drop("_cuts")
   }
 

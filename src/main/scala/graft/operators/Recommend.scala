@@ -123,8 +123,14 @@ object Recommend {
                                    itemCol: String, maxBasket: Int)
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE exchange (r17): partitioning by _b alone already co-locates
+    // every (_b, _i) duplicate, so the distinct aggregate AND the
+    // basket-cap window both ride the same shuffle — the former
+    // .distinct() exchanged on (_b, _i) and the window then exchanged
+    // AGAIN on _b
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
+      .repartition(col("_b"))
+      .dropDuplicates("_b", "_i")
     val w = Window.partitionBy(col("_b")).orderBy(col("_i"))
     items.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxBasket).drop("_rn")

@@ -24,6 +24,51 @@ object Tables {
     normalizeNanoTimestamps(df)
   }
 
+  /** Scale-adaptive map-parallelism floor for operators whose heavy
+    * work is NARROW and sits BELOW their first exchange — per-position
+    * hashing, shingling, tokenization, codec decode (optimization guide
+    * §2.5: an unsplittable input — one file, one parquet row group, the
+    * harness-table shape — leaves that whole map stage in ONE task; the
+    * remedy is a repartition right after the read).
+    *
+    * Deliberately NOT applied at the table loader: for a query whose
+    * first real operation is itself a shuffle (join/groupBy), a blanket
+    * post-read exchange is pure added cost (the shuffle redistributes
+    * anyway) and it sits between the scan and pushed-down filters.
+    * Heavy-map-work operators instead call this on their already
+    * filtered/projected input, so the (rare) exchange carries only the
+    * columns the stage needs. Measured r17, q121: 3.62 s -> 1.50 s at
+    * sf0.1/local[32]; q03/q05-style relational queries regressed
+    * +0.5-0.9 s under the blanket variant, hence surgical placement.
+    *
+    * NO-OP (returns `df` unchanged, no exchange) unless BOTH hold:
+    *   - the input plans to fewer partitions than the session's default
+    *     parallelism — never true of a real multi-file table at scale,
+    *     where splits >> cores, so production plans are untouched by
+    *     construction;
+    *   - the input estimate is at least `minBytes`
+    *     (`SPARK_GRAFT_FANOUT_MIN_BYTES` env, then
+    *     `spark.graft.scan.fanout.minBytes` conf, default 256 KiB) —
+    *     a dimension-sized frame stays put.
+    *
+    * Row-to-partition placement is Spark's deterministic round-robin
+    * (sort-before-repartition on); no query result may depend on
+    * placement — the engine's conventions (total-order ORDER BY,
+    * value-keyed hashes and samples, no rand()/partition-id in query
+    * paths) ensure that, and the r17 oracle runs verify it.
+    */
+  def fanOutForMapWork(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val minBytes = sys.env.get("SPARK_GRAFT_FANOUT_MIN_BYTES")
+      .orElse(df.sparkSession.conf
+        .getOption("spark.graft.scan.fanout.minBytes"))
+      .map(_.toLong).getOrElse(256L * 1024)
+    if (df.rdd.getNumPartitions < target &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+      df.repartition(target)
+    else df
+  }
+
   /** Typed loaders (see [[graft.schema.Types]]): same scans, compile-time
     * field access. Encoders are resolved here once, not at every call
     * site.
