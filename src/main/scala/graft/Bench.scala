@@ -39,6 +39,16 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // parallelism evidence (VERDICT r17 #2): the driver's scaling probe
+    // kept flagging `suspect_cpus_ignored` because nothing in the
+    // emitted JSON proved the resolved core count — at sf0.1 the
+    // per-query fixed overhead makes 8-core wall ≈ 32-core wall, which
+    // is indistinguishable from "ignores the env var" from outside.
+    // `cpus` is the resolved SPARK_GRAFT_CPUS; `parallelism` is
+    // sc.defaultParallelism, the actual scheduler width AND the target
+    // width Tables.fanOutForMapWork repartitions to (the
+    // scaling-sensitive knob), measured from the live context.
+    val parallelism = spark.sparkContext.defaultParallelism
     // steady-state timing: two full passes, per-query minimum — the first
     // pass doubles as JIT/codegen warm-up, and min-of-2 suppresses GC and
     // compilation noise that otherwise dominates sub-second queries.
@@ -277,7 +287,7 @@ object Bench {
     // line. warm_total lives in BENCH_DETAIL.json; only key-based lookup
     // of this line is supported.
     val line =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir","disturbance":$disturbanceJson}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","queries":$steadyQs,"sf":"$sfDir","cpus":$cpus,"parallelism":$parallelism,"disturbance":$disturbanceJson}"""
     // the FULL per-query line goes to the SPARK_GRAFT_BENCH_OUT file
     // ONLY (default BENCH.json, tracked in git — the canonical
     // artifact). It is deliberately NOT printed: at 296 queries it is
@@ -308,7 +318,7 @@ object Bench {
       if (divert) "BENCH.json.disturbed+BENCH_DETAIL.json.disturbed"
       else "BENCH.json+BENCH_DETAIL.json"
     val compact =
-      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"$fullPtr","loadavg":[${num(loadStart)},${num(loadEnd)}],"disturbance":$disturbanceJson}"""
+      s"""{"metric":"total_steady","value":${num(steadyTotal)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"parallelism":$parallelism,"queries":$top10,"n_queries":${steady.size},"queries_truncated_to_top10":true,"full":"$fullPtr","loadavg":[${num(loadStart)},${num(loadEnd)}],"disturbance":$disturbanceJson}"""
     println(compact)
     System.err.println(compact)
     // the driver's output-capture window is bounded, so the primary line
@@ -355,7 +365,7 @@ object Bench {
          |"warm_total":${num(warmTotal)},
          |"cold_total":${num(total)},
          |"pass_totals":{"cold1":${num(first.map(_._2).sum)},"cold2":${num(second.map(_._2).sum)},"warm":${num(warmTotal)}},
-         |"loadavg":{"start":${num(loadStart)},"end":${num(loadEnd)},"cpus":$cpus},
+         |"loadavg":{"start":${num(loadStart)},"end":${num(loadEnd)},"cpus":$cpus,"parallelism":$parallelism},
          |"cold":$qs,
          |"cold_max":${sec(coldMax)},
          |"warm":$warmQs,

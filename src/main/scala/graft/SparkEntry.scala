@@ -1345,6 +1345,13 @@ object SparkEntry {
     // one scan (Profile.constraintAudit) — the tax cap and the
     // (orderkey, linenumber) uniqueness genuinely FAIL on this data,
     // so both branches of the pass flag are exercised
+    // NO fan-out (r18, VERDICT r17 #4 retried and re-refused): the r17
+    // blanket fan-out regressed this query on full-width rows; the r18
+    // retry fanned a NARROW 7-column projection and STILL regressed
+    // (A/B 0.862 s off vs 1.221 s on — the count_distinct Expand
+    // doubles the exchanged rows, so the round-robin shuffle costs
+    // more than the single-task partial aggregate it parallelizes).
+    // Second measured no-go; input left as scanned.
     "q195_constraint_audit" -> ((s, dir) =>
       operators.Profile.constraintAudit(t(s, dir, "lineitem"),
         violations = Seq(
@@ -2206,6 +2213,13 @@ object SparkEntry {
     // lineitem pair frame — catalog-shape profiling (how concentrated
     // is sourcing), two bounded rollups union'd with a side tag
     "q232_supplier_part_degrees" -> ((s, dir) => {
+      // NO fan-out (r18, VERDICT r17 #4 retried and re-refused): the
+      // r17 blanket fan-out regressed on full-width rows; the r18 retry
+      // fanned the NARROW 2-column projection and STILL regressed (A/B
+      // 0.751 s off vs 1.120 s on — the map-side partial distinct
+      // already collapses the scan to ~|distinct pairs|, so the extra
+      // round-robin exchange moves more rows than it saves). Second
+      // measured no-go; input left as scanned.
       val sp = t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_partkey")).distinct()
       def hist(key: String, side: String) = sp
@@ -2700,10 +2714,12 @@ object SparkEntry {
     // power iteration. Vocab-bounded: the rank frame is |vocab| rows
     // regardless of corpus size
     "q251_textrank" -> ((s, dir) => {
-      // fanOutForMapWork (r17): tokenize + positional-bigram explode
-      // otherwise run single-task in the scan stage
-      val toks = Tables.fanOutForMapWork(
-          t(s, dir, "documents").select(col("text")))
+      // NO fan-out (r18): the r17 placement was inert (estimate-based
+      // floor) and its claimed win a first-in-list artifact (VERDICT
+      // r17 #2); engaged by the leaf-bytes gate it regressed (A/B
+      // 1.586 s off vs 1.699 s on) — the bigram explode feeds a
+      // token-keyed aggregate whose shuffle redistributes anyway
+      val toks = t(s, dir, "documents").select(col("text"))
         .select(ext.TextOps.tokens(col("text")).as("_t"),
           size(ext.TextOps.tokens(col("text"))).as("_n"))
         .filter(col("_n") >= 2)

@@ -838,6 +838,24 @@ object Dedup {
     *
     * Output: (id_a, id_b, n_shared) with id_a < id_b,
     * n_shared ≥ `minShared` anchored windows in common.
+    *
+    * 64-bit posting-key collision bound (VERDICT r17 #6 — the one
+    * documented divergence from the string-keyed oracle): pair
+    * generation joins on `xxhash64(window)`, so two DISTINCT surviving
+    * windows colliding in 64 bits merge their posting groups. At
+    * 100 TB ≈ 10¹⁴ chars the anchored-window stream is ~6×10¹² rows
+    * (1/16 sampling), so expected colliding distinct-window pairs are
+    * ~D²/2⁶⁵ ≈ 10⁶. A collision only corrupts OUTPUT when (a) the two
+    * windows' doc sets cross (typical |docs(w)| ≈ 1 post-sampling,
+    * capped at `maxPostingDf`) AND (b) the affected doc pair clears
+    * `minShared = 2`, i.e. shares a SECOND key — another independent
+    * collision (~10⁶/D ≈ 10⁻⁷ each) or a real shared window (rare by
+    * definition for non-duplicate pairs, and already-duplicate pairs
+    * are reported anyway). Expected phantom output pairs ≈
+    * 10⁶ × P(second shared key) ≪ 1 at 100 TB. To retire even that,
+    * widen the key to two independent hashes
+    * (`xxhash64(w), xxhash64(reverse(w))`) and join on both — same
+    * long-keyed plan, bound drops to ~D²/2¹²⁹ ≈ 10⁻¹³.
     */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
                       window: Int = 32, minShared: Long = 2L,

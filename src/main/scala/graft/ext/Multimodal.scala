@@ -400,10 +400,12 @@ object Multimodal {
     * metadata → stub-decode → stub-features. One projection, no shuffle.
     */
   def pipeline(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    // fanOutForMapWork (r17, guide §2.5): the decode/feature projection
-    // chain is narrow — single-task on a one-row-group input otherwise
-    graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): the r17 placement was inert (estimate-based
+    // floor); engaged by the leaf-bytes gate it regressed (q36 A/B
+    // 0.198 s off vs 0.277 s on) — the stub decode chain is one cheap
+    // codegen projection, unlike batchedFeatures' real mapPartitions
+    // decode (which keeps its fan-out). Removed per the measured rule.
+    df.select(col(idCol), col(textCol))
       .select(col(idCol), asBlob(col(textCol)).as("blob"))
       .withColumn("meta", blobMetadata(col("blob")))
       .withColumn("decoded", decodeImageStub(col("blob")))

@@ -336,10 +336,13 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cIdCol: String = "centroid_id", cVecCol: String = "centroid")
   : DataFrame = {
-    // fanOutForMapWork (r17, guide §2.5): the |centroids|-way cosine
-    // argmax per vector runs in the scan stage — single-task on a
-    // one-row-group input
-    val joined = graft.sources.Tables.fanOutForMapWork(df)
+    // NO fan-out (r18, VERDICT r17 #8): the r17 placement's own isolated
+    // numbers were already negative (0.369→~0.51 s) and the r18 A/B
+    // confirmed it (q38 0.296 s off vs 0.462 s on) — an 8-centroid
+    // cosine argmax per row is cheaper than the exchange. Removed.
+    // (bruteForceKnn keeps its fan-out: |queries|×|corpus| scoring is
+    // orders of magnitude more work per scanned row.)
+    val joined = df
       .join(broadcast(centroids))
       .withColumn("cos", cosine(col(vecCol), col(cVecCol)))
     Relational.topKPerGroup(joined, 1, Seq(idCol),

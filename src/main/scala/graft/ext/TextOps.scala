@@ -182,10 +182,12 @@ object TextOps {
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
                 chunkTokens: Int, stride: Int): DataFrame = {
     require(stride >= 1 && chunkTokens >= 1)
-    // fanOutForMapWork (r17): tokenize+slice chain otherwise runs
-    // single-task in the scan stage on a one-row-group input
-    val staged = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): the r17 placement here was inert (priced under
+    // the estimate-based floor); once the leaf-bytes gate engaged it,
+    // the exchange cost more than the tokenize+slice work (q76 A/B
+    // 0.332 s off vs 0.309 s on — flat at best) — removed per the
+    // measured placement rule (guide §2.5; graft-fanout-rule)
+    val staged = df.select(col(idCol), col(textCol))
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("long").as("_n"))
@@ -238,10 +240,11 @@ object TextOps {
   val longNumRe = "[0-9]{7,}"
 
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // fanOutForMapWork (r17): four regex passes per row otherwise run
-    // single-task in the scan stage on a one-row-group input
-    graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): the r17 placement was inert (estimate-based
+    // floor); engaged by the leaf-bytes gate it REGRESSED (q74 A/B
+    // 0.160 s off vs 0.253 s on) — the four regex passes are cheaper
+    // than the exchange. Removed per the measured placement rule.
+    df.select(col(idCol), col(textCol))
       .select(col(idCol),
       regexp_replace(
         regexp_replace(col(textCol), emailRe, "<EMAIL>"),
@@ -265,10 +268,9 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    // fanOutForMapWork (r17): tokenize + sort + fold per row otherwise
-    // run single-task in the scan stage on a one-row-group input
-    val staged = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): inert in r17, regressed once engaged (q72 A/B
+    // 0.181 s off vs 0.271 s on) — removed per the measured rule
+    val staged = df.select(col(idCol), col(textCol))
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("long").as("n_tokens"),
@@ -351,8 +353,9 @@ object TextOps {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int = 0): DataFrame = {
-    val toks = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): inert in r17, regressed once engaged (q80 A/B
+    // 0.459 s off vs 0.546 s on) — removed per the measured rule
+    val toks = df.select(col(idCol), col(textCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
     // |vocab|-sized and referenced by totals AND the vocabulary cut —
     // cached so the corpus-sized explode+aggregate runs once (the
@@ -397,8 +400,11 @@ object TextOps {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): inert in r17, regressed once engaged (q84 A/B
+    // 1.039 s off vs 1.330 s on — the biggest loser of the batch: the
+    // token explode feeds a doc-keyed aggregate whose shuffle
+    // redistributes anyway) — removed per the measured rule
+    val toks = df.select(col(idCol), col(textCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
     val tf = toks.groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
@@ -429,8 +435,9 @@ object TextOps {
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
   : DataFrame = {
-    val staged = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): inert in r17, regressed once engaged (q97 A/B
+    // 0.449 s off vs 0.554 s on) — removed per the measured rule
+    val staged = df.select(col(idCol), col(textCol))
       .select(col(idCol), tokens(col(textCol)).as("_t"))
       .select(col(idCol), col("_t"), size(col("_t")).as("_n"))
     val pairs = staged.filter(col("_n") >= 2)
@@ -475,8 +482,10 @@ object TextOps {
     */
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 10L, k: Int = 20): DataFrame = {
-    val staged = graft.sources.Tables.fanOutForMapWork(
-        df.select(col(textCol)))
+    // NO fan-out (r18): inert in r17; same tokenize+explode family as
+    // q97/q84, which regressed once the leaf-bytes gate engaged their
+    // placements — removed with them per the measured rule
+    val staged = df.select(col(textCol))
       .select(tokens(col(textCol)).as("_t"))
       .select(col("_t"), size(col("_t")).as("_n"))
     // both count frames are multi-referenced (totals rollup + scoring
@@ -710,8 +719,10 @@ object TextOps {
   : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val p = col("_c") / col("_n").cast("double")
-    graft.sources.Tables.fanOutForMapWork(
-        df.select(col(idCol), col(textCol)))
+    // NO fan-out (r18): inert in r17; same explode-into-doc-keyed-
+    // aggregate family as q84 (whose engaged placement regressed
+    // 1.039→1.330 s) — removed with it per the measured rule
+    df.select(col(idCol), col(textCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
       .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
       .withColumn("_n", sum(col("_c")).over(w))

@@ -129,26 +129,36 @@ object Profile {
     // percentile() call: the sort dominates, extra points are free
     val pts = Seq(0.25, 0.5, 0.75).flatMap(p =>
       Seq(math.max(0.0, p - eps), p, math.min(1.0, p + eps)))
-    val aggs = cols.flatMap { c =>
+    val exactAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev_samp(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
         percentile(col(c), array(pts.map(lit): _*)).as(s"${c}__pct"),
-        approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(accuracy)).cast("array<double>").as(s"${c}__apct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    // NO fan-out here, deliberately (r17): the rank certificate gates
-    // the sketch at ±1/accuracy — the error of a SINGLE QuantileSummaries
-    // stream. Fanning the input makes approx_percentile MERGE partial
-    // summaries, whose compounded rank error can exceed that window, and
-    // the gate then fails closed (sentinel −1; observed at sf0.01 p50
-    // under a forced fan-out). The exact-percentile map merge is exact,
-    // but it shares the aggregate, so this profile keeps the input
-    // partitioning as given — the certificate is pinned to the
-    // single-stream contract by construction.
-    val wide = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val sketchAggs = cols.map { c =>
+      approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(accuracy)).cast("array<double>").as(s"${c}__apct")
+    }
+    // SPLIT aggregates (r18; r17 ran ONE wide aggregate, un-fanned):
+    // the sketch half keeps the input partitioning as given — the rank
+    // certificate gates approx_percentile at ±1/accuracy, the error of
+    // a SINGLE QuantileSummaries stream, and fanning would make it
+    // MERGE partial summaries whose compounded rank error can exceed
+    // that window (gate fails closed, sentinel −1; observed at sf0.01
+    // p50 under a forced fan-out). The EXACT half has no such
+    // constraint — its percentile value→count map merge is
+    // order-exact — so it rides fanOutForMapWork like summaryAll
+    // (q58): the dominant exact-percentile sort parallelizes instead
+    // of sharing the sketch's single stream. Both halves are one-row
+    // frames; the broadcast cross join reassembles the wide row the
+    // gating expressions below read — values, and therefore every
+    // gated cell, are IDENTICAL to the one-aggregate form.
+    val sel = df.select(cols.map(col): _*)
+    val wide = graft.sources.Tables.fanOutForMapWork(sel)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(sel.agg(sketchAggs.head, sketchAggs.tail: _*)))
     // rank certificate: v within [Q(p−ε), Q(p+ε)] (tiny absolute slack
     // for float-interpolation noise at the window edges)
     def gated(c: String, i: Int): Column = {
@@ -191,9 +201,16 @@ object Profile {
         pct.as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    // fanOutForMapWork (r17): see summaryAllGated
-    val wide = graft.sources.Tables
-      .fanOutForMapWork(df.select(cols.map(col): _*))
+    // fanOutForMapWork (r17): see summaryAllGated. EXACT path only
+    // (ADVICE r17): the exact-percentile partial-map merge is exact, but
+    // fanning the APPROX path makes approx_percentile merge partial
+    // QuantileSummaries sketches — the compounded-rank-error mode
+    // summaryAllGated's gate exists to catch — so the approx variant
+    // keeps its documented single-stream tolerance by keeping the input
+    // partitioning as given
+    val sel = df.select(cols.map(col): _*)
+    val wide = (if (exact) graft.sources.Tables.fanOutForMapWork(sel)
+                else sel)
       .agg(aggs.head, aggs.tail: _*)
     val entries = cols.flatMap { c =>
       Seq(lit(c),

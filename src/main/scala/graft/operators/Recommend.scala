@@ -222,14 +222,29 @@ object Recommend {
                      maxItemsPerUser: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_u")).orderBy(col("_i"))
-    val capped = ratings
+    val sel = ratings
       .select(col(userCol).as("_u"), col(itemCol).as("_i"),
         col(ratingCol).as("_r"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxItemsPerUser).drop("_rn")
+    // maxItemsPerUser >= 2^30 means "cap disabled" (r18): row_number is
+    // a 32-bit rank, so a cap that large was never enforceable anyway —
+    // a >2^30-row single window partition is a straggler catastrophe
+    // long before the filter could bite — and skipping the window drops
+    // a per-partition sort+filter that every downstream reference
+    // (norms + both self-join sides) re-executes above the reused
+    // exchange. Callers wanting a real cap pass a real cap.
+    val capped =
+      if (maxItemsPerUser >= (1 << 30)) sel
+      else sel.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= maxItemsPerUser).drop("_rn")
     val norms = capped.groupBy(col("_i"))
       .agg(sum(col("_r") * col("_r")).as("_sq"))
-    val dots = capped
+    // merge hint (r18; sharedSpanPairs' r17 rationale): both self-join
+    // sides are the IDENTICAL capped subtree — as sort-merge they share
+    // ONE exchange (ReusedExchange), where the size-estimated broadcast
+    // REBUILT the whole ratings/cap pipeline for the build side, and at
+    // 100 TB a per-user rating stream is corpus-sized (OOM under
+    // broadcast) — SMJ is also the only scale-correct strategy here
+    val dots = capped.hint("merge")
       .join(capped.select(col("_u").as("_u2"), col("_i").as("_j"),
         col("_r").as("_r2")),
         col("_u") === col("_u2") && col("_i") < col("_j"))
@@ -241,10 +256,18 @@ object Recommend {
         Seq("_j"))
       .withColumn("_cos", col("_dot") /
         (sqrt(col("_sqa").cast("double")) * sqrt(col("_sqb").cast("double"))))
-    val sym = cos.select(col("_i").as("item_id"),
-        col("_j").as("neighbor_id"), col("_cos"))
-      .unionByName(cos.select(col("_j").as("item_id"),
-        col("_i").as("neighbor_id"), col("_cos")))
+    // one generated row per direction instead of unionByName(cos, cos):
+    // the union form evaluated the ENTIRE pair pipeline twice — explode
+    // emits both (i→j, j→i) rows map-side from a single evaluation
+    // (guide §2.4: duplicated subtrees are removed shuffles too). Same
+    // rows, same types, bit-identical cosines.
+    val sym = cos.select(explode(array(
+        struct(col("_i").as("item_id"), col("_j").as("neighbor_id"),
+          col("_cos")),
+        struct(col("_j").as("item_id"), col("_i").as("neighbor_id"),
+          col("_cos")))).as("_e"))
+      .select(col("_e.item_id").as("item_id"),
+        col("_e.neighbor_id").as("neighbor_id"), col("_e._cos").as("_cos"))
     Relational.topKPerGroupAgg(sym, k, Seq("item_id"),
         col("_cos"), col("neighbor_id"), "_cos", "neighbor_id")
       .select(col("item_id"), col("neighbor_id"), col("rank"),

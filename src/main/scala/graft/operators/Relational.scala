@@ -197,14 +197,31 @@ object Relational {
     * GraftSession) can't apply — e.g. a skewed broadcast-ineligible dim
     * or a key so hot a single post-split partition still spills. Salt
     * assignment only affects row placement, never the join result.
+    *
+    * r18 (VERDICT r17 #5, guide §2.5):
+    *  - the salt is DETERMINISTIC row content (`xxhash64` over every
+    *    big-side column), not `monotonically_increasing_id()` — a
+    *    partition-layout-dependent value whose recomputation under a
+    *    fetch-failure retry can re-salt rows differently mid-shuffle
+    *    (the SPARK-38388 class of duplicated/lost rows). Identical
+    *    rows share a salt, which is placement-harmless: hot KEYS (the
+    *    thing salting exists for) still spread across buckets because
+    *    their non-key columns differ.
+    *  - `buckets <= 0` derives the width from the session's
+    *    defaultParallelism instead of a constant, so one hot key can
+    *    occupy the whole cluster at any scale; an explicit positive
+    *    width is honored unchanged.
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
                  buckets: Int = 16): DataFrame = {
+    val width =
+      if (buckets > 0) buckets
+      else math.max(2, big.sparkSession.sparkContext.defaultParallelism)
     val salted = big.withColumn("__salt_b",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(width.toLong)))
     val replicated = small.withColumn("__salt_s",
-      explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
+      explode(array((0 until width).map(b => lit(b.toLong)): _*)))
     salted.join(replicated,
         salted(bigKey) === replicated(smallKey) &&
           col("__salt_b") === col("__salt_s"))

@@ -56,17 +56,85 @@ object Tables {
     * placement — the engine's conventions (total-order ORDER BY,
     * value-keyed hashes and samples, no rand()/partition-id in query
     * paths) ensure that, and the r17 oracle runs verify it.
+    *
+    * r18 gate rework (VERDICT r17 #1 + ADVICE r17):
+    *  - the size floor reads the LEAF SCANS' on-disk bytes, not the
+    *    post-projection Catalyst estimate — the fallback estimate
+    *    prices a string column at ~20 B, so a `select(doc_id, text)`
+    *    over a heavy-text table was priced UNDER the floor and nine
+    *    r17 placements silently no-op'd;
+    *  - the partition count is DERIVED from leaf bytes /
+    *    `spark.sql.files.maxPartitionBytes` (a lower bound on the
+    *    scan's real split count — splits are never larger than
+    *    maxPartitionBytes) instead of probing `df.rdd`, which under
+    *    AQE eagerly materializes any upstream shuffle stage at
+    *    plan-build time;
+    *  - an input whose optimized plan already contains an
+    *    exchange-inducing node (join/aggregate/window/sort/repartition)
+    *    is returned unchanged: the documented precondition is a
+    *    scan-stage frame, the downstream shuffle redistributes anyway,
+    *    and skipping also keeps the `.rdd` fallback (non-file leaves,
+    *    e.g. test LocalRelations or cached frames) safe to probe;
+    *  - a decline in the would-fire regime (fewer partitions than the
+    *    session) logs one stderr line, so an inert placement is
+    *    observable instead of silent;
+    *  - a malformed minBytes override degrades to the default with a
+    *    warning instead of throwing NumberFormatException inside every
+    *    fanned operator.
     */
   def fanOutForMapWork(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
     val minBytes = sys.env.get("SPARK_GRAFT_FANOUT_MIN_BYTES")
-      .orElse(df.sparkSession.conf
-        .getOption("spark.graft.scan.fanout.minBytes"))
-      .map(_.toLong).getOrElse(256L * 1024)
-    if (df.rdd.getNumPartitions < target &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
-      df.repartition(target)
-    else df
+      .orElse(spark.conf.getOption("spark.graft.scan.fanout.minBytes"))
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.trim.toLong).toOption
+        if (parsed.isEmpty)
+          System.err.println(s"[graft] fanOutForMapWork: malformed " +
+            s"minBytes override '$v' — using default 262144")
+        parsed
+      }.getOrElse(256L * 1024)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, Join, RepartitionOperation, Sort, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    val shuffling = plan.find {
+      case _: Join | _: Aggregate | _: LWindow | _: Sort |
+           _: RepartitionOperation | _: Deduplicate | _: GlobalLimit => true
+      case _ => false
+    }.isDefined
+    if (shuffling) {
+      // precondition violated (scan-stage frames only) — the shuffle
+      // below redistributes anyway; loudly, because every committed
+      // call site is scan-stage and this firing means a drifted caller
+      System.err.println("[graft] fanOutForMapWork: declined — input " +
+        "plans its own exchange (scan-stage frames only); returning as-is")
+      return df
+    }
+    val leaves = plan.collectLeaves()
+    val fileLeafBytes = leaves.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }
+    val allLeavesAreFiles = fileLeafBytes.size == leaves.size
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val (inputBytes, estPartitions): (BigInt, Long) =
+      if (allLeavesAreFiles && fileLeafBytes.nonEmpty)
+        (BigInt(fileLeafBytes.sum),
+          fileLeafBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit))
+            .sum)
+      else
+        // non-file leaves (LocalRelation in tests, cached frames): the
+        // shuffling guard above proved the plan exchange-free, so the
+        // physical probe is safe and cheap here
+        (plan.stats.sizeInBytes, df.rdd.getNumPartitions.toLong)
+    if (estPartitions >= target) df // the at-scale case: silent by design
+    else if (inputBytes < BigInt(minBytes)) {
+      System.err.println(s"[graft] fanOutForMapWork: declined — input " +
+        s"~${inputBytes} B under floor $minBytes B " +
+        s"(est $estPartitions < $target partitions)")
+      df
+    } else df.repartition(target)
   }
 
   /** Typed loaders (see [[graft.schema.Types]]): same scans, compile-time

@@ -21,8 +21,13 @@ object ExplainMany {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      val full = graft.SparkEntry.queries.keys.find(_.startsWith(name))
-        .getOrElse(sys.error(s"no query matches $name"))
+      // exact short-prefix resolution (ADVICE r17): startsWith("q1")
+      // matched q100..q199 in arbitrary map order and could write the
+      // wrong query's plan under the requested file name
+      val full = graft.SparkEntry.queries.keys
+        .find(k => k == name || k.takeWhile(_ != '_') == name)
+        .getOrElse(sys.error(s"no query named $name (exact qNN or full " +
+          s"name required)"))
       val txt = graft.SparkEntry.queries(full)(spark, sfDir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -103,6 +103,15 @@ class RelationalSpec extends SparkTestBase {
     val salted = Relational.saltedJoin(big, small, "k", "sk", buckets = 4)
       .select($"k", $"v", $"d").collect().map(_.toString).sorted.toSeq
     assert(salted === plain)
+    // adaptive width (buckets <= 0 → defaultParallelism) — same result
+    val adaptive = Relational.saltedJoin(big, small, "k", "sk", buckets = -1)
+      .select($"k", $"v", $"d").collect().map(_.toString).sorted.toSeq
+    assert(adaptive === plain)
+    // the salt is deterministic row content, never
+    // monotonically_increasing_id (retry-safety, SPARK-38388 class)
+    val planTxt = Relational.saltedJoin(big, small, "k", "sk")
+      .queryExecution.analyzed.toString
+    assert(!planTxt.contains("monotonically_increasing_id"))
   }
 
   test("topKPerGroupAgg equals the window form and keeps the id's width") {

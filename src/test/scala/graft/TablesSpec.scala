@@ -59,4 +59,49 @@ class TablesSpec extends SparkTestBase {
       org.apache.spark.sql.types.TimestampType)
     assert(ev.count() > 0)
   }
+
+  test("fanOutForMapWork gates on LEAF-SCAN bytes, not the projected " +
+      "estimate (VERDICT r17 #1)") {
+    val key = "spark.graft.scan.fanout.minBytes"
+    val fileBytes = new java.io.File(s"$sf/documents.parquet").length
+    val target = spark.sparkContext.defaultParallelism
+    // a text-only projection: Catalyst's fallback estimate prices the
+    // string column at ~20 B/row (well under the real file size) — the
+    // r17 estimate-based floor declined exactly this shape. Floor set
+    // to the exact on-disk size: the leaf-bytes gate fires iff it reads
+    // the file size, not the projected estimate.
+    val txt = Tables.load(spark, sf, "documents").select("text")
+    assert(txt.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(fileBytes), "precondition: projected estimate under file size")
+    try {
+      spark.conf.set(key, fileBytes.toString)
+      assert(Tables.fanOutForMapWork(txt).rdd.getNumPartitions === target)
+    } finally spark.conf.unset(key)
+    // default 256 KiB floor: a 64 KB leaf declines — and stays ONE
+    // partition (no exchange added)
+    assert(Tables.fanOutForMapWork(txt).rdd.getNumPartitions === 1)
+  }
+
+  test("fanOutForMapWork declines shuffling inputs and survives a " +
+      "malformed floor override (ADVICE r17)") {
+    val key = "spark.graft.scan.fanout.minBytes"
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    try {
+      spark.conf.set(key, "1")
+      // exchange-inducing input (aggregate): returned unchanged even
+      // with the floor at 1 byte — the downstream shuffle redistributes
+      // anyway, and probing .rdd under AQE would materialize stages
+      val agg = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(Tables.fanOutForMapWork(agg) eq agg)
+      // scan-stage input with a 1-byte floor fires
+      assert(Tables.fanOutForMapWork(docs.select("text"))
+        .rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+      // malformed override degrades to the 256 KiB default (declines
+      // on a 64 KB leaf) instead of throwing NumberFormatException
+      spark.conf.set(key, "not-a-number")
+      assert(Tables.fanOutForMapWork(docs.select("text"))
+        .rdd.getNumPartitions === 1)
+    } finally spark.conf.unset(key)
+  }
 }
