@@ -4412,10 +4412,18 @@ object SparkEntry {
 
     // result must be identical to the unsalted join — the salt only
     // changes row placement (spec + oracle both pin that)
+    // salt = xxhash64 of the (orderkey, linenumber) PK — deterministic
+    // (retry-safe, r18) and it varies WITHIN a hot orderkey, so the hot
+    // key still spreads; hashing all 16 columns cost more than the join
+    // (r18 bench 0.99→1.57 s, reverted to the PK). Width stays the
+    // pinned demonstrator 4 — width multiplies the small side, so it is
+    // sized to the demonstrated skew, not to the core count (the
+    // operator's buckets<=0 derives defaultParallelism when wanted).
     "q43_salted_join" -> ((s, dir) =>
       operators.Relational.saltedJoin(
           t(s, dir, "lineitem"), t(s, dir, "orders"),
-          "l_orderkey", "o_orderkey", buckets = 4)
+          "l_orderkey", "o_orderkey", buckets = 4,
+          saltCols = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")
             * (lit(1) - col("l_discount")).cast("decimal(8,6)")), 2)

@@ -129,36 +129,42 @@ object Profile {
     // percentile() call: the sort dominates, extra points are free
     val pts = Seq(0.25, 0.5, 0.75).flatMap(p =>
       Seq(math.max(0.0, p - eps), p, math.min(1.0, p + eps)))
-    val exactAggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__count"),
-        avg(col(c)).as(s"${c}__mean"),
-        stddev_samp(col(c)).as(s"${c}__stddev"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        percentile(col(c), array(pts.map(lit): _*)).as(s"${c}__pct"),
-        max(col(c)).cast("double").as(s"${c}__max"))
-    }
-    val sketchAggs = cols.map { c =>
-      approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
-        lit(accuracy)).cast("array<double>").as(s"${c}__apct")
-    }
-    // SPLIT aggregates (r18; r17 ran ONE wide aggregate, un-fanned):
-    // the sketch half keeps the input partitioning as given — the rank
-    // certificate gates approx_percentile at ±1/accuracy, the error of
-    // a SINGLE QuantileSummaries stream, and fanning would make it
-    // MERGE partial summaries whose compounded rank error can exceed
-    // that window (gate fails closed, sentinel −1; observed at sf0.01
-    // p50 under a forced fan-out). The EXACT half has no such
-    // constraint — its percentile value→count map merge is
-    // order-exact — so it rides fanOutForMapWork like summaryAll
-    // (q58): the dominant exact-percentile sort parallelizes instead
-    // of sharing the sketch's single stream. Both halves are one-row
-    // frames; the broadcast cross join reassembles the wide row the
-    // gating expressions below read — values, and therefore every
-    // gated cell, are IDENTICAL to the one-aggregate form.
+    // SPLIT, PER-COLUMN aggregates (r18; r17 ran ONE wide un-fanned
+    // aggregate):
+    //  - the sketch subtrees keep the input partitioning as given — the
+    //    rank certificate gates approx_percentile at ±1/accuracy, the
+    //    error of a SINGLE QuantileSummaries stream, and fanning would
+    //    make it MERGE partial summaries whose compounded rank error can
+    //    exceed that window (gate fails closed, sentinel −1; observed at
+    //    sf0.01 p50 under a forced fan-out). One subtree PER COLUMN
+    //    keeps each column's stream single — the per-column insert order
+    //    and therefore the sketch values are identical to the one-wide-
+    //    aggregate form — while the |cols| single-task sketch jobs run
+    //    CONCURRENTLY (broadcast subtrees execute on the exchange thread
+    //    pool) instead of serially inside one task.
+    //  - the exact subtrees ride fanOutForMapWork (their percentile
+    //    value→count map merge is order-exact), and per-column splitting
+    //    also parallelizes the FINAL merge+sort, which a single wide
+    //    aggregate funnels into one reducer task for all columns. All
+    //    exact subtrees share one fanned exchange (ReusedExchange).
+    // Every part is a one-row frame; broadcast cross joins reassemble
+    // the wide row the gating expressions below read — values, and
+    // therefore every gated cell, are IDENTICAL to the one-aggregate
+    // form.
     val sel = df.select(cols.map(col): _*)
-    val wide = graft.sources.Tables.fanOutForMapWork(sel)
-      .agg(exactAggs.head, exactAggs.tail: _*)
-      .crossJoin(broadcast(sel.agg(sketchAggs.head, sketchAggs.tail: _*)))
+    val fanned = graft.sources.Tables.fanOutForMapWork(sel)
+    def exactWide(c: String): DataFrame = fanned.agg(
+      count(col(c)).as(s"${c}__count"),
+      avg(col(c)).as(s"${c}__mean"),
+      stddev_samp(col(c)).as(s"${c}__stddev"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      percentile(col(c), array(pts.map(lit): _*)).as(s"${c}__pct"),
+      max(col(c)).cast("double").as(s"${c}__max"))
+    def sketchWide(c: String): DataFrame = sel.agg(
+      approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(accuracy)).cast("array<double>").as(s"${c}__apct"))
+    val wide = (cols.map(exactWide) ++ cols.map(sketchWide))
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
     // rank certificate: v within [Q(p−ε), Q(p+ε)] (tiny absolute slack
     // for float-interpolation noise at the window edges)
     def gated(c: String, i: Int): Column = {
@@ -188,30 +194,32 @@ object Profile {
 
   private def summaryAllImpl(df: DataFrame, cols: Seq[String],
                              exact: Boolean, accuracy: Int = 10000): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    // PER-COLUMN subtrees reassembled by broadcast cross joins (r18; see
+    // summaryAllGated's rationale): a single wide aggregate funnels
+    // every column's percentile merge+sort into ONE final reducer task —
+    // splitting per column runs those finals in parallel. EXACT subtrees
+    // ride fanOutForMapWork (order-exact value→count map merge; ADVICE
+    // r17 keeps the fan off the approx path) and share one fanned
+    // exchange via ReusedExchange; APPROX subtrees keep the input
+    // partitioning as given, one per column, so each sketch stream stays
+    // single and its values are bit-identical to the one-aggregate form.
+    val sel = df.select(cols.map(col): _*)
+    val base = if (exact) graft.sources.Tables.fanOutForMapWork(sel) else sel
+    def wideFor(c: String): DataFrame = {
       val pct =
         if (exact) percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)))
         else approx_percentile(col(c),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
           .cast("array<double>")
-      Seq(count(col(c)).as(s"${c}__count"),
+      base.agg(
+        count(col(c)).as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev_samp(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
         pct.as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    // fanOutForMapWork (r17): see summaryAllGated. EXACT path only
-    // (ADVICE r17): the exact-percentile partial-map merge is exact, but
-    // fanning the APPROX path makes approx_percentile merge partial
-    // QuantileSummaries sketches — the compounded-rank-error mode
-    // summaryAllGated's gate exists to catch — so the approx variant
-    // keeps its documented single-stream tolerance by keeping the input
-    // partitioning as given
-    val sel = df.select(cols.map(col): _*)
-    val wide = (if (exact) graft.sources.Tables.fanOutForMapWork(sel)
-                else sel)
-      .agg(aggs.head, aggs.tail: _*)
+    val wide = cols.map(wideFor).reduce((a, b) => a.crossJoin(broadcast(b)))
     val entries = cols.flatMap { c =>
       Seq(lit(c),
         struct(col(s"${c}__count").cast("long").as("n"),
@@ -287,7 +295,12 @@ object Profile {
     val binId = (1 until bins).map(i =>
       when(col(valueCol) > element_at(col("_cuts"), i), 1L)
         .otherwise(0L)).reduce(_ + _)
-    df.join(broadcast(cuts))
+    // the ASSIGNMENT side fans too (r18): the bins−1 comparisons per row
+    // plus whatever aggregate the caller stacks on bin_id otherwise run
+    // single-task in the scan stage (q87's consumer aggregate was the
+    // larger single-task cost after the cut side was fanned in r17)
+    graft.sources.Tables.fanOutForMapWork(df)
+      .join(broadcast(cuts))
       .withColumn("bin_id", binId.cast("long"))
       .drop("_cuts")
   }

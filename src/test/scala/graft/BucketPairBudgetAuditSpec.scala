@@ -111,12 +111,10 @@ class BucketPairBudgetAuditSpec extends SparkTestBase {
         "row_number (mirrored in the oracle SQL), and the item space is " +
         "fixed at 50 (event_id % 50), so the pair budget saturates at " +
         "50·64² = 204800 — the flagged ×30.3 is the cap FILLING from a " +
-        "sparse rung (hi probe equals the cap exactly), constant beyond."),
-    "q273_user_user_cf :: join#5 [_u | _u2]" ->
-      ("same capped site as join#2 — itemItemCosine symmetrizes via " +
-        "cos UNION cos-swapped, so the optimized tree carries two " +
-        "copies of the one dot self-join (identical budgets); " +
-        "rationale identical.")
+        "sparse rung (hi probe equals the cap exactly), constant beyond. " +
+        "(r18: itemItemCosine now symmetrizes via one explode instead of " +
+        "cos UNION cos-swapped, so the former join#5 duplicate copy of " +
+        "this site no longer exists in the optimized tree.)")
   )
 
   private def rowsOf(dir: String, p: LogicalPlan): Long =

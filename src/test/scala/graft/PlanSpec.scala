@@ -79,16 +79,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("array_intersect"), s"interpreted verify survived:\n$p")
   }
 
-  test("q62 gated profile computes exact + sketch in ONE scan and agg pass") {
+  test("q62 gated profile: per-column split keeps every sketch stream " +
+      "single and fans only the exact halves") {
     val p = plan(SparkEntry.queries("q62_summary_profile_sketch")(spark, sf))
-    // the tolerance gate must not cost a second table read or a join of
-    // two profiles — both percentile forms live in the same wide
-    // aggregate over one lineitem scan
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
-    assert(!p.contains("Join"), s"gate should not join two profiles:\n$p")
+    // r18 contract (replaces the r17 one-wide-aggregate pin): one
+    // subtree per (column, half) — 3 fanned exact aggregates whose
+    // percentile map merge is order-exact, 3 UN-fanned approx
+    // aggregates so each sketch keeps its single-stream rank
+    // certificate — reassembled by 1-row broadcast cross joins. Values
+    // are identical to the one-aggregate form; what must never appear
+    // is a RoundRobin exchange BELOW an approx_percentile aggregate
+    // (merged partial sketches void the certificate).
     assert(p.contains("approx_percentile") && p.contains("percentile("),
       s"both percentile forms should be in the plan:\n$p")
+    val sketchAggs = "approx_percentile".r.findAllIn(p).size
+    assert(sketchAggs >= 3, s"expected one sketch agg per column:\n$p")
+    // every RoundRobin repartition feeds an exact subtree, never a
+    // sketch: walk the plan text — the fan-out exchange lines must not
+    // appear between a sketch aggregate and its scan. The sketch
+    // subtrees scan→partial agg directly, so the plan segment from
+    // each approx_percentile partial to its FileScan is exchange-free.
+    val segs = p.split("partial_approx_percentile")
+    segs.drop(1).foreach { seg =>
+      val scanAt = seg.indexOf("FileScan")
+      if (scanAt >= 0) {
+        val below = seg.substring(0, scanAt)
+        assert(!below.contains("RoundRobinPartitioning"),
+          s"sketch stream fanned — certificate voided:\n$p")
+      }
+    }
   }
 
   test("q33 kNN ranking is a k-bounded partial aggregate, not a window") {
